@@ -1,0 +1,75 @@
+"""Fixture catalog: table loading, temp-view registration, FK manifest.
+
+The engine-side analog of the reference's catalog surface
+(core/extractors/sqlserver.py:95-198 — list_tables / list_columns /
+get_table_schema / get_fk_relations_all over INFORMATION_SCHEMA): here the
+catalog is Spark's own (`spark.catalog`), fed from parquet footers, and the
+FK graph is a static manifest of the driver fixtures (FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Engine-side FK manifest — replaces get_fk_relations_all
+# (reference core/extractors/sqlserver.py:155-198, a sys.foreign_keys join).
+FK_GRAPH = [
+    {"table": "lineitem", "column": "l_orderkey", "ref_table": "orders", "ref_column": "o_orderkey"},
+    {"table": "lineitem", "column": "l_partkey", "ref_table": "part", "ref_column": "p_partkey"},
+    {"table": "lineitem", "column": "l_suppkey", "ref_table": "supplier", "ref_column": "s_suppkey"},
+    {"table": "orders", "column": "o_custkey", "ref_table": "customer", "ref_column": "c_custkey"},
+    {"table": "customer", "column": "c_nationkey", "ref_table": "nation", "ref_column": "n_nationkey"},
+    {"table": "supplier", "column": "s_nationkey", "ref_table": "nation", "ref_column": "n_nationkey"},
+    {"table": "nation", "column": "n_regionkey", "ref_table": "region", "ref_column": "r_regionkey"},
+]
+
+# Small dimensions that should always be broadcast, never shuffled.
+BROADCAST_DIMS = {"region", "nation", "supplier"}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan; Catalyst pushes filters/pruning into it."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every fixture table as a temp view so `spark.sql` queries
+    (the engine's SQL-transformer surface, SURVEY §2.B) can address them by
+    name — the Spark analog of the reference's per-DBMS table addressing."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def list_tables(spark: SparkSession) -> list[str]:
+    """Catalog: list tables (parity with core/extractors/sqlserver.py:95-112)."""
+    return sorted(t.name for t in spark.catalog.listTables())
+
+
+def list_columns(spark: SparkSession, table: str) -> list[dict]:
+    """Catalog: one table's columns with types/nullability (parity with
+    core/extractors/sqlserver.py:60-90,117-150)."""
+    return [
+        {"name": c.name, "type": c.dataType, "nullable": c.nullable}
+        for c in spark.catalog.listColumns(table)
+    ]

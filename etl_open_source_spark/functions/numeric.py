@@ -1,0 +1,76 @@
+"""Numeric helpers for deterministic, oracle-parity aggregation.
+
+Why: Spark sums doubles in whatever order partitions finish, so
+``SUM(double)`` is not bit-stable across runs nor identical to DuckDB's
+result. Aggregating through fixed-point ``DECIMAL(18,4)`` makes the sum
+exact and order-independent in BOTH engines; casting the final value back to
+double yields bit-identical results. Averages are expressed as
+``CAST(SUM(decimal) AS DOUBLE) / COUNT`` so the one inexact operation (the
+division) is a single IEEE-754 op on identical inputs.
+
+The SQL-side mirror of each helper lives in the oracle strings
+(see queries/*). Keep the two in sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,4)"
+
+
+def dec(c: Column | str) -> Column:
+    """Cast to the canonical fixed-point type used for exact aggregation."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(DEC)
+
+
+def dsum(c: Column | str) -> Column:
+    """Order-independent SUM over a double column, returned as double."""
+    return F.sum(dec(c)).cast("double")
+
+
+def davg(c: Column | str) -> Column:
+    """Order-independent AVG: exact decimal sum, one double division."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(dec(col)).cast("double") / F.count(col)
+
+
+def money(c: Column | str) -> Column:
+    """Narrow money cast (2-decimal data, values < 10^10). Products of
+    ``money * rate * rate`` stay well under decimal precision 38, so neither
+    engine truncates the scale — keeps multiply-then-sum exact."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(12,2)")
+
+
+def rate(c: Column | str) -> Column:
+    """Narrow cast for small 2-decimal rates (discount/tax in [0,1))."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(4,2)")
+
+
+def one() -> Column:
+    """Literal 1 as a narrow decimal (lazy: F.lit needs a live session)."""
+    return F.lit(1).cast("decimal(3,2)")
+
+
+# SQL fragments (DuckDB side) mirroring the helpers above.
+SQL_ONE = "CAST(1 AS DECIMAL(3,2))"
+
+
+def sql_money(expr: str) -> str:
+    return f"CAST({expr} AS DECIMAL(12,2))"
+
+
+def sql_rate(expr: str) -> str:
+    return f"CAST({expr} AS DECIMAL(4,2))"
+
+
+def sql_dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) / COUNT({expr})"
