@@ -9,6 +9,10 @@ import importlib
 
 _MODULES = [
     "aggregates",
+    "scans",
+    "filters",
+    "setops",
+    "scalar",
 ]
 
 _loaded = False

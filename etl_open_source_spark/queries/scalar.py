@@ -1,0 +1,249 @@
+"""Scalar function packs (SURVEY.md §2.C "Scalar functions").
+
+All built-in `pyspark.sql.functions` — JVM-side, inside whole-stage codegen;
+no Python in the hot path. Integer-valued function outputs are cast to
+BIGINT on both sides (DuckDB's scalar functions default to BIGINT where
+Spark returns INT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_open_source_spark.catalog import load_table
+from etl_open_source_spark.registry import query
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_type) AS type_upper,
+       LOWER(p_brand) AS brand_lower,
+       TRIM(p_name) AS name_trim,
+       SUBSTRING(p_name, 1, 8) AS name_prefix,
+       CONCAT(p_brand, ':', p_type) AS brand_type,
+       CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+       CAST(LEN(STRING_SPLIT(p_name, ' ')) AS BIGINT) AS name_words,
+       REGEXP_REPLACE(p_name, 'a', '@', 'g') AS name_sub,
+       LPAD(p_brand, 12, '*') AS brand_pad
+FROM part
+""",
+    tags=("fn",),
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_type").alias("type_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim("p_name").alias("name_trim"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.size(F.split("p_name", " ")).cast("bigint").alias("name_words"),
+        F.regexp_replace("p_name", "a", "@").alias("name_sub"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle="""
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+       CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+       CAST(DAY(o_orderdate) AS BIGINT) AS order_day,
+       DATE_TRUNC('month', o_orderdate) AS order_month_start,
+       CAST(DATEDIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_95,
+       o_orderdate + INTERVAL 3 MONTH AS plus_3_months,
+       CAST(o_orderdate AS DATE) AS order_date_only,
+       CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_sec
+FROM orders
+""",
+    tags=("fn",),
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("order_year"),
+        F.month(d).cast("bigint").alias("order_month"),
+        F.dayofmonth(d).cast("bigint").alias("order_day"),
+        F.date_trunc("month", d).alias("order_month_start"),
+        F.datediff(F.to_date(d), F.lit("1995-01-01").cast("date")).cast("bigint").alias("days_since_95"),
+        (d + F.expr("INTERVAL 3 MONTH")).alias("plus_3_months"),
+        F.to_date(d).alias("order_date_only"),
+        F.unix_timestamp(d).cast("bigint").alias("epoch_sec"),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice, 1) AS price_round,
+       ABS(l_discount - 0.05) AS disc_dev,
+       CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+       POW(l_quantity, 2) AS qty_sq,
+       SQRT(l_extendedprice) AS price_sqrt,
+       ROUND(LN(l_extendedprice), 6) AS price_ln,
+       CAST(((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS BIGINT) AS key_mod7,
+       CAST(SIGN(l_discount - 0.05) AS BIGINT) AS disc_sign
+FROM lineitem
+""",
+    tags=("fn",),
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_round"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        # rounded: Java Math.log vs libm log differ in the last ulp
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("key_mod7"),
+        F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("disc_sign"),
+    )
+
+
+@query(
+    "q_fn_cond",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 300000 THEN 'high'
+            WHEN o_totalprice >= 100000 THEN 'mid'
+            ELSE 'low' END AS price_tier,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+       LEAST(o_totalprice, 250000.0) AS capped_price,
+       GREATEST(o_totalprice, 1000.0) AS floored_price
+FROM orders
+""",
+    tags=("fn",),
+)
+def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(tp >= 300000, "high").when(tp >= 100000, "mid").otherwise("low").alias("price_tier"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias("status_label"),
+        F.least(tp, F.lit(250000.0)).alias("capped_price"),
+        F.greatest(tp, F.lit(1000.0)).alias("floored_price"),
+    )
+
+
+@query(
+    "q_fn_cast",
+    oracle="""
+SELECT l_orderkey,
+       CAST(l_quantity AS BIGINT) AS qty_int,
+       CAST(l_orderkey AS VARCHAR) AS key_str,
+       CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_back,
+       CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dbl,
+       CAST('1997-06-15 12:30:00' AS TIMESTAMP) AS const_ts,
+       CAST(l_shipdate AS DATE) AS ship_date
+FROM lineitem
+""",
+    tags=("fn",),
+)
+def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast lattice: numeric↔string, double↔decimal, string→timestamp,
+    timestamp→date. (double→string is deliberately absent: Java and DuckDB
+    render doubles differently; the engine treats that as formatting, not
+    casting — use format_number for display.)"""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_orderkey").cast("string").cast("bigint").alias("key_back"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("l_extendedprice").cast("decimal(12,2)").cast("double").alias("price_dbl"),
+        F.lit("1997-06-15 12:30:00").cast("timestamp").alias("const_ts"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+SELECT e.vec_id,
+       CAST(s.i - 1 AS BIGINT) AS pos,
+       CAST(e.embedding[s.i] AS DOUBLE) AS val,
+       CAST(LEN(e.embedding) AS BIGINT) AS dim
+FROM embeddings e CROSS JOIN GENERATE_SERIES(1, 64) AS s(i)
+WHERE e.vec_id < 20
+""",
+    tags=("fn", "array"),
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface: posexplode over the embedding vectors (plus size).
+    Lateral explode is the row-generation primitive for vector columns."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "val"),
+        F.size("embedding").alias("dim"),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("val").cast("double").alias("val"),
+        F.col("dim").cast("bigint").alias("dim"),
+    )
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+SELECT event_id,
+       CAST(JSON_EXTRACT_STRING(props, 'k') AS BIGINT) AS k_val,
+       JSON_EXTRACT_STRING(props, 'k') AS k_str
+FROM events
+""",
+    tags=("fn", "json"),
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.cast("bigint").alias("k_val"),
+        k.alias("k_str"),
+    )
+
+
+@query(
+    "q_fn_hash",
+    oracle="""
+SELECT o_orderkey,
+       MD5(CONCAT_WS('|', CAST(o_orderkey AS VARCHAR), o_orderstatus, o_orderpriority)) AS row_md5
+FROM orders
+""",
+    tags=("fn", "hash"),
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable row hash — the driver's own value-hash methodology, as an
+    engine primitive (dedup keys, change detection)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.col("o_orderpriority"),
+            )
+        ).alias("row_md5"),
+    )

@@ -1,0 +1,97 @@
+"""Scan/source/sink queries (SURVEY.md §2.C "Scans / sources / sinks").
+
+CSV/JSON scans are exercised by round-tripping fixture data through a temp
+directory: write with the engine's writers, read back with explicit schemas
+(never inferSchema at scale — it is an extra full pass), compare against the
+parquet-backed oracle. Lossless by construction: the round-tripped columns
+are integers, strings, and shortest-repr doubles.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_open_source_spark.catalog import load_table
+from etl_open_source_spark.registry import query
+from etl_open_source_spark.sources.readers import read_csv, read_json, read_parquet
+from etl_open_source_spark.sources.writers import write_csv, write_json, write_parquet
+
+_TMP_ROOT = os.path.join(tempfile.gettempdir(), "etl_open_source_spark_io")
+
+
+def _tmp(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_TMP_ROOT, tag, name)
+
+
+@query(
+    "q_scan_parquet",
+    oracle="SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice, l_shipdate FROM lineitem",
+    tags=("scan",),
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan with column pruning — only the projected columns are
+    read (check ReadSchema in .explain)."""
+    return read_parquet(spark, f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+
+
+@query(
+    "q_scan_csv",
+    oracle="SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice FROM lineitem",
+    tags=("scan",),
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with an explicit schema (header on). Round-trip:
+    parquet → csv → read."""
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice"]
+    src = load_table(spark, sf_dir, "lineitem").select(*cols)
+    path = _tmp(sf_dir, "lineitem_csv")
+    write_csv(src, path, mode="replace")
+    schema = "l_orderkey bigint, l_linenumber int, l_returnflag string, l_quantity double, l_extendedprice double"
+    return read_csv(spark, path, schema=schema)
+
+
+@query(
+    "q_scan_json",
+    oracle="SELECT event_id, user_id, event_type, value, props FROM events",
+    tags=("scan",),
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with explicit schema (splittable, parallel)."""
+    cols = ["event_id", "user_id", "event_type", "value", "props"]
+    src = load_table(spark, sf_dir, "events").select(*cols)
+    path = _tmp(sf_dir, "events_json")
+    write_json(src, path, mode="replace")
+    schema = "event_id bigint, user_id bigint, event_type string, value double, props string"
+    return read_json(spark, path, schema=schema)
+
+
+@query(
+    "q_sink_parquet_roundtrip",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS cnt
+FROM orders
+WHERE o_totalprice > 100000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("sink",),
+)
+def q_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-then-read parquet sink (replace mode), partitioned by the
+    grouping key — partitioned layout means downstream readers prune."""
+    src = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    path = _tmp(sf_dir, "orders_sink")
+    write_parquet(src, path, mode="replace", partition_by=["o_orderstatus"])
+    back = read_parquet(spark, path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("o_orderstatus")
+    )

@@ -1,0 +1,119 @@
+"""Sorts, limits, set operations (SURVEY.md §2.C "Sorts / limits / set ops")."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_open_source_spark.catalog import load_table
+from etl_open_source_spark.registry import query
+
+
+@query(
+    "q_sort_multi",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+ORDER BY o_orderstatus ASC, o_totalprice DESC NULLS LAST, o_orderkey
+""",
+    tags=("sort",),
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit null ordering. At scale this is a
+    range-partitioned sort (sampled boundaries), not a single-node sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_orderstatus", "o_totalprice").orderBy(
+        F.col("o_orderstatus").asc(),
+        F.col("o_totalprice").desc_nulls_last(),
+        F.col("o_orderkey").asc(),
+    )
+
+
+@query(
+    "q_limit",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+    tags=("sort",),
+)
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LIMIT (ordered, with a tiebreak key) — Spark plans
+    TakeOrderedAndProject: per-partition top-N, then a constant-size merge;
+    no global sort materialized."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "q_union_all",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000
+""",
+    tags=("setop",),
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union — a zero-shuffle concatenation of partitions."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_mktsegment")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_mktsegment")
+    return a.unionByName(b)
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000
+""",
+    tags=("setop",),
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union — union + distinct (one hash-aggregate shuffle)."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_mktsegment")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_mktsegment")
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "q_intersect",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+    tags=("setop",),
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — customers with both F and O orders."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@query(
+    "q_except",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+    tags=("setop",),
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics) — customers with F orders but no O orders."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(op)

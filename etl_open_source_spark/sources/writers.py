@@ -1,0 +1,64 @@
+"""Writers/sinks — the engine's loader surface.
+
+Replaces the reference's loaders (the row-at-a-time SQL Server insert loop at
+core/loaders/sqlserver.py:271-286 plus the stubbed postgres/mysql/csv
+loaders): distributed `df.write` with proper modes.
+
+Mode parity (core/loaders/sqlserver.py:244-269):
+- append  → `mode("append")`
+- replace → `mode("overwrite")`; for JDBC add ``option("truncate","true")``
+  to match the reference's DELETE-rows-keep-DDL semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+VALID_MODES = {"append", "replace"}
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "append", partition_by: list[str] | None = None) -> None:
+    if mode not in VALID_MODES:
+        raise ValueError(f"mode must be one of {VALID_MODES}, got {mode!r}")
+    writer = df.write.mode("overwrite" if mode == "replace" else "append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "replace", header: bool = True) -> None:
+    if mode not in VALID_MODES:
+        raise ValueError(f"mode must be one of {VALID_MODES}, got {mode!r}")
+    (
+        df.write.mode("overwrite" if mode == "replace" else "append")
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+
+
+def write_json(df: DataFrame, path: str, mode: str = "replace") -> None:
+    if mode not in VALID_MODES:
+        raise ValueError(f"mode must be one of {VALID_MODES}, got {mode!r}")
+    df.write.mode("overwrite" if mode == "replace" else "append").json(path)
+
+
+def jdbc_write_options(
+    url: str, table: str, mode: str, batchsize: int = 10_000, **extra: str
+) -> tuple[str, dict[str, str]]:
+    """Options for a batched JDBC write — replaces the reference's one
+    INSERT round-trip per row (core/loaders/sqlserver.py:282-286) with
+    executor-parallel batched inserts. Returns (spark_mode, options)."""
+    if mode not in VALID_MODES:
+        raise ValueError(f"mode must be one of {VALID_MODES}, got {mode!r}")
+    spark_mode = "append" if mode == "append" else "overwrite"
+    opts = {"url": url, "dbtable": table, "batchsize": str(batchsize)}
+    if mode == "replace":
+        # DELETE-not-DROP parity: truncate preserves the target's DDL.
+        opts["truncate"] = "true"
+    opts.update(extra)
+    return spark_mode, opts
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """Existence probe (parity: core/loaders/sqlserver.py:64-78)."""
+    return spark.catalog.tableExists(name)

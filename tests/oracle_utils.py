@@ -56,8 +56,12 @@ def canon_val(v, float_decimals: int | None = None):
         return round(f, float_decimals) if float_decimals is not None else f
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime()
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
         return v
+    if isinstance(v, datetime.date):
+        # Spark DATE → datetime.date; DuckDB's pandas frame gives midnight
+        # datetimes. Compare at datetime granularity.
+        return datetime.datetime(v.year, v.month, v.day)
     if isinstance(v, np.ndarray):
         return tuple(canon_val(x, float_decimals) for x in v.tolist())
     if isinstance(v, (list, tuple)):
