@@ -13,6 +13,9 @@ _MODULES = [
     "filters",
     "setops",
     "scalar",
+    "joins",
+    "windows",
+    "stream_windows",
 ]
 
 _loaded = False

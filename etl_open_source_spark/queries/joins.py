@@ -1,0 +1,260 @@
+"""Join operators (SURVEY.md §2.C "Joins"), over the fixture FK graph.
+
+The reference's declared "merge" transform (structure.txt:24, stubbed) —
+re-expressed as Catalyst joins. AQE picks broadcast vs shuffled-hash vs
+sort-merge at runtime; the broadcast query pins the strategy explicitly for
+the dimension chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from etl_open_source_spark.catalog import load_table, load_tables
+from etl_open_source_spark.functions.numeric import dsum, sql_dsum
+from etl_open_source_spark.operators.asof import asof_join
+from etl_open_source_spark.registry import query
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    bench=True,
+    tags=("join",),
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders⋈customer. At 100 TB: both sides shuffle on the
+    key unless one side broadcasts — AQE decides from runtime sizes."""
+    o, c = load_tables(spark, sf_dir, "orders", "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM customer c LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_totalprice > 300000
+""",
+    tags=("join",),
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with an extra join-side predicate (kept in the ON
+    clause — moving it to WHERE would silently turn the join inner)."""
+    c, o = load_tables(spark, sf_dir, "customer", "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 300000)
+    return c.join(o, cond, "left").select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "q_join_right",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name
+FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    tags=("join",),
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = load_tables(spark, sf_dir, "orders", "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+SELECT f.o_orderkey, f.o_custkey, b.c_custkey, b.c_acctbal
+FROM (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'P') f
+FULL JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 8000) b
+  ON f.o_custkey = b.c_custkey
+""",
+    tags=("join",),
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on BOTH sides."""
+    o, c = load_tables(spark, sf_dir, "orders", "customer")
+    f = o.filter(F.col("o_orderstatus") == "P").select("o_orderkey", "o_custkey")
+    b = c.filter(F.col("c_acctbal") > 8000).select("c_custkey", "c_acctbal")
+    return f.join(b, f.o_custkey == b.c_custkey, "full").select(
+        "o_orderkey", "o_custkey", "c_custkey", "c_acctbal"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+""",
+    tags=("join",),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style semi join — right side never duplicates left rows and
+    only the join key is shuffled (no payload)."""
+    c, o = load_tables(spark, sf_dir, "customer", "orders")
+    big = o.filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey)
+""",
+    tags=("join",),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT-EXISTS anti join — customers with no orders at all."""
+    c, o = load_tables(spark, sf_dir, "customer", "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+""",
+    tags=("join",),
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — only ever sane between small dims (5×25 here);
+    Spark plans a broadcast nested-loop join."""
+    r, n = load_tables(spark, sf_dir, "region", "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "q_join_broadcast",
+    oracle=f"""
+SELECT r.r_name, {sql_dsum('o.o_totalprice')} AS revenue, COUNT(*) AS order_cnt
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+""",
+    bench=True,
+    tags=("join",),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join revenue rollup with explicit broadcast hints on the
+    dimension chain: the orders fact NEVER shuffles for the dim joins —
+    the one pattern that matters most at 100 TB."""
+    o, c, n, r = load_tables(spark, sf_dir, "orders", "customer", "nation", "region")
+    return (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(dsum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("order_cnt"))
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "q_join_multikey",
+    oracle=f"""
+WITH seg AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS grp_cnt, {sql_dsum('o_totalprice')} AS grp_total
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT o.o_orderkey, o.o_orderstatus, o.o_orderpriority, s.grp_cnt, s.grp_total
+FROM orders o JOIN seg s
+  ON o.o_orderstatus = s.o_orderstatus AND o.o_orderpriority = s.o_orderpriority
+""",
+    tags=("join",),
+)
+def q_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key equi join (both keys in one shuffle partitioning)."""
+    o = load_table(spark, sf_dir, "orders")
+    seg = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("grp_cnt"), dsum("o_totalprice").alias("grp_total")
+    )
+    return o.join(seg, ["o_orderstatus", "o_orderpriority"]).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "grp_cnt", "grp_total"
+    )
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+WITH bands(band, lo, hi) AS (
+  VALUES ('small', 0.0, 100000.0), ('mid', 100000.0, 300000.0), ('large', 300000.0, 1000000.0)
+)
+SELECT o.o_orderkey, o.o_totalprice, b.band
+FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+""",
+    tags=("join",),
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range-band) join — broadcast nested-loop against a tiny
+    banding table. For large-×-large range joins, bucket both sides to turn
+    the theta join into an equi join on the bucket id."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 100000.0), ("mid", 100000.0, 300000.0), ("large", 300000.0, 1000000.0)],
+        "band string, lo double, hi double",
+    )
+    cond = (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi)
+    return o.join(broadcast(bands), cond).select("o_orderkey", "o_totalprice", "band")
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+WITH views AS (
+  SELECT user_id, ts, MAX(value) AS view_value
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.purchase_ts, p.purchase_value,
+       v.ts AS view_ts, v.view_value
+FROM purchases p
+ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND p.purchase_ts >= v.ts
+""",
+    bench=True,
+    tags=("join", "asof"),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent earlier
+    (or simultaneous) view. Custom operator — see operators/asof.py.
+    Validated against DuckDB's native ASOF LEFT JOIN."""
+    e = load_table(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))  # dedupe equal-ts ties deterministically
+        .withColumnRenamed("ts", "view_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        purchases,
+        views,
+        by=["user_id"],
+        left_on="purchase_ts",
+        right_on="view_ts",
+        right_values=["view_value"],
+    )
