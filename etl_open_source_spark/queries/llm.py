@@ -1,0 +1,345 @@
+"""LLM-data-pipeline queries (driver mandate, BASELINE.json:6): dedup
+(exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding), similarity
+search (brute-force + IVF ANN), text analysis (stats, TF, language ID,
+quality, tokens, fingerprints), multimodal metadata.
+
+Backed by the operator library in operators/{dedup,similarity,text,
+multimodal}.py. Probabilistic/hash-seeded operators are rows-only for the
+driver; their invariants (planted-duplicate recall, candidate precision,
+ANN recall floor) are pinned by tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_open_source_spark.catalog import load_table
+from etl_open_source_spark.operators import dedup as D
+from etl_open_source_spark.operators import multimodal as M
+from etl_open_source_spark.operators import similarity as S
+from etl_open_source_spark.operators import text as T
+from etl_open_source_spark.registry import query
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return _DOT.format(a=a, b=b)
+
+
+# --------------------------------------------------------------- dedup
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+SELECT doc_id, MD5(text) AS text_md5, lang, source
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+    bench=True,
+    tags=("llm", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on text, keeping the lowest doc_id (deterministic —
+    dropDuplicates keeps an arbitrary row; this keeps a defined one)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(d, ["text"], "doc_id").select(
+        "doc_id", F.md5("text").alias("text_md5"), "lang", "source"
+    )
+
+
+@query(
+    "q_dedup_ngram",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM w CROSS JOIN GENERATE_SERIES(1, 128) AS t(i)
+  WHERE i <= LEN(ws) - 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.doc_id
+JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+""",
+    bench=True,
+    tags=("llm", "dedup"),
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5) via
+    inverted-index self-join — the exact baseline for the LSH variants.
+    (Oracle shingles via a bounded 1..128 series: fixture docs are ≤100
+    words; the engine itself has no such bound.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@query("q_dedup_near", oracle=None, bench=True, tags=("llm", "dedup", "approx"))
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands × 4) near-dup, exact-Jaccard-verified
+    candidates — the sub-quadratic 100 TB dedup path. Rows-only for the
+    driver (hash-seeded); tests pin candidate recall vs q_dedup_ngram."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.5
+    )
+
+
+@query("q_dedup_simhash", oracle=None, tags=("llm", "dedup", "approx"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup: pairs at hamming distance <= 4 (banded 4×16
+    candidate join + exact hamming verify)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, "doc_id", "text", max_hamming=4)
+
+
+@query("q_dedup_embedding", oracle=None, tags=("llm", "dedup", "approx"))
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sim >= 0.98) via sign-LSH banding +
+    exact verify."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(e, threshold=0.98)
+
+
+# ---------------------------------------------------------- similarity
+
+
+_SIM_EXPR = (
+    "ROUND(" + _sql_dot("qv", "cv") + " / "
+    "(SQRT(" + _sql_dot("qv", "qv") + ") * SQRT(" + _sql_dot("cv", "cv") + ")), 6)"
+)
+
+
+@query(
+    "q_sim_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 50),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_SIM_EXPR} AS sim
+  FROM q CROSS JOIN c
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, sim, rnk FROM (
+  SELECT query_id, neighbor_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+""",
+    bench=True,
+    tags=("llm", "similarity"),
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 50 vectors against the whole
+    corpus. Similarity rounded to 6dp pre-ranking (with id tiebreak) so the
+    ordering is engine-stable; the oracle reproduces Spark's left-to-right
+    dot-product fold via DuckDB list_reduce — bit-identical doubles."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 50)
+    return S.brute_force_topk(queries, e, k=5).withColumnRenamed("rank", "rnk")
+
+
+@query("q_sim_ann", oracle=None, tags=("llm", "similarity", "approx"))
+def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: 16 centroid buckets, probe 2 — per-query cost drops
+    to ~1/8 of brute force. Rows-only; recall floor pinned in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = S.sample_centroids(e, n=16)
+    queries = e.filter(F.col("vec_id") < 50)
+    return S.ivf_topk(queries, e, centroids, k=5, nprobe=2).withColumnRenamed("rank", "rnk")
+
+
+# ----------------------------------------------------------- text ops
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LEN(STRING_SPLIT(lower(text), ' '))) AS BIGINT) AS sum_tokens,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("llm", "text"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per language: docs, token totals, char totals."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.lower("text"), " "))).cast("bigint").alias("sum_tokens"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+            (F.sum(F.length("text")).cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_text_tf",
+    oracle="""
+SELECT term, COUNT(*) AS cnt
+FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term FROM documents)
+GROUP BY term
+ORDER BY cnt DESC, term
+LIMIT 50
+""",
+    tags=("llm", "text"),
+)
+def q_text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 terms by frequency (explode → count — the map-side-combined
+    word count)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(50)
+    )
+
+
+def _sql_hits(lang_words: list[str]) -> str:
+    arr = ", ".join(f"'{w}'" for w in lang_words)
+    return (
+        f"CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), "
+        f"x -> LIST_CONTAINS([{arr}], x))) AS BIGINT)"
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         {_sql_hits(T.STOPWORDS['de'])} AS hits_de,
+         {_sql_hits(T.STOPWORDS['en'])} AS hits_en,
+         {_sql_hits(T.STOPWORDS['es'])} AS hits_es,
+         {_sql_hits(T.STOPWORDS['fr'])} AS hits_fr,
+         {_sql_hits(T.STOPWORDS['zh'])} AS hits_zh
+  FROM documents
+)
+SELECT doc_id, hits_en, hits_fr, hits_de, hits_es, hits_zh,
+       CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_zh) = 0 THEN 'und'
+            WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'de'
+            WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'en'
+            WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'es'
+            WHEN hits_fr = GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'fr'
+            ELSE 'zh' END AS predicted_lang
+FROM h
+""",
+    tags=("llm", "text"),
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (argmax of per-language hit counts,
+    deterministic lang-code tiebreak)."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.lang_scores(d, "doc_id", "text")
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_c,
+       CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS BIGINT) AS n_tokens,
+       ROUND((LENGTH(text) - (LEN(STRING_SPLIT(LOWER(text), ' ')) - 1)) * 1.0 / LEN(STRING_SPLIT(LOWER(text), ' ')), 6) AS avg_token_len,
+       CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+       ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))) * 1.0 / LENGTH(text), 6) AS punct_ratio,
+       CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LIST_CONTAINS(['the','of','and','to','in','is','for','with','on','by'], x))) AS BIGINT) AS en_stopwords,
+       ROUND(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LIST_CONTAINS(['the','of','and','to','in','is','for','with','on','by'], x))) * 1.0 / LEN(STRING_SPLIT(LOWER(text), ' ')), 6) AS stopword_ratio,
+       ROUND(
+         (CASE WHEN LEN(STRING_SPLIT(LOWER(text), ' ')) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))) * 1.0 / LENGTH(text) < 0.2 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN (LENGTH(text) - (LEN(STRING_SPLIT(LOWER(text), ' ')) - 1)) * 1.0 / LEN(STRING_SPLIT(LOWER(text), ' ')) BETWEEN 2 AND 12 THEN 0.3 ELSE 0.0 END)
+       , 2) AS quality_score
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality features + composite score — the cheap
+    pre-filter stage of a training-data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.quality_features(d, "doc_id", "text")
+
+
+@query(
+    "q_text_tokens",
+    oracle=r"""
+SELECT doc_id,
+       CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS BIGINT) AS ws_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_tokens,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_c,
+       ROUND(LENGTH(text) * 1.0 / LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')), 6) AS chars_per_token
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.token_counts(d, "doc_id", "text")
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+WITH w AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id, MD5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) AS h
+  FROM w CROSS JOIN GENERATE_SERIES(1, 128) AS t(i)
+  WHERE i <= LEN(ws) - 4
+)
+SELECT doc_id, MIN(h) AS fingerprint FROM sh GROUP BY doc_id
+""",
+    tags=("llm", "text"),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-md5 over word-5-shingles (1-perm MinHash)."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.fingerprints(d, "doc_id", "text", n=5)
+
+
+# ---------------------------------------------------------- multimodal
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+SELECT doc_id AS id,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       MD5(text) AS content_md5
+FROM documents
+""",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end-to-end: text → binary payload →
+    Arrow-batched mapInPandas metadata extraction (bytes + md5). The Python
+    hop is real (one crossing per Arrow batch); the oracle verifies the
+    round-trip byte-exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    binary = M.with_binary_column(d, "doc_id", "text")
+    return M.extract_binary_metadata(binary)

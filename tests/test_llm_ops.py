@@ -1,0 +1,106 @@
+"""Invariant tests for the probabilistic LLM operators (rows-only in the
+driver's check): planted-duplicate recall, candidate precision, ANN recall.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_open_source_spark.catalog import load_table
+from etl_open_source_spark.operators import dedup as D
+from etl_open_source_spark.operators import multimodal as M
+from etl_open_source_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_minhash_matches_exact_ngram(spark, sf_dir, docs):
+    """LSH(16×4) must recover the planted near-dups (Jaccard >= 0.8 →
+    P(candidate) ≈ 0.9998) and, being verify-filtered, may never emit a
+    pair below the threshold (no false positives)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    lsh_rows = D.minhash_lsh_pairs(docs, "doc_id", "text", 3, 64, 16, 0.5).collect()
+    lsh = {(r.id_a, r.id_b) for r in lsh_rows}
+    assert lsh <= exact, f"false positives: {lsh - exact}"
+    strong = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8).collect()
+    }
+    missed = strong - lsh
+    assert len(missed) <= max(1, len(strong) // 10), f"LSH missed strong dups: {missed}"
+
+
+def test_ngram_jaccard_planted_dups_found(docs):
+    """The fixture corpus plants near-duplicates; the exact 3-gram pass
+    must find some, and a disjoint corpus (distinct sources as proxies)
+    must not collapse into one blob."""
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    n_docs = docs.count()
+    assert 0 < len(pairs) < n_docs  # found dups, didn't collapse the corpus
+    for r in pairs:
+        assert 0.5 <= r.jaccard <= 1.0
+
+
+def test_exact_dedup_deterministic_keep_lowest(docs):
+    doubled = docs.unionByName(docs)
+    kept = D.exact_dedup(doubled, ["text"], "doc_id")
+    assert kept.count() == docs.select("text").distinct().count()
+
+
+def test_simhash_self_similarity(spark, docs):
+    """A doc duplicated verbatim has hamming distance 0 to itself — inject
+    copies with shifted ids and require simhash to pair them up."""
+    from pyspark.sql import functions as F
+
+    base = docs.limit(20).select("doc_id", "text")
+    copies = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    pairs = D.simhash_pairs(base.unionByName(copies), "doc_id", "text", max_hamming=0)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expected = {(r.doc_id, r.doc_id + 1_000_000) for r in base.collect()}
+    assert expected <= found
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    """IVF(16 buckets, probe 2) recall@5 vs brute force must clear a loose
+    floor — the point is the mechanics (bucketing, probing) are sound."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(e.vec_id < 20)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(q, e, k=5).collect()
+    }
+    cents = S.sample_centroids(e, n=16)
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(q, e, cents, k=5, nprobe=2).collect()
+    }
+    recall = len(brute & ann) / len(brute)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_embedding_near_dup_self_pairs(spark, sf_dir):
+    """Duplicated vectors (sim == 1.0) must be caught by sign-LSH."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings").limit(50)
+    copies = e.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    pairs = S.embedding_near_dup_pairs(e.unionByName(copies), threshold=0.999)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expected = {(r.vec_id, r.vec_id + 1_000_000) for r in e.select("vec_id").collect()}
+    assert expected <= found
+
+
+def test_multimodal_decode_stub_and_fake(spark, docs):
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG...")
+    binary = M.with_binary_column(docs.limit(10), "doc_id", "text")
+    feats = M.extract_image_features(binary).collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert r.width >= 64 and r.height >= 64 and r.n_frames == 1
