@@ -1,0 +1,145 @@
+"""Pipeline runner — the engine analog of the reference's EtlEngine
+(reference core/engine.py:28-96): sort steps by order, thread ONE dataset
+through extract → transform → load, record running/success/error history.
+
+Differences by design: the dataset is a lazy distributed DataFrame (nothing
+materializes until the load action); history is an append-only parquet log
+(reference uses SQLite rows, storage/repository.py:336-364); transforms are
+Spark SQL / DataFrame expressions instead of the reference's stubbed pandas
+/ python hooks.
+"""
+
+from __future__ import annotations
+
+import time
+import traceback
+import uuid
+from collections.abc import Callable
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_open_source_spark.plans.models import PipelineSpec, Step, StepType
+from etl_open_source_spark.plans.sanitize import sanitize_nulls
+from etl_open_source_spark.sources.readers import read_csv, read_json, read_parquet
+from etl_open_source_spark.sources.writers import write_csv, write_json, write_parquet
+
+HISTORY_SCHEMA = (
+    "run_id string, task_id string, started_at timestamp, finished_at timestamp, "
+    "status string, message string"
+)
+
+
+class PipelineRunner:
+    """Executes PipelineSpecs; keeps a run-history parquet log."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        history_path: str | None = None,
+        python_transforms: dict[str, Callable[[DataFrame], DataFrame]] | None = None,
+    ):
+        self.spark = spark
+        self.history_path = history_path
+        # registered named python transforms — the safe version of the
+        # reference's arbitrary custom-code step (core/engine.py:155-158)
+        self.python_transforms = python_transforms or {}
+
+    # ------------------------------------------------------------ history
+
+    def _log(self, run_id: str, task_id: str, started_at, finished_at, status: str, message: str):
+        if not self.history_path:
+            return
+        row = [(run_id, task_id, started_at, finished_at, status, message)]
+        self.spark.createDataFrame(row, HISTORY_SCHEMA).write.mode("append").parquet(
+            self.history_path
+        )
+
+    def history(self) -> DataFrame:
+        return self.spark.read.parquet(self.history_path)
+
+    # --------------------------------------------------------------- run
+
+    def run(self, spec: PipelineSpec) -> DataFrame | None:
+        """Run all steps in order; returns the final DataFrame (the
+        reference's LOAD passthrough semantics, core/engine.py:92-93, so
+        steps keep chaining after a load)."""
+        run_id = uuid.uuid4().hex
+        started = datetime.now(timezone.utc).replace(tzinfo=None)
+        self._log(run_id, spec.id, started, None, "running", "")
+        data: DataFrame | None = None
+        try:
+            for step in spec.ordered_steps():
+                data = self._execute_step(spec, step, data)
+            finished = datetime.now(timezone.utc).replace(tzinfo=None)
+            self._log(run_id, spec.id, started, finished, "success", "")
+            return data
+        except Exception as ex:  # noqa: BLE001 — recorded then re-raised, like the reference
+            finished = datetime.now(timezone.utc).replace(tzinfo=None)
+            self._log(run_id, spec.id, started, finished, "error", f"{ex}\n{traceback.format_exc()[-2000:]}")
+            raise
+
+    # ------------------------------------------------------------- steps
+
+    def _execute_step(self, spec: PipelineSpec, step: Step, data: DataFrame | None) -> DataFrame:
+        if step.step_type == StepType.EXTRACT:
+            return self._extract(spec, step)
+        if step.step_type == StepType.TRANSFORM:
+            if data is None:
+                raise ValueError(f"transform step {step.name!r} has no input")
+            return self._transform(step, data)
+        if step.step_type == StepType.LOAD:
+            if data is None:
+                raise ValueError(f"load step {step.name!r} has no input")
+            self._load(step, data)
+            return data  # passthrough, steps keep chaining
+        raise ValueError(f"unknown step type: {step.step_type}")
+
+    def _extract(self, spec: PipelineSpec, step: Step) -> DataFrame:
+        cfg = step.config
+        if "query" in cfg:
+            # the reference's core capability: arbitrary SQL pushed to the
+            # source engine (core/extractors/sqlserver.py:46-55). Our source
+            # engine IS Spark SQL over the registered catalog.
+            return self.spark.sql(cfg["query"])
+        conn = spec.connection(step.connection_id)
+        fmt = (conn.type if conn else cfg.get("format", "parquet")).lower()
+        path = cfg.get("table") or cfg.get("path")
+        opts = dict(conn.params) if conn else {}
+        if fmt == "parquet":
+            return read_parquet(self.spark, path)
+        if fmt == "csv":
+            return read_csv(self.spark, path, schema=opts.get("schema") or cfg.get("schema"))
+        if fmt == "json":
+            return read_json(self.spark, path, schema=opts.get("schema") or cfg.get("schema"))
+        raise ValueError(f"unsupported extract format: {fmt}")
+
+    def _transform(self, step: Step, data: DataFrame) -> DataFrame:
+        cfg = step.config
+        kind = cfg.get("type", "sql")
+        if kind == "sql":
+            # dataset addressable as `input` inside the SQL
+            data.createOrReplaceTempView("input")
+            return self.spark.sql(cfg["sql"])
+        if kind == "sanitize":
+            return sanitize_nulls(data)
+        if kind == "python":
+            fn = self.python_transforms.get(cfg["fn"])
+            if fn is None:
+                raise ValueError(f"unknown python transform: {cfg['fn']!r}")
+            return data.transform(fn)
+        raise ValueError(f"unsupported transform type: {kind}")
+
+    def _load(self, step: Step, data: DataFrame) -> None:
+        cfg = step.config
+        fmt = cfg.get("format", "parquet").lower()
+        mode = cfg.get("mode", "append")
+        path = cfg["path"]
+        if fmt == "parquet":
+            write_parquet(data, path, mode=mode, partition_by=cfg.get("partition_by"))
+        elif fmt == "csv":
+            write_csv(data, path, mode=mode)
+        elif fmt == "json":
+            write_json(data, path, mode=mode)
+        else:
+            raise ValueError(f"unsupported load format: {fmt}")

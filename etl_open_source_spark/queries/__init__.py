@@ -18,6 +18,7 @@ _MODULES = [
     "stream_windows",
     "llm",
     "udfs",
+    "catalog_q",
 ]
 
 _loaded = False

@@ -1,0 +1,73 @@
+"""Streaming transformations — the same declarative expressions as the
+batch queries (queries/stream_windows.py), applied to unbounded inputs.
+
+Design for scale: every stateful op here carries a watermark so state is
+bounded (without one, a windowed agg or dedup accumulates state forever —
+the classic streaming OOM). File-source tests drive these end-to-end in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def file_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str = EVENTS_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """JSON-lines file source — each new file becomes (part of) a
+    micro-batch; the unit-testable stand-in for Kafka/Kinesis."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
+
+
+def tumbling_agg(df: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling 1 h windows with a watermark: late events beyond the
+    watermark are dropped; closed windows' state is evicted."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def session_agg(df: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Session windows (gap-based) per user — merging-window state, bounded
+    by the watermark."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(df: DataFrame, keys: list[str], watermark: str = "10 minutes") -> DataFrame:
+    """Exact dedup on ``keys`` with bounded state: duplicates arriving
+    within the watermark horizon are dropped; state for older keys is
+    evicted (duplicates later than the watermark would pass — the standard
+    bounded-state trade)."""
+    return df.withWatermark("ts", watermark).dropDuplicates(keys)

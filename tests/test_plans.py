@@ -1,0 +1,183 @@
+"""Pipeline-spec layer tests: spec round-trip, cron parity with the
+reference's parser cases, runner end-to-end with history, scheduler ticks,
+sanitize semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from datetime import datetime
+
+import pytest
+
+from etl_open_source_spark.plans.cron import next_run_from_cron
+from etl_open_source_spark.plans.models import ConnectionConfig, PipelineSpec, Step, StepType
+from etl_open_source_spark.plans.runner import PipelineRunner
+from etl_open_source_spark.plans.scheduler import Scheduler
+from etl_open_source_spark.plans.sanitize import sanitize_nulls
+
+
+# ---------------------------------------------------------------- cron
+# Cases mirror reference scheduler/cron_parser.py:4-42 semantics.
+
+
+def test_cron_every_minute():
+    now = datetime(2026, 1, 1, 10, 30, 45)
+    assert next_run_from_cron("* * * * *", now) == datetime(2026, 1, 1, 10, 31)
+
+
+def test_cron_every_n_minutes():
+    now = datetime(2026, 1, 1, 10, 31)
+    assert next_run_from_cron("*/15 * * * *", now) == datetime(2026, 1, 1, 10, 45)
+    now = datetime(2026, 1, 1, 10, 45)
+    assert next_run_from_cron("*/15 * * * *", now) == datetime(2026, 1, 1, 11, 0)
+
+
+def test_cron_fixed_minute_hourly():
+    now = datetime(2026, 1, 1, 10, 31)
+    assert next_run_from_cron("30 * * * *", now) == datetime(2026, 1, 1, 11, 30)
+    now = datetime(2026, 1, 1, 10, 29)
+    assert next_run_from_cron("30 * * * *", now) == datetime(2026, 1, 1, 10, 30)
+
+
+def test_cron_daily_extension():
+    now = datetime(2026, 1, 1, 10, 31)
+    assert next_run_from_cron("0 9 * * *", now) == datetime(2026, 1, 2, 9, 0)
+
+
+def test_cron_unsupported_raises():
+    with pytest.raises(NotImplementedError):
+        next_run_from_cron("0 9 1 * *", datetime(2026, 1, 1))
+    with pytest.raises(ValueError):
+        next_run_from_cron("bogus", datetime(2026, 1, 1))
+
+
+# ---------------------------------------------------------------- spec
+
+
+def _spec(sf_dir: str, out_dir: str) -> PipelineSpec:
+    return PipelineSpec(
+        id="t1",
+        name="orders_rollup",
+        cron="*/5 * * * *",
+        connections=[ConnectionConfig(id="src", name="fixtures", type="parquet")],
+        steps=[
+            Step(
+                id="s1",
+                name="extract",
+                step_type=StepType.EXTRACT,
+                order=1,
+                connection_id="src",
+                config={"table": f"{sf_dir}/orders.parquet"},
+            ),
+            Step(
+                id="s2",
+                name="transform",
+                step_type=StepType.TRANSFORM,
+                order=2,
+                config={
+                    "type": "sql",
+                    "sql": "SELECT o_orderstatus, COUNT(*) AS cnt FROM input GROUP BY o_orderstatus",
+                },
+            ),
+            Step(
+                id="s3",
+                name="load",
+                step_type=StepType.LOAD,
+                order=3,
+                config={"path": f"{out_dir}/rollup", "mode": "replace"},
+            ),
+        ],
+    )
+
+
+def test_spec_json_roundtrip(sf_dir):
+    spec = _spec(sf_dir, "/tmp/x")
+    loaded = PipelineSpec.from_json(spec.to_json())
+    assert loaded == spec
+
+
+def test_runner_end_to_end_with_history(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="etl_runner_")
+    runner = PipelineRunner(spark, history_path=f"{out}/history")
+    spec = _spec(sf_dir, out)
+    runner.run(spec)
+    result = spark.read.parquet(f"{out}/rollup")
+    assert result.count() == 3  # F, P, O
+    hist = runner.history().orderBy("started_at").collect()
+    statuses = [r.status for r in hist]
+    assert "running" in statuses and "success" in statuses
+    assert all(r.task_id == "t1" for r in hist)
+
+
+def test_runner_error_recorded_and_reraised(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="etl_runner_err_")
+    runner = PipelineRunner(spark, history_path=f"{out}/history")
+    spec = _spec(sf_dir, out)
+    spec.steps[1].config["sql"] = "SELECT bogus_column FROM input"
+    with pytest.raises(Exception):
+        runner.run(spec)
+    statuses = {r.status for r in runner.history().collect()}
+    assert "error" in statuses
+
+
+def test_runner_python_transform(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="etl_runner_py_")
+    runner = PipelineRunner(
+        spark,
+        python_transforms={"only_f": lambda df: df.filter(df.o_orderstatus == "F")},
+    )
+    spec = _spec(sf_dir, out)
+    spec.steps[1] = Step(
+        id="s2", name="py", step_type=StepType.TRANSFORM, order=2,
+        config={"type": "python", "fn": "only_f"},
+    )
+    result = runner.run(spec)
+    assert result.select("o_orderstatus").distinct().collect()[0][0] == "F"
+
+
+# ------------------------------------------------------------ scheduler
+
+
+def test_scheduler_first_sighting_only_schedules(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="etl_sched_")
+    runner = PipelineRunner(spark)
+    spec = _spec(sf_dir, out)
+    sched = Scheduler(runner, [spec], check_interval_seconds=3600)
+    t0 = datetime(2026, 1, 1, 10, 0, 10)
+    assert sched.poll_once(t0) == []  # first sighting: schedule only
+    assert sched.next_runs["t1"] == datetime(2026, 1, 1, 10, 5)
+    assert sched.poll_once(datetime(2026, 1, 1, 10, 4)) == []
+    fired = sched.poll_once(datetime(2026, 1, 1, 10, 5, 1))
+    assert fired == ["t1"]
+    assert sched.next_runs["t1"] == datetime(2026, 1, 1, 10, 10)
+
+
+def test_scheduler_disabled_never_fires(spark, sf_dir):
+    spec = _spec(sf_dir, "/tmp/x")
+    spec.enabled = False
+    sched = Scheduler(PipelineRunner(spark), [spec])
+    assert sched.poll_once(datetime(2026, 1, 1)) == []
+    assert sched.poll_once(datetime(2027, 1, 1)) == []
+
+
+# -------------------------------------------------------------- sanitize
+
+
+def test_sanitize_semantics(spark):
+    from datetime import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (1, None, None, None),
+            (2, "ok", dt(2024, 5, 6, 7, 8, 9, 123456), 2.5),
+        ],
+        "id int, s string, ts timestamp, x double",
+    )
+    out = {r.id: r for r in sanitize_nulls(df).collect()}
+    assert out[1].s == ""  # string NULL → ''
+    assert out[1].ts == dt(1900, 1, 1)  # timestamp NULL → sentinel
+    assert out[1].x is None  # numeric NULL kept (documented divergence)
+    assert out[2].ts == dt(2024, 5, 6, 7, 8, 9)  # truncated to seconds
+    assert out[2].s == "ok" and out[2].x == 2.5

@@ -1,0 +1,156 @@
+"""True Structured Streaming engine tests: file source → watermarked
+windowed aggs / dedup → memory sink, driven deterministically with
+processAllAvailable between file drops.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+
+from etl_open_source_spark.streaming.windows import (
+    file_event_stream,
+    session_agg,
+    streaming_dedup,
+    tumbling_agg,
+)
+
+
+def _write_events(path: str, rows: list[dict], name: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _ev(i, ts, user=1, etype="view", value=1.0):
+    return {
+        "event_id": i,
+        "ts": ts,
+        "user_id": user,
+        "event_type": etype,
+        "value": value,
+        "props": "{}",
+    }
+
+
+@pytest.fixture()
+def stream_env(spark):
+    root = tempfile.mkdtemp(prefix="stream_test_")
+    src = os.path.join(root, "in")
+    os.makedirs(src)
+    ckpts = []
+
+    def start(df, output_mode, table):
+        ckpt = os.path.join(root, f"ckpt_{uuid.uuid4().hex}")
+        ckpts.append(ckpt)
+        return (
+            df.writeStream.format("memory")
+            .queryName(table)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    yield src, start, spark
+    for q in spark.streams.active:
+        q.stop()
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_tumbling_matches_batch(spark, stream_env):
+    src, start, _ = stream_env
+    rows = [
+        _ev(1, "2024-01-01 00:05:00", etype="view"),
+        _ev(2, "2024-01-01 00:45:00", etype="view"),
+        _ev(3, "2024-01-01 01:05:00", etype="click", value=2.0),
+    ]
+    _write_events(src, rows, "a.json")
+    q = start(tumbling_agg(file_event_stream(spark, src)), "append", "tumbling_out")
+    q.processAllAvailable()
+    # append mode emits only watermark-closed windows; advance event time far
+    _write_events(src, [_ev(4, "2024-01-01 05:00:00")], "b.json")
+    q.processAllAvailable()
+    q.stop()
+    out = {
+        (str(r.window_start), r.event_type): (r.cnt, r.sum_value)
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    assert out[("2024-01-01 00:00:00", "view")] == (2, 2.0)
+    assert out[("2024-01-01 01:00:00", "click")] == (1, 2.0)
+
+
+def test_streaming_late_data_dropped(spark, stream_env):
+    """An event older than the watermark horizon must not resurrect or
+    alter an already-closed window."""
+    src, start, _ = stream_env
+    _write_events(src, [_ev(1, "2024-01-01 00:05:00")], "a.json")
+    q = start(tumbling_agg(file_event_stream(spark, src), watermark="10 minutes"), "append", "late_out")
+    q.processAllAvailable()
+    # advance watermark far beyond hour 0, closing its window
+    _write_events(src, [_ev(2, "2024-01-01 03:00:00")], "b.json")
+    q.processAllAvailable()
+    # now a VERY late event for hour 0 arrives — beyond watermark → dropped
+    _write_events(src, [_ev(3, "2024-01-01 00:06:00")], "c.json")
+    q.processAllAvailable()
+    _write_events(src, [_ev(4, "2024-01-01 06:00:00")], "d.json")
+    q.processAllAvailable()
+    q.stop()
+    hour0 = [
+        r
+        for r in spark.sql("SELECT * FROM late_out").collect()
+        if str(r.window_start) == "2024-01-01 00:00:00"
+    ]
+    assert len(hour0) == 1 and hour0[0].cnt == 1  # late event 3 did NOT count
+
+
+def test_streaming_dedup_bounded_state(spark, stream_env):
+    src, start, _ = stream_env
+    _write_events(
+        src,
+        [_ev(1, "2024-01-01 00:00:00"), _ev(1, "2024-01-01 00:01:00"), _ev(2, "2024-01-01 00:02:00")],
+        "a.json",
+    )
+    q = start(
+        streaming_dedup(file_event_stream(spark, src), ["event_id"]), "append", "dedup_out"
+    )
+    q.processAllAvailable()
+    # same key again within the same batch window → still deduped
+    _write_events(src, [_ev(2, "2024-01-01 00:03:00"), _ev(3, "2024-01-01 00:04:00")], "b.json")
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert ids == [1, 2, 3]
+
+
+def test_streaming_session_window_append_mode(spark, stream_env):
+    """Session windows only support append output: sessions emit once the
+    watermark passes their close."""
+    src, start, _ = stream_env
+    _write_events(
+        src,
+        [
+            _ev(1, "2024-01-01 00:00:00", user=7),
+            _ev(2, "2024-01-01 00:10:00", user=7),  # same session (gap < 30m)
+            _ev(3, "2024-01-01 02:00:00", user=7),  # new session
+        ],
+        "a.json",
+    )
+    q = start(session_agg(file_event_stream(spark, src)), "append", "session_out")
+    q.processAllAvailable()
+    # advance event time so the watermark closes both sessions
+    _write_events(src, [_ev(4, "2024-01-01 09:00:00", user=8)], "b.json")
+    q.processAllAvailable()
+    q.stop()
+    finals = {
+        str(r.session_start): r
+        for r in spark.sql("SELECT * FROM session_out WHERE user_id = 7").collect()
+    }
+    assert finals["2024-01-01 00:00:00"].n_events == 2
+    assert str(finals["2024-01-01 00:00:00"].session_end) == "2024-01-01 00:40:00"
+    assert finals["2024-01-01 02:00:00"].n_events == 1
