@@ -44,12 +44,13 @@ def word_shingles(
     inverted-index join (a shingle in 1M docs creates 10^12 join rows);
     pairs sharing ONLY ultra-common shingles are then missed, by design."""
     words = F.split(F.lower(F.col(text_col)), " ")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
+    # direct ws[i] indexing codegens ~6x faster than slice()-per-shingle
+    # (no sub-array allocation per element)
+    terms = " , ' ', ".join(f"__ws[i+{j}]" for j in range(n))
+    sh = F.expr(f"transform(sequence(0, size(__ws) - {n}), i -> concat({terms}))")
     out = (
-        df.filter(F.size(words) >= n)
+        df.withColumn("__ws", words)
+        .filter(F.size("__ws") >= n)
         .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
     )
     if max_doc_freq is not None:
@@ -98,29 +99,64 @@ def ngram_jaccard_pairs(
     """All pairs with word-n-gram Jaccard >= threshold, computed exactly via
     an inverted-index self-join (shingle → docs). The exact baseline the
     probabilistic methods are judged against."""
-    sh = word_shingles(df, id_col, text_col, n, max_doc_freq)
+    sh = word_shingles(df, id_col, text_col, n, max_doc_freq).persist()
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
-    pairs = (
+    # intersection counts directly from the inverted-index join — no
+    # intermediate distinct-pairs materialization + re-join
+    inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return _jaccard_on_pairs(pairs, sh).filter(F.col("jaccard") >= threshold)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .select("id_a", "id_b", "jaccard")
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------- MinHash+LSH
 
 
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _affine_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the universal family
+    h_i(x) = (a_i·x + b_i) mod (2^31-1): a_i ∈ [1,p), b_i ∈ [0,p).
+    Products stay < 2^62 — no long overflow under ANSI mode."""
+    consts = []
+    s = 0x9E3779B9
+    for _ in range(num_hashes):
+        s = (s * 1103515245 + 12345) & 0x7FFFFFFF
+        a = (s % (_MERSENNE_31 - 1)) + 1
+        s = (s * 1103515245 + 12345) & 0x7FFFFFFF
+        b = s % _MERSENNE_31
+        consts.append((a, b))
+    return consts
+
+
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 64) -> DataFrame:
-    """(id, h0..h{n-1}): min of seeded xxhash64 over the doc's shingle set.
-    One shuffle; signature size is constant regardless of doc length."""
+    """(id, h0..h{n-1}): elementwise min over the doc's shingle set of the
+    universal family h_i(x) = (a_i·x + b_i) mod p — ONE string hash per
+    shingle (xxhash64 folded into [0,p)), then 64 cheap long affine
+    transforms (the standard MinHash trick; 64 independent string hashes
+    would cost 64× the CPU). One shuffle; signature size constant
+    regardless of doc length."""
+    p = F.lit(_MERSENNE_31)
+    # hash once per row into a column — 64 agg exprs each re-evaluating
+    # xxhash64(shingle) would not be CSE'd across aggregates
+    hashed = shingles.withColumn("__hb", F.pmod(F.xxhash64(F.col("shingle")), p))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(F.pmod(F.col("__hb") * F.lit(a) + F.lit(b), p)).alias(f"h{i}")
+        for i, (a, b) in enumerate(_affine_constants(num_hashes))
     ]
-    return shingles.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -142,7 +178,8 @@ def minhash_lsh_pairs(
     touches only candidate pairs.
     """
     rows = num_hashes // bands
-    sh = word_shingles(df, id_col, text_col, n, max_doc_freq)
+    # persisted: reused by signatures AND candidate verification
+    sh = word_shingles(df, id_col, text_col, n, max_doc_freq).persist()
     sig = minhash_signatures(sh, num_hashes)
     band_keys = F.array(
         *[

@@ -75,17 +75,21 @@ SELECT l_orderkey, l_linenumber,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_qty,
        CAST(COUNT(*) OVER w AS BIGINT) AS running_cnt
 FROM lineitem
-WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_extendedprice
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
     tags=("window",),
 )
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running (cumulative) aggregate with an explicit ROWS frame."""
+    """Running (cumulative) aggregate with an explicit ROWS frame.
+
+    (l_orderkey, l_linenumber) is NOT unique in the fixtures, so the sort
+    carries value tiebreaks — rows tying on all sort keys then produce an
+    identical output multiset under any physical order."""
     l = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber")
+        .orderBy("l_linenumber", "l_quantity", "l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return l.select(
