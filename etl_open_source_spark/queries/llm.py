@@ -110,10 +110,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_dedup_embedding", oracle=None, tags=("llm", "dedup", "approx"))
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (sim >= 0.98) via sign-LSH banding +
-    exact verify."""
+    """Embedding-cosine high-similarity pairs via sign-LSH banding + exact
+    verify. The fixture corpus plants no true embedding dups (max pairwise
+    cosine ≈ 0.51), so the threshold is 0.45 to exercise the path end-to-end;
+    production near-dup would use ~0.98 (tests/test_llm_ops.py pins that
+    planted duplicates at sim≈1.0 are always caught)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup_pairs(e, threshold=0.98)
+    return S.embedding_near_dup_pairs(e, threshold=0.45)
 
 
 # ---------------------------------------------------------- similarity
@@ -162,6 +165,47 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = S.sample_centroids(e, n=16)
     queries = e.filter(F.col("vec_id") < 50)
     return S.ivf_topk(queries, e, centroids, k=5, nprobe=2).withColumnRenamed("rank", "rnk")
+
+
+@query(
+    "q_vector_agg",
+    oracle="""
+SELECT label,
+       CAST(s.i - 1 AS BIGINT) AS pos,
+       COUNT(*) AS n_vecs,
+       ROUND(SUM(CAST(embedding[s.i] AS DECIMAL(18,8))) / COUNT(*), 6) AS mean_val
+FROM embeddings CROSS JOIN GENERATE_SERIES(1, 64) AS s(i)
+GROUP BY label, s.i
+ORDER BY label, pos
+""",
+    tags=("llm", "similarity"),
+)
+def q_vector_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped vector aggregation: per-label centroid (elementwise mean),
+    flattened to (label, pos, mean) rows. posexplode → groupBy is the
+    scalable layout: the shuffle key is (label, pos), so a 10^9-vector
+    corpus spreads across the cluster instead of concentrating per label.
+    Sums run in DECIMAL(18,8): float32 inputs are exact in 8 decimal
+    digits of scale far beyond their precision, and fixed-point addition
+    is order-independent — both engines agree bit-for-bit pre-rounding."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("val").cast("decimal(18,8)")) / F.count(F.lit(1)), 6
+            ).alias("mean_val"),
+        )
+        .select(
+            "label",
+            F.col("pos").cast("bigint").alias("pos"),
+            "n_vecs",
+            "mean_val",
+        )
+        .orderBy("label", "pos")
+    )
 
 
 # ----------------------------------------------------------- text ops

@@ -53,6 +53,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Spark 4.1's checksum checkpoint manager deadlocks committing
+        # HDFSBackedStateStore state for applyInPandasWithState on local
+        # filesystems; plain checkpoint files are fine for our use.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

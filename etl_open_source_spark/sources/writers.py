@@ -43,11 +43,22 @@ def write_json(df: DataFrame, path: str, mode: str = "replace") -> None:
 
 
 def jdbc_write_options(
-    url: str, table: str, mode: str, batchsize: int = 10_000, **extra: str
+    url: str,
+    table: str,
+    mode: str,
+    batchsize: int = 10_000,
+    column_types: dict[str, str] | None = None,
+    **extra: str,
 ) -> tuple[str, dict[str, str]]:
     """Options for a batched JDBC write — replaces the reference's one
     INSERT round-trip per row (core/loaders/sqlserver.py:282-286) with
-    executor-parallel batched inserts. Returns (spark_mode, options)."""
+    executor-parallel batched inserts. Returns (spark_mode, options).
+
+    ``column_types`` maps columns to target DDL types for auto
+    CREATE TABLE — the reference's ensure_table_exists / DDL-generation
+    path (core/loaders/sqlserver.py:83-239, e.g. preserving varchar(n) and
+    decimal(p,s) from a source schema) expressed as Spark's
+    ``createTableColumnTypes`` option."""
     if mode not in VALID_MODES:
         raise ValueError(f"mode must be one of {VALID_MODES}, got {mode!r}")
     spark_mode = "append" if mode == "append" else "overwrite"
@@ -55,8 +66,39 @@ def jdbc_write_options(
     if mode == "replace":
         # DELETE-not-DROP parity: truncate preserves the target's DDL.
         opts["truncate"] = "true"
+    if column_types:
+        opts["createTableColumnTypes"] = ", ".join(
+            f"{c} {t}" for c, t in column_types.items()
+        )
     opts.update(extra)
     return spark_mode, opts
+
+
+# pandas-dtype → SQL DDL fallback map — parity with the reference's
+# dtype mapping table (core/loaders/sqlserver.py:217-239), with the
+# deliberate divergence that int64 stays BIGINT (the reference narrows
+# int64 → INT, SURVEY §1.3).
+SPARK_TO_DDL = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "double": "DOUBLE PRECISION",
+    "float": "REAL",
+    "boolean": "BIT",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "date": "DATE",
+    "string": "VARCHAR(4000)",
+}
+
+
+def ddl_column_types(df: DataFrame) -> dict[str, str]:
+    """Derive the auto-CREATE-TABLE column types from a DataFrame schema
+    (the engine's version of _generate_create_table_sql's fallback branch,
+    core/loaders/sqlserver.py:217-239)."""
+    return {
+        f.name: SPARK_TO_DDL.get(f.dataType.simpleString(), "VARCHAR(4000)")
+        for f in df.schema.fields
+    }
 
 
 def table_exists(spark: SparkSession, name: str) -> bool:

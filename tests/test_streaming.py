@@ -154,3 +154,25 @@ def test_streaming_session_window_append_mode(spark, stream_env):
     assert finals["2024-01-01 00:00:00"].n_events == 2
     assert str(finals["2024-01-01 00:00:00"].session_end) == "2024-01-01 00:40:00"
     assert finals["2024-01-01 02:00:00"].n_events == 1
+
+
+def test_stateful_running_user_totals(spark, stream_env):
+    """applyInPandasWithState: per-user running totals accumulate across
+    micro-batches."""
+    from etl_open_source_spark.streaming.stateful import running_user_totals
+
+    src, start, _ = stream_env
+    _write_events(src, [_ev(1, "2024-01-01 00:00:00", user=1, value=10.0),
+                        _ev(2, "2024-01-01 00:01:00", user=1, value=5.0),
+                        _ev(3, "2024-01-01 00:02:00", user=2, value=1.0)], "a.json")
+    q = start(running_user_totals(file_event_stream(spark, src)), "update", "totals_out")
+    q.processAllAvailable()
+    _write_events(src, [_ev(4, "2024-01-01 00:03:00", user=1, value=2.0)], "b.json")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM totals_out").collect()
+    finals = {}
+    for r in rows:  # update mode: last emission per user wins
+        finals[r.user_id] = (r.cnt, r.total)
+    assert finals[1] == (3, 17.0)
+    assert finals[2] == (1, 1.0)
