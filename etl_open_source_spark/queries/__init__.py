@@ -19,6 +19,7 @@ _MODULES = [
     "llm",
     "udfs",
     "catalog_q",
+    "tpch",
 ]
 
 _loaded = False

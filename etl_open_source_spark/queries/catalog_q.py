@@ -215,6 +215,48 @@ def q_sink_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_parquet(spark, path)
 
 
+@query(
+    "q_merge_upsert",
+    oracle="""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE) AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderstatus = 'P'
+)
+SELECT * FROM updates
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+""",
+    tags=("sink", "merge"),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (operators/merge.py): pending orders get status 'X' and
+    a 10% price bump; everything else survives untouched. Round-trips
+    through a parquet snapshot so the full write path is exercised.
+    (The bump runs in exact decimal, not round(x*1.1, 2): Spark rounds the
+    double's shortest-decimal repr while DuckDB rounds its exact binary
+    value, so half-cent ties split between engines.)"""
+    from etl_open_source_spark.operators.merge import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderstatus") == "P").withColumns(
+        {
+            "o_orderstatus": F.lit("X"),
+            "o_totalprice": (
+                F.col("o_totalprice").cast("decimal(12,2)")
+                * F.lit("1.1").cast("decimal(2,1)")
+            ).cast("double"),
+        }
+    )
+    merged = merge_upsert(o, updates, ["o_orderkey"])
+    path = _tmp(sf_dir, "merge_sink")
+    write_parquet(merged, path, mode="replace")
+    return read_parquet(spark, path)
+
+
 _PUSHDOWN_SQL = f"""
 SELECT c.c_mktsegment,
        n.n_name,
