@@ -24,3 +24,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Alias for property tests (hypothesis wraps tests — keep the session
+    fixture injection explicit and cheap)."""
+    return spark

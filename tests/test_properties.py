@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) for the custom algorithms — the
+operators whose correctness does NOT come free from Catalyst: as-of join,
+merge upsert, cron next-run.
+
+Spark jobs per example are expensive, so examples are kept small and few;
+the properties themselves are exhaustive over the generated space.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_open_source_spark.operators.asof import asof_join
+from etl_open_source_spark.operators.merge import merge_upsert
+from etl_open_source_spark.plans.cron import next_run_from_cron
+
+# ------------------------------------------------------------------ cron
+
+
+@given(
+    minute=st.integers(0, 59),
+    now=st.datetimes(
+        min_value=datetime(2020, 1, 1), max_value=datetime(2030, 1, 1)
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_cron_fixed_minute_properties(minute, now):
+    nxt = next_run_from_cron(f"{minute} * * * *", now)
+    assert nxt > now
+    assert nxt.minute == minute and nxt.second == 0
+    assert nxt - now <= timedelta(hours=1)
+
+
+@given(
+    n=st.sampled_from([1, 2, 5, 10, 15, 30]),
+    now=st.datetimes(min_value=datetime(2020, 1, 1), max_value=datetime(2030, 1, 1)),
+)
+@settings(max_examples=200, deadline=None)
+def test_cron_step_properties(n, now):
+    nxt = next_run_from_cron(f"*/{n} * * * *", now)
+    assert nxt > now
+    assert nxt.minute % n == 0
+    assert nxt - now <= timedelta(minutes=n + 1)
+
+
+# ----------------------------------------------------------- as-of join
+
+
+def _naive_asof(left_rows, right_rows):
+    """Per-row reference implementation: latest right with ts <= left ts."""
+    out = {}
+    for lid, key, lts in left_rows:
+        best = None
+        for key_r, rts, val in right_rows:
+            if key_r == key and rts <= lts and (best is None or rts > best[0]):
+                best = (rts, val)
+        out[lid] = best
+    return out
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=8
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=0, max_size=8
+    ),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_join_matches_naive(spark_prop, left, right):
+    spark = spark_prop
+    base = datetime(2024, 1, 1)
+    left_rows = [
+        (i, key, base + timedelta(seconds=ts)) for i, (key, ts) in enumerate(left)
+    ]
+    # dedupe right on (key, ts) deterministically: keep max value
+    seen = {}
+    for j, (key, ts) in enumerate(right):
+        seen[(key, ts)] = max(seen.get((key, ts), -1), j * 10)
+    right_rows = [
+        (key, base + timedelta(seconds=ts), float(v)) for (key, ts), v in seen.items()
+    ]
+    ldf = spark.createDataFrame(left_rows, "lid int, key int, lts timestamp")
+    rdf = spark.createDataFrame(right_rows, "key int, rts timestamp, val double")
+    got = {
+        r.lid: (r.rts, r.val)
+        for r in asof_join(
+            ldf, rdf, by=["key"], left_on="lts", right_on="rts", right_values=["val"]
+        ).collect()
+    }
+    want = _naive_asof(left_rows, right_rows)
+    for lid, best in want.items():
+        if best is None:
+            assert got[lid] == (None, None)
+        else:
+            assert got[lid] == best
+
+
+# --------------------------------------------------------------- merge
+
+
+@given(
+    target_keys=st.sets(st.integers(0, 20), min_size=1, max_size=10),
+    update_keys=st.sets(st.integers(0, 25), min_size=0, max_size=10),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_merge_upsert_properties(spark_prop, target_keys, update_keys):
+    spark = spark_prop
+    t = spark.createDataFrame([(k, "old") for k in target_keys], "k int, v string")
+    u = spark.createDataFrame([(k, "new") for k in update_keys], "k int, v string")
+    out = {r.k: r.v for r in merge_upsert(t, u, ["k"]).collect()}
+    assert set(out) == target_keys | update_keys  # no loss, no phantom keys
+    for k in update_keys:
+        assert out[k] == "new"  # updates win
+    for k in target_keys - update_keys:
+        assert out[k] == "old"  # untouched rows survive
