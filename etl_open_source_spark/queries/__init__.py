@@ -20,6 +20,7 @@ _MODULES = [
     "udfs",
     "catalog_q",
     "tpch",
+    "timeseries",
 ]
 
 _loaded = False
