@@ -11,7 +11,6 @@ Spark SQL / DataFrame expressions instead of the reference's stubbed pandas
 
 from __future__ import annotations
 
-import time
 import traceback
 import uuid
 from collections.abc import Callable
