@@ -173,7 +173,7 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT label,
        CAST(s.i - 1 AS BIGINT) AS pos,
        COUNT(*) AS n_vecs,
-       ROUND(SUM(CAST(embedding[s.i] AS DECIMAL(18,8))) / COUNT(*), 6) AS mean_val
+       ROUND(CAST(SUM(CAST(embedding[s.i] AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6) AS mean_val
 FROM embeddings CROSS JOIN GENERATE_SERIES(1, 64) AS s(i)
 GROUP BY label, s.i
 ORDER BY label, pos
@@ -194,8 +194,12 @@ def q_vector_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "pos")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
+            # decimal sum (exact) → ONE double division; a decimal division
+            # would make the output DecimalType, which Spark's pandas
+            # bridge returns as Decimal objects vs DuckDB's float64
             F.round(
-                F.sum(F.col("val").cast("decimal(18,8)")) / F.count(F.lit(1)), 6
+                F.sum(F.col("val").cast("decimal(18,8)")).cast("double") / F.count(F.lit(1)),
+                6,
             ).alias("mean_val"),
         )
         .select(

@@ -58,7 +58,7 @@ SELECT o_orderkey,
        DATE_TRUNC('month', o_orderdate) AS order_month_start,
        CAST(DATEDIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_95,
        o_orderdate + INTERVAL 3 MONTH AS plus_3_months,
-       CAST(o_orderdate AS DATE) AS order_date_only,
+       CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date_only,
        CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_sec
 FROM orders
 """,
@@ -75,7 +75,10 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", d).alias("order_month_start"),
         F.datediff(F.to_date(d), F.lit("1995-01-01").cast("date")).cast("bigint").alias("days_since_95"),
         (d + F.expr("INTERVAL 3 MONTH")).alias("plus_3_months"),
-        F.to_date(d).alias("order_date_only"),
+        # DATE output cast back to timestamp: Spark's toPandas yields
+        # datetime.date for DateType while DuckDB yields midnight
+        # Timestamps — a value-compare hazard, not a semantics difference
+        F.to_date(d).cast("timestamp").alias("order_date_only"),
         F.unix_timestamp(d).cast("bigint").alias("epoch_sec"),
     )
 
@@ -148,10 +151,10 @@ SELECT l_orderkey,
        CAST(l_quantity AS BIGINT) AS qty_int,
        CAST(l_orderkey AS VARCHAR) AS key_str,
        CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_back,
-       CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec_str,
        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dbl,
        CAST('1997-06-15 12:30:00' AS TIMESTAMP) AS const_ts,
-       CAST(l_shipdate AS DATE) AS ship_date
+       CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ship_date
 FROM lineitem
 """,
     tags=("fn",),
@@ -167,10 +170,13 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("qty_int"),
         F.col("l_orderkey").cast("string").alias("key_str"),
         F.col("l_orderkey").cast("string").cast("bigint").alias("key_back"),
-        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+        # decimal rendered as string (scale-2 text is identical in both
+        # engines; raw DECIMAL arrives as Decimal objects from Spark but
+        # float64 from DuckDB's pandas bridge — a compare hazard)
+        F.col("l_extendedprice").cast("decimal(12,2)").cast("string").alias("price_dec_str"),
         F.col("l_extendedprice").cast("decimal(12,2)").cast("double").alias("price_dbl"),
         F.lit("1997-06-15 12:30:00").cast("timestamp").alias("const_ts"),
-        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_shipdate").cast("date").cast("timestamp").alias("ship_date"),
     )
 
 
