@@ -66,6 +66,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     floor-divided to microsecond timestamps — bit-identical to how DuckDB
     (the oracle) truncates ns→µs on read.
     """
+    # Defensive: timezone-sensitive functions (unix_timestamp on NTZ cols,
+    # literal parsing) must agree with the UTC-naive DuckDB oracle even if
+    # the caller's session (e.g. the driver's) wasn't built by get_spark().
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = table_path(sf_dir, name)
     ns_cols = _nanos_timestamp_columns(path)
     if not ns_cols:
