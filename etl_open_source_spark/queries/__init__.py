@@ -21,6 +21,8 @@ _MODULES = [
     "catalog_q",
     "tpch",
     "timeseries",
+    "scale",
+    "scalar2",
 ]
 
 _loaded = False

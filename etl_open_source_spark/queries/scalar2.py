@@ -1,0 +1,161 @@
+"""Second scalar/analytic coverage batch: extended string functions,
+bitwise ops, percent_rank/cume_dist, scalar subquery, moment statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_open_source_spark.catalog import load_table
+from etl_open_source_spark.registry import query
+
+
+@query(
+    "q_fn_string2",
+    oracle="""
+SELECT p_partkey,
+       TRANSLATE(p_brand, '#', '-') AS brand_translated,
+       REVERSE(p_type) AS type_reversed,
+       REPEAT(SUBSTRING(p_brand, 1, 2), 3) AS brand_repeat,
+       REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS brand_num,
+       CONCAT_WS('/', p_brand, p_type) AS brand_path,
+       RPAD(p_type, 12, '.') AS type_pad,
+       REPLACE(p_name, ' ', '_') AS name_snake
+FROM part
+""",
+    tags=("fn",),
+)
+def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string pack: translate/reverse/repeat/regexp groups/rpad/
+    replace. (initcap is omitted from the oracled set — DuckDB lacks it —
+    but is available through Spark SQL directly.)"""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.translate("p_brand", "#", "-").alias("brand_translated"),
+        F.reverse(F.col("p_type")).alias("type_reversed"),
+        F.repeat(F.substring("p_brand", 1, 2), 3).alias("brand_repeat"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_path"),
+        F.rpad("p_type", 12, ".").alias("type_pad"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_linenumber << 3 AS BIGINT) AS shl,
+       CAST(l_orderkey >> 2 AS BIGINT) AS shr,
+       CAST(l_orderkey & 255 AS BIGINT) AS band,
+       CAST(l_orderkey | 4096 AS BIGINT) AS bor,
+       CAST(XOR(l_orderkey, l_linenumber) AS BIGINT) AS bxor,
+       CAST(BIT_COUNT(l_orderkey) AS BIGINT) AS popcount
+FROM lineitem
+""",
+    tags=("fn",),
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator pack (hash bucketing / bitmap primitives)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.shiftleft("l_linenumber", 3).cast("bigint").alias("shl"),
+        F.shiftright("l_orderkey", 2).cast("bigint").alias("shr"),
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).cast("bigint").alias("band"),
+        F.col("l_orderkey").bitwiseOR(F.lit(4096)).cast("bigint").alias("bor"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_linenumber").cast("bigint")).cast("bigint").alias("bxor"),
+        F.bit_count("l_orderkey").cast("bigint").alias("popcount"),
+    )
+
+
+@query(
+    "q_window_percent_rank",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+    tags=("window",),
+)
+def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank analytics: percent_rank = (rank-1)/(n-1) and cume_dist
+    — both exact rational arithmetic on identical inputs in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "q_subquery_scalar",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) FROM customer)
+""",
+    tags=("subquery",),
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (customers above average balance) —
+    Catalyst plans the subquery once and broadcasts the scalar."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sq_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM sq_customer
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+          FROM sq_customer
+        )
+        """
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+         - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+         / (COUNT(*) - 1), 6) AS qty_var,
+       ROUND(SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+         - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+         / (COUNT(*) - 1)), 6) AS qty_stddev
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("agg", "stats"),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev via exact decimal moment sums then a fixed
+    double op sequence — the built-in var_samp/stddev_samp accumulate
+    doubles in partition order (nondeterministic), so the engine computes
+    moments exactly and derives the statistics deterministically."""
+    l = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,4)")
+    n = F.count(F.lit(1))
+    ssq = F.sum(q * q).cast("double")
+    s = F.sum(q).cast("double")
+    var = (ssq - s * s / n) / (n - F.lit(1))
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            F.round(var, 6).alias("qty_var"),
+            F.round(F.sqrt(var), 6).alias("qty_stddev"),
+        )
+        .orderBy("l_returnflag")
+    )

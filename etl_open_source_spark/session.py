@@ -57,6 +57,11 @@ def get_spark(
         # HDFSBackedStateStore state for applyInPandasWithState on local
         # filesystems; plain checkpoint files are fine for our use.
         .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+        # managed tables (bucketed layouts) live outside the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/etl_open_source_spark_warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

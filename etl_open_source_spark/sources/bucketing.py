@@ -1,0 +1,38 @@
+"""Bucketed tables — shuffle-free co-located joins.
+
+At 100 TB, re-shuffling the fact table for every join is the dominant
+cost. Bucketing both join sides by the key at WRITE time means every
+subsequent join/aggregation on that key runs with ZERO exchange: Spark
+reads bucket i of both tables into the same task.
+
+This is the Spark-native answer to the reference's per-row INSERT loader
+(core/loaders/sqlserver.py:282-286): the write is not just parallel, its
+LAYOUT is an index for future queries. tests/test_bucketing.py asserts the
+no-Exchange plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (optionally sorted) managed table. Sorting
+    within buckets additionally enables merge-join without a sort step."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: list[str]) -> DataFrame:
+    """Join two same-bucketed tables on the bucket key — planner elides
+    both exchanges (bucket i ⋈ bucket i per task)."""
+    return spark.table(left_table).join(spark.table(right_table), on)

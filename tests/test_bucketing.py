@@ -1,0 +1,80 @@
+"""Bucketed-table tests: the co-located join must plan with NO shuffle
+exchange, and salted operators must produce bit-identical results to their
+unsalted equivalents.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_open_source_spark.operators.skew import salted_count_sum, salted_join
+from etl_open_source_spark.sources.bucketing import bucketed_join, write_bucketed
+
+
+def _reset_table(spark, name):
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{loc}/{name}", ignore_errors=True)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    _reset_table(spark, "b_orders")
+    _reset_table(spark, "b_lineitem")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, sort_by=["o_orderkey"])
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", ["o_orderkey"], 8, sort_by=["o_orderkey"],
+    )
+    # small fixtures would broadcast (hiding the point); force the
+    # shuffle-strategy path a 100 TB join would take
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan  # co-located: no shuffle at all
+        assert "SortMergeJoin" in plan
+        # (an in-task Sort may remain: Spark only elides it with exactly
+        # one file per bucket — the shuffle elision is the scale win)
+        expected = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_agg_identical_to_plain(spark, sf_dir):
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    salted = {
+        r.l_returnflag: (r.cnt, r.total)
+        for r in salted_count_sum(l, "l_returnflag", "l_quantity", n_salts=8).collect()
+    }
+    plain = {
+        r.l_returnflag: (r.cnt, r.total)
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+        .collect()
+    }
+    assert salted == plain  # bit-identical (decimal path)
+
+
+def test_salted_join_identical_to_plain(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    salted = salted_join(o, c, "o_custkey", n_salts=4)
+    plain = o.join(c, "o_custkey")
+    assert salted.count() == plain.count()
+    s = {tuple(r) for r in salted.select("o_orderkey", "c_name").collect()}
+    p = {tuple(r) for r in plain.select("o_orderkey", "c_name").collect()}
+    assert s == p
