@@ -1,0 +1,56 @@
+"""Spec validation — the reference's declared-but-stubbed validation
+service (services/validation_service.py, 0 bytes; structure.txt:65
+"Validation de steps et pipelines") made real.
+
+Static checks only (no Spark session needed); schema-level validation
+happens for free at Catalyst analysis time when the pipeline runs.
+"""
+
+from __future__ import annotations
+
+from etl_open_source_spark.plans.cron import next_run_from_cron
+from etl_open_source_spark.plans.models import PipelineSpec, StepType
+
+from datetime import datetime
+
+
+def validate_spec(spec: PipelineSpec) -> list[str]:
+    """Returns a list of human-readable issues; empty list = valid."""
+    issues: list[str] = []
+    if not spec.steps:
+        issues.append("pipeline has no steps")
+
+    orders = [s.order for s in spec.steps]
+    if len(set(orders)) != len(orders):
+        issues.append(f"duplicate step orders: {sorted(orders)}")
+
+    conn_ids = {c.id for c in spec.connections}
+    for s in spec.steps:
+        if s.connection_id is not None and s.connection_id not in conn_ids:
+            issues.append(f"step {s.name!r} references unknown connection {s.connection_id!r}")
+
+    ordered = spec.ordered_steps()
+    if ordered and ordered[0].step_type != StepType.EXTRACT:
+        issues.append(
+            f"first step {ordered[0].name!r} is {ordered[0].step_type.value}, expected extract"
+        )
+
+    for s in ordered:
+        cfg = s.config
+        if s.step_type == StepType.EXTRACT and not (cfg.get("query") or cfg.get("table") or cfg.get("path")):
+            issues.append(f"extract step {s.name!r} needs 'query', 'table' or 'path'")
+        if s.step_type == StepType.TRANSFORM:
+            kind = cfg.get("type", "sql")
+            if kind == "sql" and not cfg.get("sql"):
+                issues.append(f"sql transform step {s.name!r} missing 'sql'")
+            if kind == "python" and not cfg.get("fn"):
+                issues.append(f"python transform step {s.name!r} missing 'fn'")
+        if s.step_type == StepType.LOAD and not cfg.get("path"):
+            issues.append(f"load step {s.name!r} missing 'path'")
+
+    try:
+        next_run_from_cron(spec.cron, datetime(2026, 1, 1))
+    except Exception as ex:  # noqa: BLE001 — report, don't raise
+        issues.append(f"invalid cron {spec.cron!r}: {ex}")
+
+    return issues

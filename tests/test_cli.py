@@ -1,0 +1,51 @@
+"""CLI + validation-service tests (subprocess-free: main() called
+directly; the subprocess path is exercised by the verify recipe)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from etl_open_source_spark.__main__ import main
+from etl_open_source_spark.plans.models import PipelineSpec
+from etl_open_source_spark.plans.validation import validate_spec
+
+SPEC = "examples/orders_rollup.json"
+
+
+def test_validate_ok(capsys):
+    assert main(["validate", SPEC]) == 0
+    assert "is valid" in capsys.readouterr().out
+
+
+def test_validate_catches_issues(tmp_path, capsys):
+    spec = json.load(open(SPEC))
+    spec["steps"][0]["connection_id"] = "nope"
+    spec["steps"][1]["config"].pop("sql")
+    spec["cron"] = "0 9 1 * *"
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps(spec))
+    assert main(["validate", str(bad)]) == 1
+    out = capsys.readouterr().out
+    assert "unknown connection" in out
+    assert "missing 'sql'" in out
+    assert "invalid cron" in out
+
+
+def test_validate_step_order_and_first_step(tmp_path):
+    spec = PipelineSpec.load(SPEC)
+    spec.steps[0].order = spec.steps[1].order
+    issues = validate_spec(spec)
+    assert any("duplicate step orders" in i for i in issues)
+
+    spec = PipelineSpec.load(SPEC)
+    spec.steps = [s for s in spec.steps if s.step_type.value != "extract"]
+    issues = validate_spec(spec)
+    assert any("expected extract" in i for i in issues)
+
+
+def test_next_run_prints_timestamp(capsys):
+    assert main(["next-run", SPEC]) == 0
+    out = capsys.readouterr().out.strip()
+    assert len(out) == 19 and out[4] == "-" and out[13] == ":"
