@@ -23,6 +23,7 @@ _MODULES = [
     "timeseries",
     "scale",
     "scalar2",
+    "misc",
 ]
 
 _loaded = False

@@ -1,0 +1,121 @@
+"""Remaining coverage: SCD2 versioning, map functions, null-preserving
+explode, approximate percentiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_open_source_spark.catalog import load_table
+from etl_open_source_spark.operators.scd import scd2_apply
+from etl_open_source_spark.registry import query
+
+
+@query(
+    "q_scd2",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment,
+         TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+         TIMESTAMP '2200-01-01 00:00:00' AS valid_to,
+         TRUE AS is_current
+  FROM customer
+),
+changed AS (SELECT c_custkey, 'UPDATED' AS c_mktsegment FROM customer WHERE c_custkey % 3 = 0)
+SELECT d.c_custkey, d.c_mktsegment, d.valid_from,
+       CASE WHEN ch.c_custkey IS NOT NULL THEN TIMESTAMP '2020-06-01 00:00:00' ELSE d.valid_to END AS valid_to,
+       ch.c_custkey IS NULL AS is_current
+FROM dim d LEFT JOIN changed ch USING (c_custkey)
+UNION ALL
+SELECT c_custkey, c_mktsegment, TIMESTAMP '2020-06-01 00:00:00',
+       TIMESTAMP '2200-01-01 00:00:00', TRUE
+FROM changed
+""",
+    tags=("scd", "sink"),
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 apply (operators/scd.py): customers with key%3==0 change
+    segment (old version closed, new opened); key%5==0 arrive UNCHANGED
+    (must produce no new version — the oracle encodes only the real
+    changes, so any spurious version hash-mismatches)."""
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit("2200-01-01 00:00:00").cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changed = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.lit("UPDATED").alias("c_mktsegment")
+    )
+    noop = c.filter(F.col("c_custkey") % 5 == 0).select("c_custkey", "c_mktsegment")
+    updates = changed.unionByName(noop.join(changed, "c_custkey", "left_anti"))
+    return scd2_apply(
+        dim, updates, keys=["c_custkey"], attrs=["c_mktsegment"],
+        effective_ts="2020-06-01 00:00:00",
+    )
+
+
+@query(
+    "q_fn_map",
+    oracle="""
+SELECT o_orderkey,
+       ARRAY_TO_STRING(LIST_SORT(['priority=' || o_orderpriority, 'status=' || o_orderstatus]), ',') AS props_str,
+       CAST(2 AS BIGINT) AS n_keys
+FROM orders
+""",
+    tags=("fn", "map"),
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map column surface: create_map → map_entries/map_keys, rendered as a
+    sorted k=v string (raw MapType can't be order-stably hashed)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    entries = F.transform(
+        F.map_entries(m), lambda e: F.concat(e["key"], F.lit("="), e["value"])
+    )
+    return o.select(
+        "o_orderkey",
+        F.array_join(F.array_sort(entries), ",").alias("props_str"),
+        F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+    )
+
+
+@query(
+    "q_explode_outer",
+    oracle="""
+SELECT p_partkey,
+       UNNEST(CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(p_name, ' '), x -> LENGTH(x) > 6)) = 0
+                   THEN [CAST(NULL AS VARCHAR)]
+                   ELSE LIST_FILTER(STRING_SPLIT(p_name, ' '), x -> LENGTH(x) > 6) END) AS long_word
+FROM part
+""",
+    tags=("fn", "array"),
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with an empty array survive with NULL (plain
+    explode silently drops them — a classic data-loss bug)."""
+    p = load_table(spark, sf_dir, "part")
+    long_words = F.filter(F.split("p_name", " "), lambda x: F.length(x) > 6)
+    return p.select("p_partkey", F.explode_outer(long_words).alias("long_word"))
+
+
+@query("q_agg_approx_percentile", oracle=None, tags=("agg", "approx"))
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles — the 100 TB path (bounded-memory sketch vs
+    the exact per-group sort of q_agg_percentile). Rows-only; the accuracy
+    bound vs exact is pinned in tests/test_llm_ops.py."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+            F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -104,3 +104,15 @@ def test_multimodal_decode_stub_and_fake(spark, docs):
     assert len(feats) == 10
     for r in feats:
         assert r.width >= 64 and r.height >= 64 and r.n_frames == 1
+
+
+def test_approx_percentile_accuracy(spark, sf_dir):
+    """Sketch percentiles must land within 2% relative error of exact."""
+    from pyspark.sql import functions as F
+
+    l = load_table(spark, sf_dir, "lineitem")
+    exact = l.agg(F.percentile("l_extendedprice", F.lit(0.5)).alias("p")).collect()[0].p
+    approx = l.agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p")
+    ).collect()[0].p
+    assert abs(approx - exact) / exact < 0.02
