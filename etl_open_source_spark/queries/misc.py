@@ -119,3 +119,58 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_filter_not_in_nulls",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       c_mktsegment NOT IN ('BUILDING', NULL) AS not_in_with_null,
+       c_mktsegment NOT IN ('BUILDING', 'MACHINERY') AS not_in_plain
+FROM customer
+""",
+    tags=("filter", "subquery"),
+)
+def q_filter_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued NOT IN, surfaced as data: against a NULL-containing
+    list the predicate is FALSE for matches and NULL (never TRUE)
+    otherwise — the classic SQL footgun. Both engines must produce the
+    identical FALSE/NULL pattern."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("ni_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               c_mktsegment NOT IN ('BUILDING', NULL) AS not_in_with_null,
+               c_mktsegment NOT IN ('BUILDING', 'MACHINERY') AS not_in_plain
+        FROM ni_customer
+        """
+    )
+
+
+@query(
+    "q_subquery_correlated",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice > 2 * (
+  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+  FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+""",
+    tags=("subquery",),
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders above 2x their customer's
+    average) — Catalyst decorrelates it into an aggregate + join rather
+    than re-running the subquery per row."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("corr_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM corr_orders o
+        WHERE o.o_totalprice > 2 * (
+          SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+          FROM corr_orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
