@@ -181,3 +181,50 @@ def test_sanitize_semantics(spark):
     assert out[1].x is None  # numeric NULL kept (documented divergence)
     assert out[2].ts == dt(2024, 5, 6, 7, 8, 9)  # truncated to seconds
     assert out[2].s == "ok" and out[2].x == 2.5
+
+
+# ------------------------------------------------------------ incremental
+
+
+def test_incremental_read_high_watermark(spark, sf_dir, tmp_path):
+    from etl_open_source_spark.plans.incremental import WatermarkStore, incremental_read
+
+    from etl_open_source_spark.catalog import load_table
+
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    events = load_table(spark, sf_dir, "events")
+
+    # first run: everything is new
+    delta1, wm1 = incremental_read(events, "event_id", store, "events")
+    assert delta1.count() == events.count()
+    store.set("events", wm1)
+
+    # second run with no new data: empty delta, watermark unchanged
+    delta2, wm2 = incremental_read(events, "event_id", store, "events")
+    assert delta2.count() == 0
+    assert wm2 == wm1
+
+    # new rows arrive (simulated by shifting ids past the watermark)
+    from pyspark.sql import functions as F
+
+    newer = events.limit(7).withColumn("event_id", F.col("event_id") + wm1 + 1)
+    combined = events.unionByName(newer)
+    delta3, wm3 = incremental_read(combined, "event_id", store, "events")
+    assert delta3.count() == 7
+    assert wm3 == wm1 + 7  # ids were wm1+1 .. wm1+7
+
+
+def test_incremental_failed_run_does_not_advance(spark, sf_dir, tmp_path):
+    """At-least-once: if the write fails, the caller does not advance the
+    store — the next run re-reads the same delta."""
+    from etl_open_source_spark.plans.incremental import WatermarkStore, incremental_read
+
+    from etl_open_source_spark.catalog import load_table
+
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    events = load_table(spark, sf_dir, "events")
+    delta1, wm1 = incremental_read(events, "event_id", store, "events")
+    # write "fails" → store.set never called
+    delta_again, wm_again = incremental_read(events, "event_id", store, "events")
+    assert delta_again.count() == delta1.count()
+    assert wm_again == wm1
