@@ -364,3 +364,360 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "q_tpch_q8",
+    oracle=f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+         {sql_money('l.l_extendedprice')} * ({SQL_ONE} - {sql_rate('l.l_discount')}) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'AMERICA'
+    AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+    tags=("tpch",),
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 (national market share), adapted to fixture domains (p_type is a
+    single word; nations are NATION_<k>): NATION_1's share of ECONOMY-part
+    revenue sold into AMERICA, by order year. The share division is one
+    IEEE-754 op over two exact decimal sums, so it matches DuckDB bit-for-bit."""
+    c, o, l, s, n, r, p = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region", "part"
+    )
+    amer_keys = (
+        n.join(broadcast(r.filter(F.col("r_name") == "AMERICA")), n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("cust_nkey"))
+    )
+    n2 = n.select(F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("nation"))
+    vol = money("l_extendedprice") * (one() - rate("l_discount"))
+    return (
+        l.join(
+            broadcast(p.filter(F.col("p_type") == "ECONOMY").select("p_partkey")),
+            l.l_partkey == F.col("p_partkey"),
+        )
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            ),
+            l.l_orderkey == o.o_orderkey,
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(amer_keys), c.c_nationkey == F.col("cust_nkey"))
+        .join(broadcast(s.select("s_suppkey", "s_nationkey")), l.l_suppkey == F.col("s_suppkey"))
+        .join(broadcast(n2), F.col("s_nationkey") == F.col("supp_nkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .withColumn("volume", vol)
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(
+                        F.lit(0).cast("decimal(12,2)")
+                    )
+                ).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+""",
+    tags=("tpch",),
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 (shipping modes / priority), adapted: fixtures lack l_shipmode /
+    l_commitdate / l_receiptdate, so "late" means shipped >45 days after the
+    order date and the grouping key is l_linestatus. Keeps Q12's shape:
+    join + residual date inequality + pivot-style conditional counts."""
+    o, l = load_tables(spark, sf_dir, "orders", "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            l.filter(
+                (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            ),
+            o.o_orderkey == l.l_orderkey,
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM({sql_money('l_extendedprice')} * ({SQL_ONE} - {sql_rate('l_discount')})) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.rev_dec AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.rev_dec = (SELECT MAX(rev_dec) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+    tags=("tpch",),
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 (top supplier): aggregate-then-argmax. The max-revenue comparison
+    happens in exact decimal, so Spark and DuckDB agree on the winner even
+    when several suppliers are within an ulp in double."""
+    l, s = load_tables(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(money("l_extendedprice") * (one() - rate("l_discount"))).alias("rev_dec"))
+    )
+    mx = rev.agg(F.max("rev_dec").alias("mx"))
+    return (
+        s.join(rev, s.s_suppkey == rev.l_suppkey)
+        .join(broadcast(mx), F.col("rev_dec") == F.col("mx"))
+        .select("s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND p.p_size < 15
+  AND l.l_quantity < (
+    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l2.l_quantity))
+    FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey
+  )
+""",
+    tags=("tpch",),
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 (small-quantity-order revenue), adapted (p_size stands in for the
+    absent p_container). The correlated AVG subquery becomes a per-partkey
+    aggregate joined back — Catalyst's own decorrelation strategy — and the
+    0.2*avg threshold is the same decimal-sum/count expression on both sides
+    so the `<` comparison can't flip."""
+    l, p = load_tables(spark, sf_dir, "lineitem", "part")
+    sel = p.filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15)).select("p_partkey")
+    li = l.join(broadcast(sel), l.l_partkey == F.col("p_partkey"))
+    thr = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double") / F.count("l_quantity"))
+        ).alias("qty_thr")
+    )
+    return (
+        li.drop("p_partkey")
+        .join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle=f"""
+SELECT CAST(SUM({sql_money('l.l_extendedprice')} * ({SQL_ONE} - {sql_rate('l.l_discount')})) AS DOUBLE) AS revenue,
+       COUNT(*) AS cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1  AND 15 AND l.l_quantity BETWEEN 1  AND 11)
+   OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 10 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    tags=("tpch",),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 (discounted revenue under disjunctive predicates), adapted to the
+    fixture's brand/size domains (no p_container / l_shipmode). The OR of
+    brand+size+quantity triples exercises join + residual disjunction —
+    Catalyst extracts the common p_brand IN (...) prefilter for the scan."""
+    l, p = load_tables(spark, sf_dir, "lineitem", "part")
+    j = l.join(broadcast(p.select("p_partkey", "p_brand", "p_size")), l.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(10, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.sum(money("l_extendedprice") * (one() - rate("l_discount"))).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+""",
+    tags=("tpch",),
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 (suppliers who kept orders waiting), adapted: "late" is shipped
+    >90 days after the order date (fixtures lack commit/receipt dates).
+    EXISTS → left-semi join, NOT EXISTS → left-anti join, both with a
+    non-equi residual on supplier inequality; the late-ship comparison for
+    sibling lineitems reuses the outer row's o_orderdate (same order, so
+    identical) instead of joining orders twice."""
+    l, o, s, n = load_tables(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    s_n3 = (
+        s.join(broadcast(n.filter(F.col("n_name") == "NATION_3")), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name")
+    )
+    cand = (
+        l.join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+            l.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > late_cut)
+        .join(broadcast(s_n3), l.l_suppkey == F.col("s_suppkey"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate", "s_name")
+    )
+    l2 = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
+    l3 = l.select(
+        F.col("l_orderkey").alias("ok3"),
+        F.col("l_suppkey").alias("sk3"),
+        F.col("l_shipdate").alias("ship3"),
+    )
+    waiting = (
+        cand.join(l2, (cand.l_orderkey == l2.ok2) & (cand.l_suppkey != l2.sk2), "left_semi")
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3.ok3)
+            & (F.col("l_suppkey") != l3.sk3)
+            & (l3.ship3 > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+SELECT n.n_name AS cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5','NATION_6','NATION_7')
+  AND c.c_acctbal > (
+    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c2.c_acctbal)
+    FROM customer c2
+    JOIN nation n2 ON c2.c_nationkey = n2.n_nationkey
+    WHERE c2.c_acctbal > 0.0
+      AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5','NATION_6','NATION_7')
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  )
+GROUP BY cntrycode
+ORDER BY cntrycode
+""",
+    tags=("tpch",),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 (global sales opportunity), adapted: country code is the nation
+    name (fixtures lack c_phone), and "never ordered" becomes "no order since
+    1999-01-01" (every fixture customer has at least one order). Scalar AVG
+    subquery → broadcast 1-row cross join; NOT EXISTS → left-anti join."""
+    c, n, o = load_tables(spark, sf_dir, "customer", "nation", "orders")
+    sel = ["NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5", "NATION_6", "NATION_7"]
+    cn = c.join(broadcast(n.filter(F.col("n_name").isin(sel))), c.c_nationkey == n.n_nationkey)
+    avg_df = cn.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double") / F.count("c_acctbal")
+        ).alias("avg_bal")
+    )
+    recent = (
+        o.filter(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cn.join(broadcast(avg_df))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cn.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("n_name").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
