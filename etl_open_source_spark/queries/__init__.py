@@ -24,6 +24,7 @@ _MODULES = [
     "scale",
     "scalar2",
     "misc",
+    "sampling",
 ]
 
 _loaded = False
