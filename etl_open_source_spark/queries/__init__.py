@@ -25,6 +25,7 @@ _MODULES = [
     "scalar2",
     "misc",
     "sampling",
+    "quality_q",
 ]
 
 _loaded = False

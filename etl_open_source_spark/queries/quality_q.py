@@ -1,0 +1,112 @@
+"""Data-quality queries: one-pass column profiling + expectation checks.
+
+Completes the reference's 0-byte `services/validation_service.py` stub
+(SURVEY.md §2.B) as engine-native operators — see operators/quality.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_open_source_spark.catalog import load_table, load_tables
+from etl_open_source_spark.operators.quality import (
+    accepted,
+    in_range,
+    not_null,
+    profile_columns,
+    run_checks,
+    unique,
+)
+from etl_open_source_spark.registry import query
+
+_PROFILE_COL = """
+SELECT '{c}' AS col_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       {min_num} AS min_num, {max_num} AS max_num,
+       {min_str} AS min_str, {max_str} AS max_str
+FROM orders"""
+
+
+def _profile_sql(c: str, numeric: bool) -> str:
+    if numeric:
+        return _PROFILE_COL.format(
+            c=c,
+            min_num=f"CAST(MIN({c}) AS DOUBLE)",
+            max_num=f"CAST(MAX({c}) AS DOUBLE)",
+            min_str="CAST(NULL AS VARCHAR)",
+            max_str="CAST(NULL AS VARCHAR)",
+        )
+    return _PROFILE_COL.format(
+        c=c,
+        min_num="CAST(NULL AS DOUBLE)",
+        max_num="CAST(NULL AS DOUBLE)",
+        min_str=f"MIN({c})",
+        max_str=f"MAX({c})",
+    )
+
+
+@query(
+    "q_profile_columns",
+    oracle="\nUNION ALL".join(
+        [
+            _profile_sql("o_custkey", True),
+            _profile_sql("o_totalprice", True),
+            _profile_sql("o_orderstatus", False),
+            _profile_sql("o_orderpriority", False),
+        ]
+    ),
+    tags=("quality",),
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile four orders columns (rows/nulls/distinct/min/max) in a
+    single scan — one wide aggregate unpivoted with stack, not one scan
+    per column."""
+    o = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        o, numeric_cols=["o_custkey", "o_totalprice"], string_cols=["o_orderstatus", "o_orderpriority"]
+    )
+
+
+@query(
+    "q_quality_checks",
+    oracle="""
+SELECT 'not_null(o_orderkey)' AS rule,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+FROM orders
+UNION ALL
+SELECT 'unique(o_orderkey)',
+       CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'in_range(o_totalprice,0,1000000.0)',
+       CAST(SUM(CASE WHEN NOT (o_totalprice BETWEEN 0 AND 1000000.0) THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'accepted(o_orderstatus)',
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','P','O') THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'fk(o_custkey->customer)', CAST(COUNT(*) AS BIGINT)
+FROM orders o
+WHERE o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+""",
+    tags=("quality",),
+)
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five expectations over orders: the four row-local rules fold into
+    ONE aggregate pass; the FK-integrity rule is a broadcast anti-join
+    count against customer."""
+    o, c = load_tables(spark, sf_dir, "orders", "customer")
+    return run_checks(
+        o,
+        row_checks=[
+            not_null("o_orderkey"),
+            unique("o_orderkey"),
+            in_range("o_totalprice", 0, 1000000.0),
+            accepted("o_orderstatus", ["F", "P", "O"]),
+        ],
+        fk_checks=[("fk(o_custkey->customer)", "o_custkey", c, "c_custkey")],
+    )
