@@ -26,6 +26,7 @@ _MODULES = [
     "misc",
     "sampling",
     "quality_q",
+    "tpch2",
 ]
 
 _loaded = False
