@@ -95,3 +95,25 @@ def q_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q_sink_csv_roundtrip",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey, c_acctbal
+FROM customer
+WHERE c_acctbal > 0
+""",
+    tags=("sink",),
+)
+def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV loader round-trip: engine write_csv → read_csv with explicit
+    schema. Covers the reference's declared-but-stubbed CSV loader
+    (reference core/loaders/csv.py, 0-byte; dispatch commented at
+    core/engine.py:175-188). Lossless: int/string/double columns only."""
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]
+    src = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select(*cols)
+    path = _tmp(sf_dir, "customer_csv_sink")
+    write_csv(src, path, mode="replace")
+    schema = "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double"
+    return read_csv(spark, path, schema=schema)
