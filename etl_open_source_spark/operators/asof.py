@@ -9,18 +9,17 @@ Algorithm (union + ordered window, the scale-friendly plan):
   1. Tag right rows 0 and left rows 1, union by name.
   2. One window partitioned by ``by``, ordered by (ts, tag): right rows sort
      before left rows at equal ts → inclusive match.
-  3. ``last(value, ignorenulls=True)`` carries the latest right values
-     forward onto each left row.
-  4. Keep only left rows.
+  3. The right payload travels as ONE struct column; ``last(struct,
+     ignorenulls=True)`` carries the latest right row forward onto each
+     left row.  The struct itself is non-NULL for every right row, so
+     legitimately-NULL payload *fields* are carried faithfully (a
+     per-column carry would skip them and match an older row's value).
+  4. Keep only left rows; unwrap the struct in a single select.
 
 Cost: ONE shuffle of |L|+|R| rows by the equality keys + an in-partition
 sort — identical asymptotics to a sort-merge join, with no range-explosion
 (a naive theta-join would be |L|×|R| per key). Skewed ``by`` keys can be
 salted upstream; AQE handles moderate skew.
-
-Caveat: right-side value columns that are legitimately NULL are skipped by
-the ignorenulls carry-forward; pre-coalesce them with a sentinel if NULL is
-a meaningful payload.
 """
 
 from __future__ import annotations
@@ -52,28 +51,41 @@ def asof_join(
     if overlap:
         raise ValueError(f"column collision between sides: {sorted(overlap)} — rename first")
 
-    event_ts = F.coalesce(F.col(left_on), F.col(right_on))
+    # The whole right row rides in one struct: the struct is non-NULL for
+    # every right row even when payload fields are NULL, so the ignorenulls
+    # carry below is keyed on "was there a right row", not on field values.
+    payload = F.struct(F.col(right_on), *[F.col(c) for c in right_values])
     r = right.select(
         *by,
-        F.col(right_on),
-        *[F.col(c) for c in right_values],
+        F.col(right_on).alias("__rts"),
+        payload.alias("__r"),
         F.lit(0).alias("__tag"),
     )
     l = left.withColumn("__tag", F.lit(1))
-    unioned = l.unionByName(r, allowMissingColumns=True).withColumn("__ts", event_ts)
+    unioned = l.unionByName(r, allowMissingColumns=True).withColumn(
+        "__ts", F.coalesce(F.col(left_on), F.col("__rts"))
+    )
 
     w = (
         Window.partitionBy(*by)
         .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned
-    for c in [right_on, *right_values]:
-        carried = carried.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    carried = unioned.withColumn("__r", F.last(F.col("__r"), ignorenulls=True).over(w))
+    out = carried.filter(F.col("__tag") == 1)
 
-    out = carried.filter(F.col("__tag") == 1).drop("__tag", "__ts")
+    # Match validity (struct carried + inside tolerance) is computed once
+    # against the carried struct, then every output column unwraps in a
+    # single select — no column is read after being overwritten.
+    match_ok = F.col("__r").isNotNull()
     if tolerance is not None:
-        too_old = F.col(right_on) < F.col(left_on) - F.expr(f"INTERVAL {tolerance}")
-        for c in [right_on, *right_values]:
-            out = out.withColumn(c, F.when(too_old, F.lit(None)).otherwise(F.col(c)))
-    return out
+        match_ok = match_ok & (
+            F.col("__r")[right_on] >= F.col(left_on) - F.expr(f"INTERVAL {tolerance}")
+        )
+    return out.select(
+        *left.columns,
+        *[
+            F.when(match_ok, F.col("__r")[c]).alias(c)
+            for c in [right_on, *right_values]
+        ],
+    )

@@ -52,10 +52,15 @@ def det_hash(*cols: Column | str) -> Column:
 
 
 def sql_det_hash(*cols: str) -> str:
-    """DuckDB-side mirror of :func:`det_hash` (same fold, same constants)."""
+    """DuckDB-side mirror of :func:`det_hash` (same fold, same constants).
+    Each ``%`` is wrapped ``((x % P) + P) % P`` because SQL ``%`` takes the
+    dividend's sign while Spark's ``pmod`` is always non-negative — without
+    the wrap, negative keys would sample differently per engine."""
     expr = "CAST(0 AS BIGINT)"
     for c in cols:
-        expr = f"((({expr} + (CAST({c} AS BIGINT) % {_P})) * {_A} + {_B}) % {_P})"
+        inner = f"(((CAST({c} AS BIGINT) % {_P}) + {_P}) % {_P})"
+        step = f"(({expr} + {inner}) * {_A} + {_B})"
+        expr = f"((({step} % {_P}) + {_P}) % {_P})"
     return expr
 
 

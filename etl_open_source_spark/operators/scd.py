@@ -45,13 +45,16 @@ def scd2_apply(
     live = current.filter(F.col("is_current"))
     history = current.filter(~F.col("is_current"))
 
+    # __matched marks "an update row exists for this key" — attr values
+    # can't: an update that sets every tracked attr to NULL would otherwise
+    # be indistinguishable from no-match and silently ignored.
     u = updates.select(
-        *keys, *[F.col(a).alias(f"__u_{a}") for a in attrs]
+        *keys,
+        *[F.col(a).alias(f"__u_{a}") for a in attrs],
+        F.lit(True).alias("__matched"),
     )
     joined = live.join(u, keys, "left")
-    has_update = F.col(f"__u_{attrs[0]}").isNotNull() | functools.reduce(
-        lambda x, y: x | y, [F.col(f"__u_{a}").isNotNull() for a in attrs]
-    )
+    has_update = F.coalesce(F.col("__matched"), F.lit(False))
     changed = has_update & _any_attr_differs(attrs)
 
     closed_or_kept = joined.select(

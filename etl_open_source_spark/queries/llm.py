@@ -59,10 +59,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_ngram",
     oracle="""
 WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
   FROM w CROSS JOIN GENERATE_SERIES(1, 128) AS t(i)
   WHERE i <= LEN(ws) - 2
+),
+sh AS (
+  SELECT * FROM sh0
+  WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 100)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -83,10 +87,19 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5) via
     inverted-index self-join — the exact baseline for the LSH variants.
+
+    ``max_doc_freq=100`` is the skew guard: a shingle present in >100 docs
+    is dropped before the self-join, bounding every posting list (without
+    it, one shingle in 1M docs makes 10^12 join rows at scale). Pairs
+    similar ONLY through ultra-common shingles are missed by design; the
+    oracle mirrors the cap (HAVING COUNT(*) <= 100), and doc sizes are
+    computed after the drop on both sides.
     (Oracle shingles via a bounded 1..128 series: fixture docs are ≤100
     words; the engine itself has no such bound.)"""
     d = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return D.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=100
+    )
 
 
 @query("q_dedup_near", oracle=None, bench=True, tags=("llm", "dedup", "approx"))

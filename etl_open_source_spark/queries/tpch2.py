@@ -156,7 +156,7 @@ WITH val AS (
 )
 SELECT l_partkey, value
 FROM val
-WHERE value > (SELECT SUM(value) FROM val) * 0.01
+WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) FROM val) * 0.01
 ORDER BY value DESC, l_partkey
 """,
     tags=("tpch",),

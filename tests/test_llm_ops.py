@@ -47,6 +47,37 @@ def test_ngram_jaccard_planted_dups_found(docs):
         assert 0.5 <= r.jaccard <= 1.0
 
 
+def test_ngram_skew_guard_bounds_candidates(spark):
+    """A shingle present in EVERY doc must not blow up the inverted-index
+    self-join: with max_doc_freq set, the hot shingle's posting list is
+    dropped entirely, so candidate pairs come only from rare shingles.
+    Corpus: 40 docs all sharing one hot 3-gram prefix; two planted
+    near-dup pairs via rare tails."""
+    rows = []
+    for i in range(40):
+        rows.append((i, f"alpha beta gamma tail{i} mid{i} end{i} zz{i} q{i}"))
+    rows.append((100, "alpha beta gamma tailX midX endX zzX qX"))
+    rows.append((101, "alpha beta gamma tailX midX endX zzX qY"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    guarded = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.3, max_doc_freq=5
+    )
+    pairs = {(r.id_a, r.id_b) for r in guarded.collect()}
+    # the planted pair survives (shares rare shingles), and the hot-shingle
+    # clique (40*41/2 ≈ 820 candidate pairs unguarded) is gone
+    assert (100, 101) in pairs
+    assert len(pairs) < 10
+
+    # the guard also bounds the candidate join itself: every surviving
+    # posting list has <= max_doc_freq entries
+    sh = D.word_shingles(d, "doc_id", "text", 3, max_doc_freq=5)
+    from pyspark.sql import functions as F
+
+    max_df = sh.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    assert max_df <= 5
+
+
 def test_exact_dedup_deterministic_keep_lowest(docs):
     doubled = docs.unionByName(docs)
     kept = D.exact_dedup(doubled, ["text"], "doc_id")

@@ -99,6 +99,102 @@ def test_asof_join_matches_naive(spark_prop, left, right):
             assert got[lid] == best
 
 
+def _naive_asof_tol(left_rows, right_rows, tol_seconds):
+    """Reference with tolerance + NULL payloads: latest right with
+    ``lts - tol <= rts <= lts``; a matched row with a NULL value stays a
+    match (non-NULL rts, NULL val) — distinct from no-match (both NULL)."""
+    out = {}
+    for lid, key, lts in left_rows:
+        best = None
+        for key_r, rts, val in right_rows:
+            if key_r == key and rts <= lts and (best is None or rts > best[0]):
+                best = (rts, val)
+        if best is not None and tol_seconds is not None:
+            if best[0] < lts - timedelta(seconds=tol_seconds):
+                best = None
+        out[lid] = best
+    return out
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=8
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.booleans()),
+        min_size=0,
+        max_size=8,
+    ),
+    tol=st.sampled_from([None, 5, 20]),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_join_null_payloads_and_tolerance(spark_prop, left, right, tol):
+    """Regression for two foot-guns: (1) legitimately-NULL right payloads
+    must be carried as NULLs of the matched row, not skipped in favor of an
+    older non-NULL value; (2) tolerance must null ALL right columns of a
+    too-old match, payload included (the old per-column loop read the
+    already-nulled timestamp and kept stale payloads)."""
+    spark = spark_prop
+    base = datetime(2024, 1, 1)
+    left_rows = [
+        (i, key, base + timedelta(seconds=ts)) for i, (key, ts) in enumerate(left)
+    ]
+    seen = {}
+    for j, (key, ts, is_null) in enumerate(right):
+        seen[(key, ts)] = None if is_null else float(j * 10)
+    right_rows = [
+        (key, base + timedelta(seconds=ts), v) for (key, ts), v in seen.items()
+    ]
+    ldf = spark.createDataFrame(left_rows, "lid int, key int, lts timestamp")
+    rdf = spark.createDataFrame(right_rows, "key int, rts timestamp, val double")
+    got = {
+        r.lid: (r.rts, r.val)
+        for r in asof_join(
+            ldf,
+            rdf,
+            by=["key"],
+            left_on="lts",
+            right_on="rts",
+            right_values=["val"],
+            tolerance=None if tol is None else f"{tol} seconds",
+        ).collect()
+    }
+    want = _naive_asof_tol(left_rows, right_rows, tol)
+    for lid, best in want.items():
+        if best is None:
+            assert got[lid] == (None, None)
+        else:
+            assert got[lid] == best
+
+
+# ---------------------------------------------------------------- scd2
+
+
+def test_scd2_all_null_update_closes_version(spark_prop):
+    """An update that sets every tracked attr to NULL is a real change, not
+    a no-match: the current version must close and a NULL-attr version must
+    open (regression for the attr-non-nullness match heuristic)."""
+    from etl_open_source_spark.operators.scd import scd2_apply
+
+    cur = spark_prop.createDataFrame(
+        [(1, "a@x.com", "2020-01-01 00:00:00", "2200-01-01 00:00:00", True)],
+        "id int, email string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "id",
+        "email",
+        "CAST(valid_from AS TIMESTAMP) valid_from",
+        "CAST(valid_to AS TIMESTAMP) valid_to",
+        "is_current",
+    )
+    upd = spark_prop.createDataFrame([(1, None)], "id int, email string")
+    out = scd2_apply(cur, upd, ["id"], ["email"], "2021-06-01 00:00:00")
+    rows = sorted(out.collect(), key=lambda r: (r.valid_from, r.is_current))
+    assert len(rows) == 2
+    closed, opened = rows
+    assert closed.is_current is False and str(closed.valid_to).startswith("2021-06-01")
+    assert opened.is_current is True and opened.email is None
+
+
 # --------------------------------------------------------------- merge
 
 

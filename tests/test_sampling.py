@@ -89,6 +89,25 @@ def test_split_rejects_bad_fractions(spark, sf_dir):
         train_test_split(l, ["l_orderkey"], {"a": 0.5, "b": 0.4})
 
 
+def test_hash_fold_matches_sql_for_negative_keys(spark):
+    """The 'any engine reproduces it' contract: Spark's pmod fold and the
+    emitted SQL fold must agree for NEGATIVE keys too (SQL % takes the
+    dividend's sign; the emitted SQL wraps every step non-negative)."""
+    import duckdb
+
+    from etl_open_source_spark.operators.sampling import sql_det_hash
+
+    keys = [-5, -1, 0, 1, 42, -(10**12), 10**12, -987654321]
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    got = {r["k"]: r["h"] for r in df.withColumn("h", det_hash("k")).collect()}
+    sql = sql_det_hash("k")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+    want = {k: h for k, h in con.sql(f"SELECT k, {sql} AS h FROM t").fetchall()}
+    assert got == want
+
+
 def test_single_key_hash_spreads(spark):
     """Regression: the fold must mix even ONE small integer key — an
     add-only fold maps doc_id -> doc_id and every small id lands in bucket
