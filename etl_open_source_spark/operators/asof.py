@@ -51,41 +51,55 @@ def asof_join(
     if overlap:
         raise ValueError(f"column collision between sides: {sorted(overlap)} — rename first")
 
+    # Internal working columns must not collide with either side's schema —
+    # grow a suffix until every candidate is free.
+    taken = set(left.columns) | set(right.columns)
+    suffix = ""
+    while any(f"__{b}{suffix}" in taken for b in ("r", "rts", "ts", "tag")):
+        suffix += "_"
+    c_r, c_rts, c_ts, c_tag = (f"__{b}{suffix}" for b in ("r", "rts", "ts", "tag"))
+
     # The whole right row rides in one struct: the struct is non-NULL for
     # every right row even when payload fields are NULL, so the ignorenulls
     # carry below is keyed on "was there a right row", not on field values.
+    # Right rows with NULL event time can never satisfy l.ts >= r.ts, so
+    # drop them up front (matches DuckDB ASOF NULL semantics — otherwise
+    # they'd sort first under nulls-first and be carried onto every left
+    # row in an otherwise-empty partition).
     payload = F.struct(F.col(right_on), *[F.col(c) for c in right_values])
-    r = right.select(
+    r = right.filter(F.col(right_on).isNotNull()).select(
         *by,
-        F.col(right_on).alias("__rts"),
-        payload.alias("__r"),
-        F.lit(0).alias("__tag"),
+        F.col(right_on).alias(c_rts),
+        payload.alias(c_r),
+        F.lit(0).alias(c_tag),
     )
-    l = left.withColumn("__tag", F.lit(1))
+    l = left.withColumn(c_tag, F.lit(1))
     unioned = l.unionByName(r, allowMissingColumns=True).withColumn(
-        "__ts", F.coalesce(F.col(left_on), F.col("__rts"))
+        c_ts, F.coalesce(F.col(left_on), F.col(c_rts))
     )
 
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+        .orderBy(F.col(c_ts).asc(), F.col(c_tag).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.withColumn("__r", F.last(F.col("__r"), ignorenulls=True).over(w))
-    out = carried.filter(F.col("__tag") == 1)
+    carried = unioned.withColumn(c_r, F.last(F.col(c_r), ignorenulls=True).over(w))
+    out = carried.filter(F.col(c_tag) == 1)
 
-    # Match validity (struct carried + inside tolerance) is computed once
-    # against the carried struct, then every output column unwraps in a
-    # single select — no column is read after being overwritten.
-    match_ok = F.col("__r").isNotNull()
+    # Match validity (struct carried + non-NULL left time + inside
+    # tolerance) is computed once against the carried struct, then every
+    # output column unwraps in a single select — no column is read after
+    # being overwritten.  A NULL left_on can't match (l.ts >= r.ts is
+    # NULL-falsy in the reference semantics).
+    match_ok = F.col(c_r).isNotNull() & F.col(left_on).isNotNull()
     if tolerance is not None:
         match_ok = match_ok & (
-            F.col("__r")[right_on] >= F.col(left_on) - F.expr(f"INTERVAL {tolerance}")
+            F.col(c_r)[right_on] >= F.col(left_on) - F.expr(f"INTERVAL {tolerance}")
         )
     return out.select(
         *left.columns,
         *[
-            F.when(match_ok, F.col("__r")[c]).alias(c)
+            F.when(match_ok, F.col(c_r)[c]).alias(c)
             for c in [right_on, *right_values]
         ],
     )

@@ -167,6 +167,59 @@ def test_asof_join_null_payloads_and_tolerance(spark_prop, left, right, tol):
             assert got[lid] == best
 
 
+def test_asof_join_null_event_times(spark_prop):
+    """NULL event times on either side never produce a match (DuckDB ASOF
+    ``l.ts >= r.ts`` is NULL-falsy): a right row with NULL rts must not be
+    carried onto any left row, and a left row with NULL lts matches
+    nothing."""
+    spark = spark_prop
+    base = datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(0, 1, base), (1, 1, None), (2, 2, base)],
+        "lid int, key int, lts timestamp",
+    )
+    # key 1: one real + one NULL-ts right row; key 2: ONLY a NULL-ts row
+    rdf = spark.createDataFrame(
+        [(1, base, 10.0), (1, None, 99.0), (2, None, 77.0)],
+        "key int, rts timestamp, val double",
+    )
+    got = {
+        r.lid: (r.rts, r.val)
+        for r in asof_join(
+            ldf, rdf, by=["key"], left_on="lts", right_on="rts", right_values=["val"]
+        ).collect()
+    }
+    assert got[0] == (base, 10.0)  # real right row still matches
+    assert got[1] == (None, None)  # NULL left ts: no match
+    assert got[2] == (None, None)  # only NULL-ts right rows: no match
+
+
+def test_asof_join_internal_name_collision(spark_prop):
+    """Left/right columns named like the operator's working columns
+    (__r/__rts/__ts/__tag) must survive untouched — internal names are
+    generated collision-free, not reserved."""
+    spark = spark_prop
+    base = datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(0, 1, base + timedelta(seconds=5), "keepme", 7)],
+        "lid int, key int, lts timestamp, __ts string, __tag int",
+    )
+    rdf = spark.createDataFrame(
+        [(1, base, 10.0, "rkeep")],
+        "key int, rts timestamp, val double, __r string",
+    )
+    row = asof_join(
+        ldf,
+        rdf,
+        by=["key"],
+        left_on="lts",
+        right_on="rts",
+        right_values=["val", "__r"],
+    ).collect()[0]
+    assert row["__ts"] == "keepme" and row["__tag"] == 7
+    assert row["val"] == 10.0 and row["__r"] == "rkeep"
+
+
 # ---------------------------------------------------------------- scd2
 
 
