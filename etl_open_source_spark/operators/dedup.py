@@ -39,28 +39,42 @@ def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
 def word_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, max_doc_freq: int | None = None
 ) -> DataFrame:
-    """Distinct word n-gram shingles: (id, shingle). ``max_doc_freq`` drops
-    shingles appearing in more than that many docs — the skew guard for the
-    inverted-index join (a shingle in 1M docs creates 10^12 join rows);
-    pairs sharing ONLY ultra-common shingles are then missed, by design."""
+    """Distinct word n-gram shingles: (id, shingle) with the shingle as a
+    64-bit xxhash64 of its n words — the n-gram string is never built
+    (no concat allocations) and every downstream join/groupBy keys on an
+    8-byte long instead of a ~20-byte string. Collisions merge two
+    distinct n-grams with p ≈ |shingles|²/2⁶⁵ (≈1e-9 at 10⁵ shingles;
+    ~ppb error in intersection counts at 10¹² — the standard trade in
+    shingle-based dedup, and what MinHash does anyway).
+
+    ``max_doc_freq`` drops shingles appearing in more than that many docs
+    — the skew guard for the inverted-index join (a shingle in 1M docs
+    creates 10^12 join rows); pairs sharing ONLY ultra-common shingles are
+    then missed, by design."""
     words = F.split(F.lower(F.col(text_col)), " ")
     # direct ws[i] indexing codegens ~6x faster than slice()-per-shingle
-    # (no sub-array allocation per element)
-    terms = " , ' ', ".join(f"__ws[i+{j}]" for j in range(n))
-    sh = F.expr(f"transform(sequence(0, size(__ws) - {n}), i -> concat({terms}))")
+    # (no sub-array allocation per element); multi-arg xxhash64 chains the
+    # running hash as seed so word boundaries stay unambiguous
+    terms = ", ".join(f"__ws[i+{j}]" for j in range(n))
+    sh = F.expr(f"transform(sequence(0, size(__ws) - {n}), i -> xxhash64({terms}))")
     out = (
         df.withColumn("__ws", words)
         .filter(F.size("__ws") >= n)
         .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
     )
     if max_doc_freq is not None:
+        # The hot list is |{shingles with df > cap}| — tiny by construction
+        # (bounded by corpus_size/cap) — so broadcast it: the anti-join then
+        # costs one map-side pass instead of re-shuffling every (id, shingle)
+        # pair. The df count itself is map-side-combinable (partial counts
+        # per distinct shingle per task), never a full-row shuffle.
         hot = (
             out.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_doc_freq)
             .select("shingle")
         )
-        out = out.join(hot, "shingle", "left_anti")
+        out = out.join(F.broadcast(hot), "shingle", "left_anti")
     return out
 
 
@@ -96,14 +110,21 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """All pairs with word-n-gram Jaccard >= threshold, computed exactly via
-    an inverted-index self-join (shingle → docs). The exact baseline the
-    probabilistic methods are judged against."""
+    """All pairs with word-n-gram Jaccard >= threshold, computed exactly
+    from the inverted index (shingle → sorted posting list). The exact
+    baseline the probabilistic methods are judged against.
+
+    Plan: hashed-shingle inverted-index self-join (long keys, see
+    word_shingles) with the intersection count aggregated straight off the
+    join (map-side partial agg). ``max_doc_freq`` bounds every posting
+    list via the upstream broadcast anti-join; without a cap this is
+    O(Σ postings²) by design (verification baseline only).
+    [Measured: a collect_list posting-list plan with in-row pair explode
+    loses to this self-join on local[32] — the list shuffle + struct
+    explode costs more than the second join-side shuffle it saves.]"""
     sh = word_shingles(df, id_col, text_col, n, max_doc_freq).persist()
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
-    # intersection counts directly from the inverted-index join — no
-    # intermediate distinct-pairs materialization + re-join
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -143,15 +164,15 @@ def _affine_constants(num_hashes: int) -> list[tuple[int, int]]:
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 64) -> DataFrame:
     """(id, h0..h{n-1}): elementwise min over the doc's shingle set of the
-    universal family h_i(x) = (a_i·x + b_i) mod p — ONE string hash per
-    shingle (xxhash64 folded into [0,p)), then 64 cheap long affine
-    transforms (the standard MinHash trick; 64 independent string hashes
-    would cost 64× the CPU). One shuffle; signature size constant
-    regardless of doc length."""
+    universal family h_i(x) = (a_i·x + b_i) mod p, then 64 cheap long
+    affine transforms (the standard MinHash trick; 64 independent string
+    hashes would cost 64× the CPU). One shuffle; signature size constant
+    regardless of doc length. Shingles arrive already 64-bit-hashed from
+    word_shingles, so the base value is just a fold into [0, p)."""
     p = F.lit(_MERSENNE_31)
-    # hash once per row into a column — 64 agg exprs each re-evaluating
-    # xxhash64(shingle) would not be CSE'd across aggregates
-    hashed = shingles.withColumn("__hb", F.pmod(F.xxhash64(F.col("shingle")), p))
+    # fold once per row into a column — 64 agg exprs each re-folding
+    # would not be CSE'd across aggregates
+    hashed = shingles.withColumn("__hb", F.pmod(F.col("shingle"), p))
     aggs = [
         F.min(F.pmod(F.col("__hb") * F.lit(a) + F.lit(b), p)).alias(f"h{i}")
         for i, (a, b) in enumerate(_affine_constants(num_hashes))

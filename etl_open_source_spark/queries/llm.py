@@ -93,7 +93,9 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     it, one shingle in 1M docs makes 10^12 join rows at scale). Pairs
     similar ONLY through ultra-common shingles are missed by design; the
     oracle mirrors the cap (HAVING COUNT(*) <= 100), and doc sizes are
-    computed after the drop on both sides.
+    computed after the drop on both sides. The engine keys shingles by
+    xxhash64 (the oracle by string) — outputs agree unless two distinct
+    n-grams collide in 64 bits (p ≈ 1e-9 at fixture scale).
     (Oracle shingles via a bounded 1..128 series: fixture docs are ≤100
     words; the engine itself has no such bound.)"""
     d = load_table(spark, sf_dir, "documents")
