@@ -50,12 +50,21 @@ def main() -> None:
         for name, qd in sorted(bench_queries.items()):
             qd.fn(spark, warm_dir).count()
 
+    # 3 samples per query, report the median — single-shot numbers made
+    # round-over-round deltas noise-dominated. clearCache between samples:
+    # operators that persist() intermediates must pay their materialization
+    # every sample (and not accumulate cache across repetitions).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name, qd in sorted(bench_queries.items()):
-        t0 = time.perf_counter()
-        df = qd.fn(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = qd.fn(spark, sf_dir)
+            df.count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
