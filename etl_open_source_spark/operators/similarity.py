@@ -94,13 +94,43 @@ def ivf_assign(
 
 
 def sample_centroids(corpus: DataFrame, n: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Deterministic centroid seed: the n smallest ids. (A real deployment
-    would run k-means|| — spark.ml KMeans — over a sample; the IVF
-    mechanics downstream are identical.)"""
+    """Cheapest deterministic centroid seed: the n smallest ids (compiles
+    to TakeOrdered — no global sort). Bucket balance is arbitrary; use
+    ``kmeans_centroids`` for real recall, this for reproducible tests."""
     return (
         corpus.orderBy(id_col)
         .limit(n)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid"))
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Proper IVF centroids: k-means|| (spark.ml KMeans) over the corpus
+    (or a uniform sample of it — at 10^9+ vectors fit on a few-million-row
+    sample; the assignment pass downstream still sees every vector).
+    Returns (centroid_id, centroid: array<double>) — n rows, driver-sized,
+    always broadcastable."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = corpus.select(as_double(vec_col).alias("__v"))
+    if sample_fraction is not None:
+        v = v.sample(fraction=sample_fraction, seed=seed)
+    ds = v.select(array_to_vector(F.col("__v")).alias("features"))
+    model = KMeans(k=n, seed=seed, maxIter=max_iter, initMode="k-means||").fit(ds)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        centers, "centroid_id int, centroid array<double>"
     )
 
 
