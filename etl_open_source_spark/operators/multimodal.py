@@ -55,13 +55,51 @@ def extract_binary_metadata(df: DataFrame, id_col: str = "id", bin_col: str = "p
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real image decode — requires an imaging library not present in this
-    container. The mapInPandas plumbing around it is real; swap this
-    function for PIL/OpenCV in production."""
-    raise NotImplementedError(
-        "image decoding requires an imaging library (e.g. PIL); "
-        "use fake_decode_image for deterministic tests"
-    )
+    """Dependency-free image header decode: PNG/APNG, GIF, BMP, JPEG.
+
+    Parses real encoded bytes — width/height from the format header,
+    frame count where the container carries it (APNG acTL; GIF via the
+    one-graphic-control-extension-per-frame heuristic). ``mean_luma`` is
+    NULL: pixel statistics need a full pixel decode (PIL/OpenCV in
+    production — swap the ``decoder`` argument); header metadata is what
+    a 100 TB triage/filter pass actually reads."""
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        # IHDR is mandatory-first: sig(8) len(4) 'IHDR'(4) width(4) height(4)
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        i = b.find(b"acTL")  # APNG animation control: num_frames follows
+        frames = int.from_bytes(b[i + 4 : i + 8], "big") if i != -1 else 1
+        return {"width": w, "height": h, "n_frames": frames, "mean_luma": None}
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        frames = max(1, b.count(b"\x21\xf9\x04"))
+        return {"width": w, "height": h, "n_frames": frames, "mean_luma": None}
+    if b[:2] == b"BM":
+        # BITMAPINFOHEADER at offset 14; height negative = top-down rows
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = abs(int.from_bytes(b[22:26], "little", signed=True))
+        return {"width": w, "height": h, "n_frames": 1, "mean_luma": None}
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD8:
+                i += 2  # padding / standalone markers have no length field
+                continue
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            # SOFn carry dimensions (excluding DHT/JPG/DAC pseudo-SOFs)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return {"width": w, "height": h, "n_frames": 1, "mean_luma": None}
+            i += 2 + seg_len
+        raise ValueError("JPEG without SOF marker (truncated?)")
+    raise ValueError(f"unsupported image format (magic: {b[:8]!r})")
 
 
 def fake_decode_image(payload: bytes) -> dict:

@@ -409,3 +409,47 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     binary = M.with_binary_column(d, "doc_id", "text")
     return M.extract_binary_metadata(binary)
+
+
+@query(
+    "q_multimodal_decode",
+    oracle="""
+SELECT doc_id AS id,
+       CAST(doc_id % 500 + 16 AS INT) AS width,
+       CAST((doc_id * 7) % 500 + 16 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 7 + 1 ELSE 1 END AS INT) AS n_frames
+FROM documents
+""",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the Arrow-batched stage: each row gets a
+    genuinely encoded PNG (signature + IHDR, APNG acTL on every 3rd doc)
+    built in-engine from doc_id via hex → unhex, and the header decoder
+    (operators/multimodal.py decode_image — no imaging library) parses the
+    bytes back. The oracle computes the same dimensions straight from
+    doc_id arithmetic, so any byte-construction or parsing slip
+    hash-mismatches. mean_luma needs a pixel decode and is excluded."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.col("doc_id") % 500 + 16
+    h = (F.col("doc_id") * 7) % 500 + 16
+    frames = F.col("doc_id") % 7 + 1
+    ihdr = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"),  # PNG sig + IHDR len/tag
+        F.lpad(F.hex(w), 8, "0"),
+        F.lpad(F.hex(h), 8, "0"),
+        F.lit("080600000000000000"),  # depth/color/comp/filter/interlace + CRC
+    )
+    actl = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("000000086163544C"),  # len(8) + 'acTL'
+            F.lpad(F.hex(frames), 8, "0"),
+            F.lit("0000000000000000"),  # num_plays + CRC
+        ),
+    ).otherwise(F.lit(""))
+    binary = d.select(
+        F.col("doc_id").alias("id"), F.unhex(F.concat(ihdr, actl)).alias("payload")
+    )
+    feats = M.extract_image_features(binary, decoder=M.decode_image)
+    return feats.select("id", "width", "height", "n_frames")
