@@ -123,6 +123,46 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(d, "doc_id", "text", max_hamming=4)
 
 
+@query(
+    "q_dedup_embedding_planted",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+planted AS (
+  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x * 1.5) AS v
+  FROM base WHERE vec_id < 25
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND({_sql_dot('a.v', 'b.v')} /
+               (SQRT({_sql_dot('a.v', 'a.v')}) * SQRT({_sql_dot('b.v', 'b.v')})), 6) AS sim
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.98
+""",
+    tags=("llm", "dedup", "approx"),
+)
+def q_dedup_embedding_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at the production threshold (0.98) over a corpus
+    with planted duplicates: vec_id < 25 re-enter as exact scalar multiples
+    (×1.5, ids +1e6). Scaling preserves cosine AND every sign-LSH plane
+    sign bit exactly — sign(1.5·d) = sign(d) — so the planted pairs collide
+    in every band deterministically and LSH recall is exactly 1 here,
+    which is what makes a hash-exact oracle possible for an LSH method:
+    the oracle brute-forces all-pairs cosine >= 0.98 and must agree."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", S.as_double("embedding").alias("embedding")
+    )
+    copies = e.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.5).alias("embedding"),
+    )
+    return S.embedding_near_dup_pairs(e.unionByName(copies), threshold=0.98)
+
+
 @query("q_dedup_embedding", oracle=None, tags=("llm", "dedup", "approx"))
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine high-similarity pairs via sign-LSH banding + exact
