@@ -12,7 +12,40 @@ from pyspark.sql import SparkSession
 
 from etl_open_source_spark.plans.models import ConnectionConfig
 
-SUPPORTED_TYPES = {"parquet", "csv", "json", "jdbc"}
+SUPPORTED_TYPES = {"parquet", "csv", "json", "jdbc", "sqlserver", "postgres", "mysql", "mongo"}
+
+_DIALECT_TYPES = {"sqlserver", "postgres", "mysql"}
+
+
+def jdbc_connection_options(conn: ConnectionConfig) -> dict[str, str]:
+    """Resolve a connection config to JDBC reader options. ``jdbc`` takes a
+    raw params['url']; the dialect types (sqlserver/postgres/mysql) build
+    the URL + driver class from host/database/port/user/password — the
+    engine's version of the reference's per-DBMS connection-string builder
+    (core/extractors/sqlserver.py:28-41)."""
+    if conn.type == "jdbc":
+        url = conn.params.get("url")
+        if not url:
+            raise ValueError("jdbc connection needs params['url']")
+        return dict(conn.params)
+    if conn.type in _DIALECT_TYPES:
+        from etl_open_source_spark.sources.readers import dialect_jdbc_options
+
+        missing = [k for k in ("host", "database") if not conn.params.get(k)]
+        if missing:
+            raise ValueError(f"{conn.type} connection needs params{missing}")
+        params = dict(conn.params)
+        port = params.pop("port", None)
+        return dialect_jdbc_options(
+            conn.type,
+            params.pop("host"),
+            params.pop("database"),
+            port=int(port) if port is not None else None,
+            user=params.pop("user", None),
+            password=params.pop("password", None),
+            **params,
+        )
+    raise ValueError(f"not a JDBC-family connection: {conn.type!r}")
 
 
 def test_connection(spark: SparkSession, conn: ConnectionConfig) -> tuple[bool, str]:
@@ -21,19 +54,31 @@ def test_connection(spark: SparkSession, conn: ConnectionConfig) -> tuple[bool, 
     if conn.type not in SUPPORTED_TYPES:
         return False, f"unsupported connection type: {conn.type!r}"
     try:
-        if conn.type == "jdbc":
-            url = conn.params.get("url")
-            if not url:
-                return False, "jdbc connection needs params['url']"
+        if conn.type == "jdbc" or conn.type in _DIALECT_TYPES:
+            opts = jdbc_connection_options(conn)
+            opts.pop("url_query", None)
             # SELECT 1 probe, same as the reference's test query
             (
                 spark.read.format("jdbc")
-                .option("url", url)
+                .options(**opts)
                 .option("query", "SELECT 1")
-                .options(**{k: v for k, v in conn.params.items() if k != "url"})
                 .load()
                 .collect()
             )
+        elif conn.type == "mongo":
+            from etl_open_source_spark.sources.readers import mongo_read_options
+
+            missing = [
+                k for k in ("uri", "database", "collection") if not conn.params.get(k)
+            ]
+            if missing:
+                return False, f"mongo connection needs params{missing}"
+            params = dict(conn.params)
+            opts = mongo_read_options(
+                params.pop("uri"), params.pop("database"), params.pop("collection"), **params
+            )
+            # schema probe; needs the connector jar + live server
+            spark.read.format("mongodb").options(**opts).load().schema
         else:
             path = conn.params.get("path")
             if not path:

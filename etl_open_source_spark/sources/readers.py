@@ -87,3 +87,85 @@ def jdbc_query_options(url: str, query: str, **extra: str) -> dict[str, str]:
     (user-supplied SQL string executed by the source DBMS,
     core/extractors/sqlserver.py:46-55)."""
     return {"url": url, "query": query, **extra}
+
+
+# Per-dialect URL shapes + driver classes — the Spark-side analog of the
+# reference's ODBC connection-string builder (core/extractors/
+# sqlserver.py:28-41: host, port-with-default, database, user, password)
+# extended to the dialects the reference declares but stubs (postgres/
+# mysql extractors, SURVEY §2.B).
+_JDBC_DIALECTS: dict[str, tuple[str, int, str]] = {
+    "sqlserver": (
+        "jdbc:sqlserver://{host}:{port};databaseName={database}",
+        1433,
+        "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+    ),
+    "postgres": (
+        "jdbc:postgresql://{host}:{port}/{database}",
+        5432,
+        "org.postgresql.Driver",
+    ),
+    "mysql": (
+        "jdbc:mysql://{host}:{port}/{database}",
+        3306,
+        "com.mysql.cj.jdbc.Driver",
+    ),
+}
+
+
+def dialect_jdbc_options(
+    dialect: str,
+    host: str,
+    database: str,
+    port: int | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    **extra: str,
+) -> dict[str, str]:
+    """URL + driver-class + credential options for a named DBMS dialect,
+    ready to merge into ``jdbc_read_options``/``jdbc_query_options``.
+    Credentials ride as separate options (not URL-embedded) so URLs are
+    loggable."""
+    if dialect not in _JDBC_DIALECTS:
+        raise ValueError(
+            f"unknown JDBC dialect {dialect!r}; supported: {sorted(_JDBC_DIALECTS)}"
+        )
+    template, default_port, driver_class = _JDBC_DIALECTS[dialect]
+    opts = {
+        "url": template.format(host=host, port=port or default_port, database=database),
+        "driver": driver_class,
+    }
+    if user is not None:
+        opts["user"] = user
+    if password is not None:
+        opts["password"] = password
+    opts.update(extra)
+    return opts
+
+
+def mongo_read_options(
+    uri: str,
+    database: str,
+    collection: str,
+    pipeline: list[dict] | str | None = None,
+    **extra: str,
+) -> dict[str, str]:
+    """Options for the Spark MongoDB connector (format ``mongodb``) —
+    closes the reference's declared-but-stubbed Mongo extractor
+    (core/extractors/mongo.py, README "à venir"). ``pipeline`` is an
+    aggregation pipeline pushed down to the server (list → JSON)."""
+    import json
+
+    opts = {"connection.uri": uri, "database": database, "collection": collection}
+    if pipeline is not None:
+        opts["aggregation.pipeline"] = (
+            pipeline if isinstance(pipeline, str) else json.dumps(pipeline)
+        )
+    opts.update(extra)
+    return opts
+
+
+def read_mongo(spark: SparkSession, **kwargs) -> DataFrame:
+    """Apply ``mongo_read_options`` to a real reader (needs the MongoDB
+    Spark connector jar + a live server — neither in this harness)."""
+    return spark.read.format("mongodb").options(**mongo_read_options(**kwargs)).load()

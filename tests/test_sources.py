@@ -80,10 +80,73 @@ def test_connection_probe_failures(spark):
     )
     assert not ok and "failed" in msg
     ok, msg = probe_connection(
-        spark, ConnectionConfig(id="c3", name="bad", type="mongo", params={})
+        spark, ConnectionConfig(id="c3", name="bad", type="ftp", params={})
     )
     assert not ok and "unsupported" in msg
     ok, msg = probe_connection(
         spark, ConnectionConfig(id="c4", name="bad", type="jdbc", params={})
     )
     assert not ok and "url" in msg
+    ok, msg = probe_connection(
+        spark, ConnectionConfig(id="c5", name="bad", type="mongo", params={})
+    )
+    assert not ok and "uri" in msg
+    ok, msg = probe_connection(
+        spark, ConnectionConfig(id="c6", name="bad", type="postgres", params={"host": "h"})
+    )
+    assert not ok and "database" in msg
+
+
+def test_dialect_jdbc_options():
+    from etl_open_source_spark.sources.readers import dialect_jdbc_options
+
+    opts = dialect_jdbc_options(
+        "sqlserver", "db.corp", "sales", user="u", password="p"
+    )
+    assert opts["url"] == "jdbc:sqlserver://db.corp:1433;databaseName=sales"
+    assert opts["driver"] == "com.microsoft.sqlserver.jdbc.SQLServerDriver"
+    assert opts["user"] == "u" and opts["password"] == "p"
+
+    opts = dialect_jdbc_options("postgres", "pg", "app", port=5544)
+    assert opts["url"] == "jdbc:postgresql://pg:5544/app"
+    assert opts["driver"] == "org.postgresql.Driver"
+    assert "user" not in opts  # optional credentials stay absent
+
+    opts = dialect_jdbc_options("mysql", "my", "app")
+    assert opts["url"] == "jdbc:mysql://my:3306/app"
+
+    with pytest.raises(ValueError, match="unknown JDBC dialect"):
+        dialect_jdbc_options("oracle", "h", "d")
+
+
+def test_dialect_connection_builds_jdbc_options():
+    from etl_open_source_spark.plans.connections import jdbc_connection_options
+
+    opts = jdbc_connection_options(
+        ConnectionConfig(
+            id="c7",
+            name="pg",
+            type="postgres",
+            params={"host": "pg", "database": "app", "port": "5544",
+                    "user": "u", "password": "p", "fetchsize": "500"},
+        )
+    )
+    assert opts["url"] == "jdbc:postgresql://pg:5544/app"
+    assert opts["driver"] == "org.postgresql.Driver"
+    assert opts["fetchsize"] == "500"  # extra params pass through
+
+
+def test_mongo_read_options():
+    from etl_open_source_spark.sources.readers import mongo_read_options
+
+    opts = mongo_read_options("mongodb://h:27017", "app", "events")
+    assert opts == {
+        "connection.uri": "mongodb://h:27017",
+        "database": "app",
+        "collection": "events",
+    }
+    opts = mongo_read_options(
+        "mongodb://h", "app", "events",
+        pipeline=[{"$match": {"kind": "view"}}],
+    )
+    assert opts["aggregation.pipeline"] == '[{"$match": {"kind": "view"}}]'
