@@ -36,33 +36,36 @@ _MODULES = [
     "tpch2",
 ]
 
-# Queries that should occupy the front of the registry this round — every
-# name here lacked a CORRECTNESS_r01 row (driver checked positions 1-50
-# only).  Order within the list = expected driver check order.
+# Queries that should occupy the front of the registry this round — rounds
+# 1+2 together drove 100 distinct registry entries green; this rotation
+# covers the 29 entries never inside the driver's 50-slot window, the 2
+# queries new in round 3, and 19 re-checks of round-1-verified families
+# whose code was refactored since (asof rewrite, hashed-shingle dedup).
+# Order within the list = expected driver check order.
 _VERIFY_FIRST = [
-    # TPC-H pack (21) — the highest-risk oracles: multi-join, decimal aggs
-    "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
-    "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q11",
-    "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16",
-    "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q21",
-    "q_tpch_q22",
-    # LLM-pipeline ops with exact oracles (11)
-    "q_dedup_exact", "q_dedup_ngram", "q_sim_topk", "q_vector_agg",
-    "q_text_stats", "q_text_tf", "q_text_langid", "q_text_quality",
-    "q_text_tokens", "q_text_fingerprint", "q_multimodal_meta",
-    # streaming window semantics (4)
-    "q_window_tumbling", "q_window_sliding", "q_window_session",
-    "q_stream_dedup",
-    # UDF family (4)
-    "q_udf_scalar", "q_udf_pandas", "q_udaf_pandas", "q_udtf",
-    # batch windows not yet driver-checked (5)
-    "q_window_running", "q_window_range_frame", "q_window_ntile",
-    "q_window_first_last", "q_topk_per_group",
-    # deterministic sampling (4)
-    "q_sample_uniform", "q_sample_stratified", "q_sample_weighted",
-    "q_sample_split",
-    # new this round (1)
-    "q_sink_csv_roundtrip",
+    # --- the 29 never-driver-checked entries (VERDICT r2 "Next round" #1)
+    "q_scd2", "q_merge_upsert", "q_sql_transform",
+    "q_subquery_scalar", "q_subquery_correlated",
+    "q_ts_gapfill",
+    "q_agg_percentile", "q_agg_approx_percentile", "q_agg_salted", "q_agg_stats",
+    "q_fn_string2", "q_fn_bitwise", "q_fn_map",
+    "q_explode_outer", "q_filter_not_in_nulls", "q_window_percent_rank",
+    "q_catalog_list_tables", "q_catalog_table_schema",
+    "q_catalog_list_columns", "q_catalog_fk_graph",
+    "q_sanitize_nulls", "q_sink_append", "q_sink_replace",
+    "q_profile_columns", "q_quality_checks",
+    "q_dedup_near", "q_dedup_simhash", "q_dedup_embedding", "q_sim_ann",
+    # --- new in round 3 (2)
+    "q_multimodal_decode", "q_dedup_embedding_planted",
+    # --- re-checks: r1-green families refactored since their driver row (19)
+    "q_join_asof",      # operator rewritten (NULL semantics, internal names)
+    "q_dedup_ngram",    # hashed shingles + broadcast skew cap
+    "q_dedup_exact",
+    "q_agg_global", "q_agg_groupby", "q_agg_distinct", "q_agg_having",
+    "q_agg_rollup", "q_agg_cube", "q_agg_groupingsets", "q_agg_pivot",
+    "q_agg_collect",
+    "q_join_inner", "q_join_left", "q_join_full", "q_join_semi",
+    "q_join_anti", "q_join_broadcast", "q_join_multikey",
 ]
 
 _loaded = False
@@ -83,7 +86,15 @@ def _reorder() -> None:
     list order), then everything else in original registration order."""
     from etl_open_source_spark.registry import REGISTRY
 
-    front = {n: REGISTRY[n] for n in _VERIFY_FIRST if n in REGISTRY}
+    # A typo or query rename must fail loudly, not silently shrink the
+    # driver's verification window (ADVICE r2).
+    unknown = [n for n in _VERIFY_FIRST if n not in REGISTRY]
+    assert not unknown, f"_VERIFY_FIRST names not in REGISTRY: {unknown}"
+    assert len(_VERIFY_FIRST) == len(set(_VERIFY_FIRST)) == 50, (
+        f"_VERIFY_FIRST must hold exactly the driver's 50 window slots, "
+        f"got {len(_VERIFY_FIRST)}"
+    )
+    front = {n: REGISTRY[n] for n in _VERIFY_FIRST}
     rest = {n: qd for n, qd in REGISTRY.items() if n not in front}
     REGISTRY.clear()
     REGISTRY.update(front)
