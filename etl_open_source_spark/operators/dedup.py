@@ -222,6 +222,79 @@ def minhash_lsh_pairs(
     return _jaccard_on_pairs(candidates, sh).filter(F.col("jaccard") >= threshold)
 
 
+# ------------------------------------------------- cluster formation
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """Group near-dup pairs (id_a, id_b) into clusters: returns (id, rep)
+    where ``rep`` is the smallest id in the node's connected component —
+    the canonical representative for keep-one dedup.
+
+    Algorithm: iterative min-label propagation. Every node starts labeled
+    with itself; each round every node takes the min label over itself and
+    its neighbors; stop when no label changes. Converges in O(component
+    diameter) rounds — near-dup components are overwhelmingly small/dense
+    (dup clusters, not long chains), so this is 2-4 rounds in practice.
+    Each round is one shuffle (join) + one groupBy; intermediate label
+    sets are persisted and the loop's convergence check reuses the next
+    round's aggregation (no extra pass). The driver only ever sees a
+    one-row count — nothing is collected.
+
+    At 100 TB-scale graphs with adversarially long chains, switch to the
+    large-star/small-star variant (Kiveris et al., "Connected Components
+    in MapReduce and Beyond") — same primitive ops, O(log n) rounds."""
+    # undirected edge list, both directions
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("rep", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        # every node pulls its neighbors' current labels, keeps the min of
+        # (own label, neighbor labels)
+        neighbor_labels = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .select(F.col("src").alias("id"), "rep")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("rep").alias("rep"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("rep", "old_rep"), "id")
+            .filter(F.col("rep") != F.col("old_rep"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Keep-one-per-cluster dedup: drop every row whose id belongs to a
+    near-dup component but is not its minimum-id representative. Rows in
+    no pair survive untouched (they are their own component)."""
+    # drop set scales with the duplicate count (can be huge) — shuffle
+    # anti-join, not broadcast
+    drop = connected_components(pairs).filter(F.col("id") != F.col("rep")).select("id")
+    return df.join(drop, df[id_col] == drop["id"], "left_anti")
+
+
 # -------------------------------------------------------------- SimHash
 
 

@@ -104,6 +104,85 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NGRAM_PAIRS_CTE = """
+w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM w CROSS JOIN GENERATE_SERIES(1, 128) AS t(i)
+  WHERE i <= LEN(ws) - 2
+),
+sh AS (
+  SELECT * FROM sh0
+  WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 100)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT ia AS id_a, ib AS id_b
+  FROM inter JOIN sizes sa ON inter.ia = sa.doc_id
+             JOIN sizes sb ON inter.ib = sb.doc_id
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk(id, rep) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, wk.rep FROM edges e JOIN walk wk ON e.dst = wk.id
+),
+cc AS (SELECT id, MIN(rep) AS rep FROM walk GROUP BY id)
+"""
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"WITH RECURSIVE {_NGRAM_PAIRS_CTE} SELECT id, rep FROM cc",
+    bench=True,
+    tags=("llm", "dedup"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation: n-gram Jaccard pairs → connected
+    components → (id, min-id representative). Pair lists alone can't drive
+    keep-one dedup (A~B, B~C must collapse to one group even when A~C was
+    never emitted); this is the missing step. Spark side iterates min-label
+    propagation (operators/dedup.py connected_components); the oracle
+    closes the same pair set with a recursive CTE."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=100
+    )
+    return D.connected_components(pairs)
+
+
+@query(
+    "q_dedup_keep",
+    oracle=f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTE}
+SELECT doc_id, MD5(text) AS text_md5, lang, source
+FROM documents
+WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> rep)
+""",
+    tags=("llm", "dedup"),
+)
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup corpus dedup: keep each cluster's minimum-id
+    representative plus every unpaired document — the operation a training
+    -data pipeline actually runs (pairs and clusters are intermediates)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=100
+    )
+    return D.dedup_keep_representatives(d, pairs, "doc_id").select(
+        "doc_id", F.md5("text").alias("text_md5"), "lang", "source"
+    )
+
+
 @query("q_dedup_near", oracle=None, bench=True, tags=("llm", "dedup", "approx"))
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands × 4) near-dup, exact-Jaccard-verified

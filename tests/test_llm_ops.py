@@ -97,6 +97,54 @@ def test_simhash_self_similarity(spark, docs):
     assert expected <= found
 
 
+def test_connected_components_shapes(spark):
+    """Chain, triangle-via-shared-member, isolated pair — min-label must
+    propagate across hops that were never emitted as a pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r.id: r.rep for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Randomized graph vs a driver-side union-find reference."""
+    import random
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {x for e in edges for x in e}
+    want = {x: find(x) for x in nodes}
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r.id: r.rep for r in D.connected_components(pairs).collect()}
+    assert got == want
+
+
+def test_dedup_keep_representatives(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(6)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a bigint, id_b bigint")
+    kept = sorted(
+        r.doc_id for r in D.dedup_keep_representatives(df, pairs, "doc_id").collect()
+    )
+    assert kept == [0, 1, 2, 4]  # 3 and 5 collapse into representative 0
+
+
 def test_ivf_recall_floor(spark, sf_dir):
     """IVF(16 buckets, probe 2) recall@5 vs brute force must clear a loose
     floor — the point is the mechanics (bucketing, probing) are sound."""
