@@ -1,0 +1,54 @@
+"""Range (interval) join — points matched to every interval containing
+them. Spark has no native range-join optimization (Databricks' range-join
+hint is proprietary); a naive theta join is a broadcast-nested-loop when
+one side is small and O(|P|·|I|) when both are big.
+
+The scale path here is the standard bucketing decomposition: quantize
+time into fixed-width buckets, replicate each interval into every bucket
+it overlaps (intervals are short relative to the bucket width in the
+common telemetry case, so the blow-up is small), tag each point with its
+single bucket, equi-join on the bucket id, then apply the exact range
+predicate as a residual filter. Cost: one shuffle on a well-distributed
+key, join fan-in proportional to interval density per bucket — survives
+|P| and |I| both huge where the nested loop cannot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Inner join of ``points`` to ``intervals`` on
+    ``start <= point_ts < end`` via bucket equi-join + residual filter.
+    Pick ``bucket_seconds`` near the typical interval length: shorter
+    buckets replicate intervals more, longer buckets raise residual-filter
+    fan-in. Output columns = points' ++ intervals' (names must not clash).
+    """
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"column collision between sides: {sorted(overlap)} — rename first")
+
+    def bucket_of(c: Column) -> Column:
+        return F.floor(F.unix_timestamp(c) / bucket_seconds)
+
+    pb = points.withColumn("__bucket", bucket_of(F.col(point_ts)))
+    ib = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(bucket_of(F.col(start_col)), bucket_of(F.col(end_col)))
+        ),
+    )
+    return (
+        pb.join(ib, "__bucket")
+        .filter((F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col)))
+        .drop("__bucket")
+    )

@@ -258,3 +258,45 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_on="view_ts",
         right_values=["view_value"],
     )
+
+
+@query(
+    "q_join_range_bucketed",
+    oracle="""
+WITH iv AS (
+  SELECT i AS interval_id,
+         TIMESTAMP '2024-01-01 00:00:00' + (i * 30 + (i * 7) % 24) * INTERVAL '1 hour' AS win_start,
+         TIMESTAMP '2024-01-01 00:00:00' + (i * 30 + (i * 7) % 24 + (i % 5 + 1) * 6) * INTERVAL '1 hour' AS win_end
+  FROM GENERATE_SERIES(0, 23) AS t(i)
+)
+SELECT e.event_id, e.user_id, e.ts, iv.interval_id, iv.win_start, iv.win_end
+FROM events e JOIN iv ON e.ts >= iv.win_start AND e.ts < iv.win_end
+""",
+    tags=("join", "range"),
+)
+def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events matched to every maintenance window
+    containing them — via the bucketed equi-join decomposition
+    (operators/rangejoin.py), NOT a theta join. The oracle runs the naive
+    range join over the same 24 deterministic windows; results must agree
+    exactly, including events inside several overlapping windows."""
+    from etl_open_source_spark.operators.rangejoin import range_join_bucketed
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    iv = spark.range(24).select(
+        F.col("id").cast("int").alias("interval_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + (F.col("id") * 30 + (F.col("id") * 7) % 24)
+            * F.expr("INTERVAL 1 HOUR")
+        ).alias("win_start"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + (F.col("id") * 30 + (F.col("id") * 7) % 24 + (F.col("id") % 5 + 1) * 6)
+            * F.expr("INTERVAL 1 HOUR")
+        ).alias("win_end"),
+    )
+    return range_join_bucketed(
+        e, iv, point_ts="ts", start_col="win_start", end_col="win_end",
+        bucket_seconds=6 * 3600,
+    )

@@ -113,3 +113,83 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_ts_sessionize",
+    oracle="""
+WITH ordered AS (
+  SELECT event_id, user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+FROM ordered
+""",
+    tags=("timeseries",),
+)
+def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a session breaks after a >30 min silence.
+    lag + running sum of break flags — two window passes over ONE
+    (user_id)-partitioned sort, no join, no state store (the streaming
+    twin is q_window_session). event_id tiebreaks equal timestamps so the
+    numbering is deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_break = (
+        F.lag("ts").over(w_lag).isNull()
+        | (F.col("ts") > F.lag("ts").over(w_lag) + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.when(is_break, 1).otherwise(0)).over(w_run).alias("session_num"),
+    )
+
+
+@query(
+    "q_ts_rollup",
+    oracle="""
+SELECT STRFTIME(DATE_TRUNC('month', ts), '%Y-%m') AS b_month,
+       STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS b_day,
+       STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:00') AS b_hour,
+       CAST(GROUPING(STRFTIME(DATE_TRUNC('month', ts), '%Y-%m'),
+                     STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d'),
+                     STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:00')) AS BIGINT) AS lvl,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+FROM events
+GROUP BY ROLLUP(b_month, b_day, b_hour)
+""",
+    tags=("timeseries", "agg"),
+)
+def q_ts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hour, day, month, and
+    grand totals in ONE pass via ROLLUP over aligned time buckets —
+    continuous-aggregate materialization without re-scanning per
+    granularity. Buckets formatted as strings (not timestamps) so NULL
+    super-aggregate rows are engine-portable; grouping_id labels the
+    level. Decimal sums keep the double fold order-independent."""
+    e = load_table(spark, sf_dir, "events")
+    b_month = F.date_format(F.date_trunc("month", "ts"), "yyyy-MM")
+    b_day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    b_hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00")
+    return (
+        e.select(
+            b_month.alias("b_month"), b_day.alias("b_day"), b_hour.alias("b_hour"), "value"
+        )
+        .rollup("b_month", "b_day", "b_hour")
+        .agg(
+            F.grouping_id().cast("bigint").alias("lvl"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("val_sum"),
+        )
+        .select("b_month", "b_day", "b_hour", "lvl", "cnt", "val_sum")
+    )

@@ -300,3 +300,38 @@ def test_approx_percentile_accuracy(spark, sf_dir):
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p")
     ).collect()[0].p
     assert abs(approx - exact) / exact < 0.02
+
+
+def test_range_join_bucketed_boundaries(spark):
+    """Intervals spanning several buckets, inclusive start / exclusive
+    end, overlapping windows, and a collision guard."""
+    from datetime import datetime
+
+    from etl_open_source_spark.operators.rangejoin import range_join_bucketed
+
+    pts = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0, 0)),   # == start of iv 0 (inclusive)
+            (2, datetime(2024, 1, 3, 0, 0, 0)),   # == end of iv 0 (exclusive)
+            (3, datetime(2024, 1, 2, 12, 0, 0)),  # inside iv 0 and iv 1
+            (4, datetime(2024, 2, 1, 0, 0, 0)),   # matches nothing
+        ],
+        "pid int, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (0, datetime(2024, 1, 1), datetime(2024, 1, 3)),  # spans 2+ day-buckets
+            (1, datetime(2024, 1, 2), datetime(2024, 1, 4)),
+        ],
+        "iid int, s timestamp, e timestamp",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join_bucketed(pts, ivs, "ts", "s", "e").collect()
+    }
+    assert got == {(1, 0), (3, 0), (3, 1), (2, 1)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collision"):
+        range_join_bucketed(pts, pts, "ts", "ts", "ts")
