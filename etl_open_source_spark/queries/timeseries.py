@@ -193,3 +193,75 @@ def q_ts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("b_month", "b_day", "b_hour", "lvl", "cnt", "val_sum")
     )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+WITH w1 AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS v1
+  FROM events
+),
+w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > v1 THEN ts END)
+              OVER (PARTITION BY user_id) AS c1
+  FROM w1
+),
+w3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > c1 THEN ts END)
+              OVER (PARTITION BY user_id) AS p1
+  FROM w2
+),
+per_user AS (
+  SELECT user_id, MAX(v1) AS v1, MAX(c1) AS c1, MAX(p1) AS p1
+  FROM w3 GROUP BY user_id
+)
+SELECT CASE WHEN p1 IS NOT NULL THEN 3
+            WHEN c1 IS NOT NULL THEN 2
+            WHEN v1 IS NOT NULL THEN 1
+            ELSE 0 END AS stage_reached,
+       COUNT(*) AS users
+FROM per_user GROUP BY 1
+""",
+    tags=("timeseries", "funnel"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click → purchase): per user, the
+    first view, the first click strictly after it, the first purchase
+    strictly after that; users counted by furthest stage reached.
+
+    The three conditional-min windows share ONE (user_id) hash partition —
+    Spark plans a single shuffle and evaluates the chained windows in the
+    same sort, so stage depth adds no extra exchanges (check .explain:
+    one Exchange, stacked Window nodes). The standard alternative —
+    per-stage self-joins — shuffles once per stage."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    v1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = e.withColumn("v1", v1)
+    c1 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("v1")), F.col("ts"))
+    ).over(w)
+    staged = staged.withColumn("c1", c1)
+    p1 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c1")), F.col("ts")
+        )
+    ).over(w)
+    staged = staged.withColumn("p1", p1)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("v1").alias("v1"), F.max("c1").alias("c1"), F.max("p1").alias("p1")
+    )
+    stage = (
+        F.when(F.col("p1").isNotNull(), 3)
+        .when(F.col("c1").isNotNull(), 2)
+        .when(F.col("v1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        per_user.select(stage.cast("int").alias("stage_reached"))
+        .groupBy("stage_reached")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
