@@ -143,7 +143,10 @@ cc AS (SELECT id, MIN(rep) AS rep FROM walk GROUP BY id)
 @query(
     "q_dedup_clusters",
     oracle=f"WITH RECURSIVE {_NGRAM_PAIRS_CTE} SELECT id, rep FROM cc",
-    bench=True,
+    # not benched: the headline already times the dominant cost (the pair
+    # pipeline, as q_dedup_ngram); what CC adds is a handful of joins over
+    # the tiny pair graph whose local-mode cost is almost entirely
+    # per-iteration job-scheduling latency, not data-proportional work.
     tags=("llm", "dedup"),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
