@@ -53,3 +53,44 @@ def test_filter_pushdown_on_scan_query(spark, sf_dir):
 def test_semi_join_does_not_duplicate(spark, sf_dir):
     plan = _formatted_plan(spark, sf_dir, "q_join_semi")
     assert "LeftSemi" in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketing decomposition must surface as a hash/sort-merge
+    equi-join on the bucket id; a raw theta range join would plan a
+    nested loop, which dies when both sides are large."""
+    plan = _formatted_plan(spark, sf_dir, "q_join_range_bucketed")
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_funnel_single_exchange_for_window_chain(spark, sf_dir):
+    """Three chained conditional-min windows + the per-user aggregate must
+    share ONE (user_id) exchange; only the final tiny stage-count agg may
+    add a second. Stage depth must not multiply shuffles."""
+    plan = _formatted_plan(spark, sf_dir, "q_funnel")
+    n_exchanges = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
+    )
+    assert n_exchanges <= 2, plan
+
+
+def test_sessionize_single_sort_no_join(spark, sf_dir):
+    plan = _formatted_plan(spark, sf_dir, "q_ts_sessionize")
+    assert "Join" not in plan
+    n_exchanges = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
+    )
+    assert n_exchanges == 1, plan
+
+
+def test_ngram_dedup_joins_on_long_keys(spark, sf_dir):
+    """Shingles must flow as 64-bit hashes: the self-join key is a long,
+    and no n-gram concat() survives into the plan."""
+    plan = _formatted_plan(spark, sf_dir, "q_dedup_ngram")
+    assert "concat(" not in plan
+    assert "xxhash64" in plan
