@@ -71,3 +71,16 @@ def streaming_dedup(df: DataFrame, keys: list[str], watermark: str = "10 minutes
     evicted (duplicates later than the watermark would pass — the standard
     bounded-state trade)."""
     return df.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a streaming fact to a
+    batch dimension table. Spark re-plans the static side per micro-batch
+    (so dim refreshes are picked up) and broadcasts it when small — the
+    stream itself never shuffles for the join. The standard production
+    pattern for attaching user/account/catalog attributes to events."""
+    from pyspark.sql.functions import broadcast
+
+    return stream.join(broadcast(dim), on, how)

@@ -176,3 +176,36 @@ def test_stateful_running_user_totals(spark, stream_env):
         finals[r.user_id] = (r.cnt, r.total)
     assert finals[1] == (3, 17.0)
     assert finals[2] == (1, 1.0)
+
+
+def test_stream_static_enrichment(spark, stream_env):
+    """Streaming facts joined to a static dimension: attributes attach
+    per micro-batch, unmatched keys survive with NULLs (left join), and
+    late-arriving files still enrich."""
+    from etl_open_source_spark.streaming.windows import (
+        file_event_stream,
+        stream_static_enrich,
+    )
+
+    src, start, spark = stream_env
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id bigint, tier string"
+    )
+    stream = file_event_stream(spark, src)
+    enriched = stream_static_enrich(
+        stream.select("event_id", "user_id", "value"), dim, on="user_id"
+    )
+    q = start(enriched, "append", "enriched")
+    _write_events(
+        src,
+        [
+            _ev(1, "2024-01-01 10:00:00", user=1),
+            _ev(2, "2024-01-01 10:01:00", user=9),  # no dim row
+        ],
+        "a.json",
+    )
+    q.processAllAvailable()
+    _write_events(src, [_ev(3, "2024-01-01 10:02:00", user=2)], "b.json")
+    q.processAllAvailable()
+    got = {r.event_id: r.tier for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert got == {1: "gold", 2: None, 3: "silver"}
