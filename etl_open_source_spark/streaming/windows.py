@@ -84,3 +84,54 @@ def stream_static_enrich(
     from pyspark.sql.functions import broadcast
 
     return stream.join(broadcast(dim), on, how)
+
+
+def foreach_batch_upsert_sink(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint: str,
+    dedup_order: str | None = None,
+):
+    """Streaming MERGE sink: every micro-batch upserts into a parquet
+    snapshot via foreachBatch + merge_upsert (operators/merge.py) —
+    newest rows win on the key, unmatched target rows survive. Restart
+    safety comes from the checkpoint + the merge itself being idempotent
+    (replaying a batch re-asserts the same final rows). With Delta or
+    Iceberg the body becomes a native MERGE INTO and the snapshot
+    rewrite disappears; the plan shape is the same.
+
+    ``dedup_order``: column whose max picks the winner when one batch
+    carries several rows per key; omit it if upstream already guarantees
+    one row per key per batch.
+
+    Returns the StreamingQuery (caller awaits/stops it)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_open_source_spark.operators.merge import merge_upsert
+
+    def upsert(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if dedup_order is not None:
+            # keep the LATEST row per key within the batch
+            w = Window.partitionBy(*keys).orderBy(F.col(dedup_order).desc())
+            batch = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        try:
+            target = spark.read.parquet(target_path)
+        except Exception:  # first batch: no snapshot yet
+            target = None
+        merged = batch if target is None else merge_upsert(target, batch, keys)
+        # materialize before overwriting the path being read
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

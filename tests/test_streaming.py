@@ -209,3 +209,42 @@ def test_stream_static_enrichment(spark, stream_env):
     q.processAllAvailable()
     got = {r.event_id: r.tier for r in spark.sql("SELECT * FROM enriched").collect()}
     assert got == {1: "gold", 2: None, 3: "silver"}
+
+
+def test_foreach_batch_upsert_sink(spark, stream_env):
+    """Streaming upsert: batch 2 overwrites batch 1's row for the same
+    key, inserts a new key, and untouched keys survive the merge."""
+    import os
+    import tempfile
+
+    from etl_open_source_spark.streaming.windows import (
+        file_event_stream,
+        foreach_batch_upsert_sink,
+    )
+
+    src, _, spark = stream_env
+    root = tempfile.mkdtemp(prefix="upsert_sink_")
+    target = os.path.join(root, "snapshot")
+    ckpt = os.path.join(root, "ckpt")
+    stream = file_event_stream(spark, src).select("event_id", "ts", "value")
+    q = foreach_batch_upsert_sink(
+        stream, target, keys=["event_id"], checkpoint=ckpt, dedup_order="ts"
+    )
+    _write_events(
+        src,
+        [_ev(1, "2024-01-01 00:00:00", value=10.0), _ev(2, "2024-01-01 00:01:00", value=20.0)],
+        "a.json",
+    )
+    q.processAllAvailable()
+    _write_events(
+        src,
+        [
+            _ev(1, "2024-01-01 01:00:00", value=11.0),  # update key 1
+            _ev(3, "2024-01-01 01:01:00", value=30.0),  # insert key 3
+        ],
+        "b.json",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.event_id: r.value for r in spark.read.parquet(target).collect()}
+    assert got == {1: 11.0, 2: 20.0, 3: 30.0}
