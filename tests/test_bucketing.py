@@ -102,3 +102,22 @@ def test_write_range_sorted_prunes(spark, sf_dir, tmp_path):
     # skip most files — observable as fewer rows read than the total
     narrow = back.filter("l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'")
     assert 0 < narrow.count() < back.count()
+
+
+def test_hive_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """partition_by writes hive-style dirs; an equality filter on the
+    partition column must surface as a PartitionFilter (directory pruning
+    — zero IO for other partitions), not a data-row filter."""
+    from etl_open_source_spark.catalog import load_table
+    from etl_open_source_spark.sources.writers import write_parquet
+
+    e = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "by_type")
+    write_parquet(e, out, mode="replace", partition_by=["event_type"])
+    back = spark.read.parquet(out).filter("event_type = 'purchase'")
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_type" in pf  # pruned at the directory level
+    assert back.count() == e.filter("event_type = 'purchase'").count()
