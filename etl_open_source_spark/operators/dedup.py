@@ -242,20 +242,25 @@ def connected_components(
     round's aggregation (no extra pass). The driver only ever sees a
     one-row count — nothing is collected.
 
-    At 100 TB-scale graphs with adversarially long chains, switch to the
-    large-star/small-star variant (Kiveris et al., "Connected Components
-    in MapReduce and Beyond") — same primitive ops, O(log n) rounds."""
+    At 100 TB-scale graphs with adversarially long chains, use
+    ``connected_components_star`` below (O(log n) rounds regardless of
+    diameter). Raises if the graph hasn't converged in
+    ``max_iterations`` — a silently-partial labeling must never escape."""
     # undirected edge list, both directions
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    # localCheckpoint (not persist): truncates lineage so round N's plan
+    # doesn't nest rounds 1..N-1 (Catalyst re-analysis goes superlinear
+    # on nested iterative plans)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("rep", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         # every node pulls its neighbors' current labels, keeps the min of
         # (own label, neighbor labels)
@@ -267,7 +272,7 @@ def connected_components(
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("rep").alias("rep"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("rep", "old_rep"), "id")
@@ -275,12 +280,100 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iterations} rounds "
+            "(component diameter exceeds the cap) — use "
+            "connected_components_star for long-chain graphs"
+        )
     return labels
+
+
+def _undirected_canon(pairs: DataFrame) -> DataFrame:
+    """(id_a, id_b) → canonical (hi, lo) with hi > lo, self-loops dropped."""
+    return (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("hi"),
+            F.least("id_a", "id_b").alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For every center v: connect each strictly-larger neighbor to
+    min(Γ(v) ∪ {v}). Keeps connectivity, pulls big ids toward minima."""
+    adj = edges.select(F.col("hi").alias("v"), F.col("lo").alias("u")).unionByName(
+        edges.select(F.col("lo").alias("v"), F.col("hi").alias("u"))
+    )
+    mins = adj.groupBy("v").agg(F.min("u").alias("mn"))
+    j = adj.join(mins, "v").withColumn("m", F.least("mn", F.col("v")))
+    return (
+        j.filter(F.col("u") > F.col("v"))
+        .select(F.col("u").alias("hi"), F.col("m").alias("lo"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For every center v: link all strictly-smaller neighbors (and v
+    itself) to their minimum. Flattens chains into stars."""
+    adj = edges.select(F.col("hi").alias("v"), F.col("lo").alias("u"))
+    mins = adj.groupBy("v").agg(F.min("u").alias("m"))
+    j = adj.join(mins, "v")
+    p1 = j.filter(F.col("u") != F.col("m")).select(
+        F.col("u").alias("hi"), F.col("m").alias("lo")
+    )
+    p2 = mins.select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+    return p1.unionByName(p2).distinct()
+
+
+def connected_components_star(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    converges in O(log n) rounds INDEPENDENT of component diameter, so a
+    10^6-node chain costs ~20 rounds where label propagation needs 10^6.
+    Same output contract as ``connected_components``: (id, rep) with rep
+    = the component's minimum id. Convergence detected by an edge-set
+    checksum (count + hash-sum) going stable — one tiny agg per round."""
+    # localCheckpoint each round: persist() alone leaves the logical plan
+    # nested round-over-round and Catalyst re-analysis goes superlinear
+    # after ~8 iterations (the classic iterative-DataFrame pitfall);
+    # checkpointing truncates lineage to the materialized result.
+    E = _undirected_canon(pairs).localCheckpoint(eager=True)
+    prev_chk = None
+    converged = False
+    for _ in range(max_rounds):
+        E = _small_star(_large_star(E)).localCheckpoint(eager=True)
+        chk = tuple(
+            E.agg(
+                F.count(F.lit(1)),
+                # decimal sum: 64-bit hash values overflow a long sum (ANSI)
+                F.sum(F.xxhash64(F.col("hi"), F.col("lo")).cast("decimal(38,0)")),
+            ).collect()[0]
+        )
+        if chk == prev_chk:
+            converged = True
+            break
+        prev_chk = chk
+    if not converged:
+        raise RuntimeError(f"star CC: no convergence in {max_rounds} rounds")
+    # at convergence E is a star per component: every non-root points at
+    # the root; roots appear only on the lo side
+    labels = E.groupBy(F.col("hi").alias("id")).agg(F.min("lo").alias("rep"))
+    roots = (
+        E.select(F.col("lo").alias("id"))
+        .distinct()
+        .join(labels.select("id"), "id", "left_anti")
+        .withColumn("rep", F.col("id"))
+    )
+    return labels.unionByName(roots)
 
 
 def dedup_keep_representatives(

@@ -335,3 +335,45 @@ def test_range_join_bucketed_boundaries(spark):
 
     with _pytest.raises(ValueError, match="collision"):
         range_join_bucketed(pts, pts, "ts", "ts", "ts")
+
+
+def test_star_cc_matches_union_find_and_handles_chains(spark):
+    """large-star/small-star CC: correct on a random graph AND on a
+    200-node chain whose diameter would exceed label propagation's round
+    cap — diameter-independence is the point of the algorithm."""
+    import random
+
+    rng = random.Random(29)
+    edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(70)]
+    edges = [(a, b) for a, b in edges if a != b]
+    chain = [(i, i + 1) for i in range(1000, 1200)]  # diameter 200
+    all_edges = edges + chain
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent.setdefault(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in all_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {x for e in all_edges for x in e}
+    want = {x: find(x) for x in nodes}
+
+    pairs = spark.createDataFrame(all_edges, "id_a bigint, id_b bigint")
+    got = {r.id: r.rep for r in D.connected_components_star(pairs, max_rounds=12).collect()}
+    assert got == want  # 12 rounds suffice where propagation needs 200
+
+
+def test_label_cc_raises_instead_of_partial_labels(spark):
+    """Label propagation must fail loudly when the diameter exceeds its
+    round cap — a silently partial labeling corrupts dedup."""
+    chain = [(i, i + 1) for i in range(40)]
+    pairs = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
+    with pytest.raises(RuntimeError, match="connected_components_star"):
+        D.connected_components(pairs, max_iterations=5)
