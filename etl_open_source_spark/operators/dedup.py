@@ -246,11 +246,13 @@ def connected_components(
     ``connected_components_star`` below (O(log n) rounds regardless of
     diameter). Raises if the graph hasn't converged in
     ``max_iterations`` — a silently-partial labeling must never escape."""
-    # undirected edge list, both directions
+    # undirected edge list, both directions; eagerly materialized ONCE —
+    # the pair pipeline feeding this is typically expensive (LSH / n-gram
+    # self-join) and must not re-execute inside the iteration
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     # localCheckpoint (not persist): truncates lineage so round N's plan
     # doesn't nest rounds 1..N-1 (Catalyst re-analysis goes superlinear
     # on nested iterative plans)
@@ -284,7 +286,6 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components: no convergence in {max_iterations} rounds "
