@@ -575,3 +575,19 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = M.extract_image_features(binary, decoder=M.decode_image)
     return feats.select("id", "width", "height", "n_frames")
+
+
+@query("q_text_bpe_train", oracle=None, tags=("llm", "text"))
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the corpus (operators/bpe.py): 12 merge
+    rules learned from the word histogram — corpus-sized work only in the
+    initial histogram shuffle; every merge round is vocabulary-sized.
+    Iterative, so rows-only for the driver; equivalence with a reference
+    Python trainer is pinned in tests."""
+    from etl_open_source_spark.operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    rules = bpe_train(d, "text", num_merges=12)
+    return spark.createDataFrame(
+        rules, "rank int, left string, right string, freq bigint"
+    )
