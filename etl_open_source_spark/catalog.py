@@ -10,7 +10,6 @@ FK graph is a static manifest of the driver fixtures (FIXTURES.md).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -45,42 +44,22 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
-def _nanos_timestamp_columns(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS) — Spark's vectorized reader
-    rejects those outright, so they need the nanosAsLong escape hatch."""
-    try:
-        import pyarrow.parquet as pq
-
-        schema = pq.read_schema(path)
-    except Exception:
-        return []
-    import pyarrow as pa
-
-    return [f.name for f in schema if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan; Catalyst pushes filters/pruning into it.
 
-    Nanosecond-timestamp columns (events.ts) are read as int64 nanos and
-    floor-divided to microsecond timestamps — bit-identical to how DuckDB
-    (the oracle) truncates ns→µs on read.
+    Nanosecond-timestamp columns (events.ts) are handled by the shared
+    parquet reader (sources/readers.py read_parquet): read as int64 nanos
+    and floor-divided to microsecond timestamps — bit-identical to how
+    DuckDB (the oracle) truncates ns→µs on read.
     """
+    from etl_open_source_spark.sources.readers import read_parquet
+
     # Defensive: timezone-sensitive functions (unix_timestamp on NTZ cols,
     # literal parsing) must agree with the UTC-naive DuckDB oracle even if
     # the caller's session (e.g. the driver's) wasn't built by get_spark().
     if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = table_path(sf_dir, name)
-    ns_cols = _nanos_timestamp_columns(path)
-    if not ns_cols:
-        return spark.read.parquet(path)
-    # Runtime-settable legacy conf: nanos columns arrive as long (nanos).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return read_parquet(spark, table_path(sf_dir, name))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -13,9 +13,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+def nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark's vectorized
+    reader rejects those outright, so they need the nanosAsLong escape
+    hatch. Returns [] for directories / unreadable footers (multi-file
+    datasets are assumed µs — pass a part file to probe them)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Columnar scan with predicate pushdown + column pruning for free."""
-    return spark.read.parquet(path)
+    """Columnar scan with predicate pushdown + column pruning for free.
+
+    Nanosecond-timestamp columns are read as int64 nanos and floor-divided
+    to microsecond timestamps (matching how DuckDB truncates ns→µs) —
+    without this, Spark rejects TIMESTAMP(NANOS) parquet outright."""
+    ns_cols = nanos_timestamp_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def read_csv(
