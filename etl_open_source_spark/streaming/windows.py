@@ -135,3 +135,30 @@ def foreach_batch_upsert_sink(
         .outputMode("update")
         .start()
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval:
+    rows match when they share ``on`` and the right event lands in
+    [left_ts - within, left_ts]. Both sides carry watermarks so the
+    engine can BOUND THE JOIN STATE — without the time condition a
+    stream-stream join must buffer both streams forever; with it, rows
+    older than (watermark + within) are evicted. The canonical
+    click-attribution / conversion-matching shape."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    # qualified refs: both sides may carry identically-named columns
+    cond = (
+        (l[on] == r[on])
+        & (r[right_ts] <= l[left_ts])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop(r[on])

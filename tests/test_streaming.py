@@ -248,3 +248,50 @@ def test_foreach_batch_upsert_sink(spark, stream_env):
     q.stop()
     got = {r.event_id: r.value for r in spark.read.parquet(target).collect()}
     assert got == {1: 11.0, 2: 20.0, 3: 30.0}
+
+
+def test_stream_stream_interval_join(spark, stream_env):
+    """Two live streams joined on key within a 30-minute event-time bound:
+    a purchase matches the user's views at most 30min before it; older
+    views and other users don't match."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_open_source_spark.streaming.windows import (
+        file_event_stream,
+        stream_stream_interval_join,
+    )
+
+    src, start, spark = stream_env
+    src2 = tempfile.mkdtemp(prefix="stream_right_")
+    try:
+        purchases = file_event_stream(spark, src).select(
+            F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+        )
+        views = file_event_stream(spark, src2).select(
+            F.col("event_id").alias("v_id"), "user_id", F.col("ts").alias("v_ts")
+        )
+        joined = stream_stream_interval_join(
+            purchases, views, on="user_id", left_ts="p_ts", right_ts="v_ts",
+            within="30 minutes",
+        )
+        q = start(joined, "append", "attributed")
+        _write_events(src2, [
+            _ev(101, "2024-01-01 10:00:00", user=1),   # view 30min before (inclusive)
+            _ev(102, "2024-01-01 09:00:00", user=1),   # too old
+            _ev(103, "2024-01-01 10:20:00", user=2),   # other user
+        ], "views.json")
+        _write_events(src, [_ev(1, "2024-01-01 10:30:00", user=1)], "purch.json")
+        q.processAllAvailable()
+        # advance both watermarks so results flush in append mode
+        _write_events(src2, [_ev(109, "2024-01-01 20:00:00", user=9)], "v2.json")
+        _write_events(src, [_ev(9, "2024-01-01 20:00:00", user=9)], "p2.json")
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.p_id, r.v_id) for r in spark.sql("SELECT * FROM attributed").collect()}
+        assert (1, 101) in got
+        assert all(v != 102 and v != 103 for _, v in got)
+    finally:
+        shutil.rmtree(src2, ignore_errors=True)
