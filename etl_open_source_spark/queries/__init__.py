@@ -55,16 +55,16 @@ _VERIFY_FIRST = [
     "q_sanitize_nulls", "q_sink_append", "q_sink_replace",
     "q_profile_columns", "q_quality_checks",
     "q_dedup_near", "q_dedup_simhash", "q_dedup_embedding", "q_sim_ann",
-    # --- new in round 3 (9)
+    # --- new in round 3 (10)
     "q_multimodal_decode", "q_dedup_embedding_planted",
     "q_dedup_clusters", "q_dedup_keep",
     "q_join_range_bucketed", "q_ts_sessionize", "q_ts_rollup", "q_funnel",
-    "q_text_bpe_train",
-    # --- re-checks: r1-green families refactored since their driver row (12)
+    "q_text_bpe_train", "q_quality_outliers",
+    # --- re-checks: r1-green families refactored since their driver row (11)
     "q_join_asof",      # operator rewritten (NULL semantics, internal names)
     "q_dedup_ngram",    # hashed shingles + broadcast skew cap
     "q_dedup_exact",
-    "q_agg_groupby", "q_agg_rollup",
+    "q_agg_groupby",
     "q_join_inner", "q_join_left", "q_join_full", "q_join_semi",
     "q_join_anti", "q_join_broadcast", "q_join_multikey",
 ]

@@ -110,3 +110,52 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         fk_checks=[("fk(o_custkey->customer)", "o_custkey", c, "c_custkey")],
     )
+
+
+@query(
+    "q_quality_outliers",
+    oracle="""
+WITH stats AS (
+  SELECT lang,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(LENGTH(text) AS DECIMAL(18,0))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(LENGTH(text) AS DECIMAL(18,0)) * CAST(LENGTH(text) AS DECIMAL(18,0))) AS DOUBLE) AS sq
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang,
+       CAST(LENGTH(d.text) AS BIGINT) AS n_chars,
+       ROUND((LENGTH(d.text) - s / n) / SQRT((sq - s * s / n) / (n - 1)), 4) AS z,
+       (ABS((LENGTH(d.text) - s / n) / SQRT((sq - s * s / n) / (n - 1))) > 2.0) AS is_outlier
+FROM documents d JOIN stats USING (lang)
+""",
+    tags=("quality",),
+)
+def q_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group outlier flagging: z-score of document length within its
+    language, |z| > 2 marked. The moments come from DECIMAL-exact integer
+    sums (Σx, Σx²) so mean/variance are bit-identical across engines —
+    avg()/stddev() aggregate in engine-specific order and would drift in
+    the last ulps, flipping rows sitting near the threshold. One shuffle
+    (the per-lang stats) + a broadcast-sized join back."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    x = F.length("text").cast("decimal(18,0)")
+    stats = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("s"),
+        F.sum(x * x).cast("double").alias("sq"),
+    )
+    z = (F.length("text") - F.col("s") / F.col("n")) / F.sqrt(
+        (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    )
+    return (
+        d.join(F.broadcast(stats), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.length("text").cast("bigint").alias("n_chars"),
+            F.round(z, 4).alias("z"),
+            (F.abs(z) > 2.0).alias("is_outlier"),
+        )
+    )
