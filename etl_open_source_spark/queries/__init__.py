@@ -34,6 +34,8 @@ _MODULES = [
     "sampling",
     "quality_q",
     "tpch2",
+    "llm2",
+    "reshape",
 ]
 
 # Queries that should occupy the front of the registry this round — rounds
@@ -60,13 +62,15 @@ _VERIFY_FIRST = [
     "q_dedup_clusters", "q_dedup_keep",
     "q_join_range_bucketed", "q_ts_sessionize", "q_ts_rollup", "q_funnel",
     "q_text_bpe_train", "q_quality_outliers",
-    # --- re-checks: r1-green families refactored since their driver row (11)
+    # --- new in round 3, second batch (9): first-time checks outrank
+    # re-checks of r1-green rows, so these take the remaining window slots
+    "q_doc_chunk", "q_pack_concat", "q_pii_redact", "q_text_bigrams",
+    "q_unpivot", "q_histogram", "q_agg_filtered", "q_agg_mode_median",
+    "q_window_cume_dist",
+    # --- re-checks: r1-green families whose operator code was rewritten
+    # since their driver row (2)
     "q_join_asof",      # operator rewritten (NULL semantics, internal names)
     "q_dedup_ngram",    # hashed shingles + broadcast skew cap
-    "q_dedup_exact",
-    "q_agg_groupby",
-    "q_join_inner", "q_join_left", "q_join_full", "q_join_semi",
-    "q_join_anti", "q_join_broadcast", "q_join_multikey",
 ]
 
 _loaded = False

@@ -4,7 +4,7 @@ explode, approximate percentiles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_open_source_spark.catalog import load_table
@@ -173,4 +173,51 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM corr_orders o2 WHERE o2.o_custkey = o.o_custkey
         )
         """
+    )
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+SELECT user_id, last_seq, value AS last_value
+FROM (
+  SELECT user_id, event_id AS last_seq, value,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN value > 100 THEN 'U' ELSE 'I' END AS op,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1 AND op <> 'D'
+""",
+    tags=("cdc",),
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log compaction: the events table is read as an
+    insert/update/delete feed (op derived per row, event_id as the change
+    sequence) and collapsed to the current snapshot — latest op per key
+    wins, keys whose latest op is a delete disappear. This is the apply
+    step of every log-based replication pipeline (Debezium-style),
+    downstream of q_merge_upsert's single-batch merge.
+
+    One window over the key partitioning, no join against the snapshot:
+    at 100 TB the feed compaction shuffles once on the key and the
+    surviving rows merge into the target (q_merge_upsert /
+    q_sink_replace)."""
+    e = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("value") > 100, "U")
+        .otherwise("I")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("last_seq"))
+    return (
+        e.select(
+            "user_id",
+            F.col("event_id").alias("last_seq"),
+            "value",
+            op.alias("op"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("user_id", "last_seq", F.col("value").alias("last_value"))
     )

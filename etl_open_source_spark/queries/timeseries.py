@@ -265,3 +265,110 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("stage_reached")
         .agg(F.count(F.lit(1)).alias("users"))
     )
+
+
+@query(
+    "q_ts_interpolate",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, DATE_TRUNC('hour', ts) AS hour,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS hour_sum
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, MIN(DATE_TRUNC('hour', ts)) AS s, MAX(DATE_TRUNC('hour', ts)) AS e
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT b.user_id, g.h AS hour
+  FROM bounds b
+  JOIN (SELECT * FROM GENERATE_SERIES(TIMESTAMP '2024-01-01 00:00:00',
+                                      TIMESTAMP '2024-02-01 00:00:00',
+                                      INTERVAL '1 hour')) g(h)
+    ON g.h BETWEEN b.s AND b.e
+),
+staged AS (
+  SELECT s.user_id, s.hour, h.hour_sum,
+         LAST_VALUE(h.hour_sum IGNORE NULLS) OVER wb AS prev_v,
+         LAST_VALUE(CASE WHEN h.hour_sum IS NOT NULL THEN s.hour END IGNORE NULLS)
+           OVER wb AS prev_h,
+         FIRST_VALUE(h.hour_sum IGNORE NULLS) OVER wf AS next_v,
+         FIRST_VALUE(CASE WHEN h.hour_sum IS NOT NULL THEN s.hour END IGNORE NULLS)
+           OVER wf AS next_h
+  FROM spine s LEFT JOIN hourly h USING (user_id, hour)
+  WINDOW wb AS (PARTITION BY s.user_id ORDER BY s.hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY s.user_id ORDER BY s.hour
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, hour,
+       CASE WHEN hour_sum IS NOT NULL THEN hour_sum
+            WHEN prev_v IS NULL THEN next_v
+            WHEN next_v IS NULL THEN prev_v
+            ELSE prev_v + (next_v - prev_v)
+                 * ((CAST(EPOCH(hour) AS DOUBLE) - CAST(EPOCH(prev_h) AS DOUBLE))
+                    / (CAST(EPOCH(next_h) AS DOUBLE) - CAST(EPOCH(prev_h) AS DOUBLE)))
+       END AS interp_sum,
+       (hour_sum IS NOT NULL) AS observed
+FROM staged
+""",
+    tags=("timeseries",),
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the hourly spine: gaps get
+    prev + (next-prev) * elapsed-fraction; edges carry the nearest
+    observation. The feature-engineering resampler for sensor/metric data
+    (gapfill's forward-fill sibling).
+
+    Same scale shape as q_ts_gapfill: generated spine, one (user, hour)
+    shuffle, two partitioned window passes (backward + forward) over the
+    same partitioning — no global sort, no self-join. The interpolation
+    itself is identical IEEE double arithmetic in both engines (integer
+    epoch seconds, one division, one multiply, one add)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("hour_sum")
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("hour", "ts")).alias("s"),
+        F.max(F.date_trunc("hour", "ts")).alias("e"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("s", "e", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("hour_sum").isNotNull(), F.col("hour"))
+    staged = (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .withColumn("prev_v", F.last("hour_sum", ignorenulls=True).over(wb))
+        .withColumn("prev_h", F.last(obs_hour, ignorenulls=True).over(wb))
+        .withColumn("next_v", F.first("hour_sum", ignorenulls=True).over(wf))
+        .withColumn("next_h", F.first(obs_hour, ignorenulls=True).over(wf))
+    )
+    frac = (
+        F.col("hour").cast("double") - F.col("prev_h").cast("double")
+    ) / (F.col("next_h").cast("double") - F.col("prev_h").cast("double"))
+    interp = (
+        F.when(F.col("hour_sum").isNotNull(), F.col("hour_sum"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+    )
+    return staged.select(
+        "user_id",
+        "hour",
+        interp.alias("interp_sum"),
+        F.col("hour_sum").isNotNull().alias("observed"),
+    )
