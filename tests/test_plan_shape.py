@@ -94,3 +94,88 @@ def test_ngram_dedup_joins_on_long_keys(spark, sf_dir):
     plan = _formatted_plan(spark, sf_dir, "q_dedup_ngram")
     assert "concat(" not in plan
     assert "xxhash64" in plan
+
+
+def _n_exchanges(plan: str) -> int:
+    return sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
+    )
+
+
+def test_doc_chunk_is_scan_local(spark, sf_dir):
+    """Chunking must be a pure map stage: generator explode over the scan,
+    no shuffle anywhere — that's what lets 100 TB chunk at scan speed."""
+    plan = _formatted_plan(spark, sf_dir, "q_doc_chunk")
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_pii_redact_is_scan_local(spark, sf_dir):
+    plan = _formatted_plan(spark, sf_dir, "q_pii_redact")
+    assert "Exchange" not in plan
+
+
+def test_pack_concat_single_shard_exchange(spark, sf_dir):
+    """Packing's running sum must be one partitioned window over the shard
+    key — a global (unpartitioned) sort would serialize the corpus."""
+    plan = _formatted_plan(spark, sf_dir, "q_pack_concat")
+    assert _n_exchanges(plan) == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_unpivot_expands_without_join(spark, sf_dir):
+    """Wide→long must be an Expand inside the scan stage (4× rows, 0
+    shuffles to build the long form), never a self-union of 4 scans."""
+    plan = _formatted_plan(spark, sf_dir, "q_unpivot")
+    assert "Expand" in plan
+    assert "Union" not in plan and "Join" not in plan
+    assert _n_exchanges(plan) == 1, plan  # only the 4-group aggregation
+
+
+def _n_scans(plan: str) -> int:
+    return sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and "Scan parquet" in l
+    )
+
+
+def test_histogram_single_pass(spark, sf_dir):
+    """Static bin edges: exactly one aggregation exchange, no second scan
+    for data-derived bounds."""
+    plan = _formatted_plan(spark, sf_dir, "q_histogram")
+    assert _n_exchanges(plan) == 1, plan
+    assert _n_scans(plan) == 1, plan
+
+
+def test_agg_filtered_single_aggregate(spark, sf_dir):
+    """All five conditional branches must fold into ONE grouped pass."""
+    plan = _formatted_plan(spark, sf_dir, "q_agg_filtered")
+    assert _n_exchanges(plan) == 1, plan
+    assert _n_scans(plan) == 1, plan
+
+
+def test_bigrams_no_self_join(spark, sf_dir):
+    """Adjacent pairs come from array zip, not a pos/pos+1 self-join; the
+    top-50 cut is a TakeOrdered, not a global sort."""
+    plan = _formatted_plan(spark, sf_dir, "q_text_bigrams")
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cdc_apply_single_key_shuffle(spark, sf_dir):
+    plan = _formatted_plan(spark, sf_dir, "q_cdc_apply")
+    assert "Join" not in plan
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_skew_salted_join_runs_on_salted_key(spark, sf_dir):
+    """The salted join must not degenerate into a broadcast of the
+    replicated small side being re-collected per row — any equi-join on
+    (key, salt) is fine; a NestedLoop is not."""
+    plan = _formatted_plan(spark, sf_dir, "q_join_skew_salted")
+    assert "NestedLoop" not in plan
