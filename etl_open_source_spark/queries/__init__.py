@@ -40,9 +40,11 @@ _MODULES = [
 
 # Queries that should occupy the front of the registry this round — rounds
 # 1+2 together drove 100 distinct registry entries green; this rotation
-# covers the 29 entries never inside the driver's 50-slot window, the 2
-# queries new in round 3, and 19 re-checks of round-1-verified families
-# whose code was refactored since (asof rewrite, hashed-shingle dedup).
+# covers the 29 entries never inside the driver's 50-slot window plus 21 of
+# the 22 queries new in round 3. First-time checks outrank re-checks: with
+# 51 first-timers and 50 slots, the one left out is q_text_bpe_train, whose
+# driver check would be rows-only anyway (iterative, no SQL oracle) and
+# whose merge sequence is pinned exactly in tests/test_llm_ops.py.
 # Order within the list = expected driver check order.
 _VERIFY_FIRST = [
     # --- the 29 never-driver-checked entries (VERDICT r2 "Next round" #1)
@@ -61,16 +63,12 @@ _VERIFY_FIRST = [
     "q_multimodal_decode", "q_dedup_embedding_planted",
     "q_dedup_clusters", "q_dedup_keep",
     "q_join_range_bucketed", "q_ts_sessionize", "q_ts_rollup", "q_funnel",
-    "q_text_bpe_train", "q_quality_outliers",
-    # --- new in round 3, second batch (9): first-time checks outrank
-    # re-checks of r1-green rows, so these take the remaining window slots
+    "q_quality_outliers",
+    # --- new in round 3, second batch (12, exact oracles)
     "q_doc_chunk", "q_pack_concat", "q_pii_redact", "q_text_bigrams",
     "q_unpivot", "q_histogram", "q_agg_filtered", "q_agg_mode_median",
-    "q_window_cume_dist",
-    # --- re-checks: r1-green families whose operator code was rewritten
-    # since their driver row (2)
-    "q_join_asof",      # operator rewritten (NULL semantics, internal names)
-    "q_dedup_ngram",    # hashed shingles + broadcast skew cap
+    "q_window_cume_dist", "q_cdc_apply", "q_ts_interpolate",
+    "q_join_skew_salted",
 ]
 
 _loaded = False

@@ -14,7 +14,12 @@ from etl_open_source_spark.operators import similarity as S
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents").cache()
+    df = load_table(spark, sf_dir, "documents").cache()
+    yield df
+    # The session is shared across test modules: a cached `documents` scan
+    # left behind gets substituted (InMemoryTableScan, all columns) into
+    # later physical-plan assertions.
+    df.unpersist()
 
 
 def test_minhash_matches_exact_ngram(spark, sf_dir, docs):

@@ -14,6 +14,9 @@ REG = get_registry()
 
 
 def _formatted_plan(spark, sf_dir, name: str) -> str:
+    # Plan assertions must see the real scan, not an InMemoryTableScan
+    # substituted from a DataFrame some earlier test left cached.
+    spark.catalog.clearCache()
     df = REG[name].fn(spark, sf_dir)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
