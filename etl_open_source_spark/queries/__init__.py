@@ -36,6 +36,7 @@ _MODULES = [
     "tpch2",
     "llm2",
     "reshape",
+    "matching",
 ]
 
 # Queries that should occupy the front of the registry this round — rounds

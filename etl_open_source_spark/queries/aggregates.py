@@ -318,3 +318,34 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query("q_agg_hll_merge", tags=("agg", "sketch"))
+def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count sketches: per-(event_type, day) HLL
+    sketches of user_id are merged up to per-event_type estimates and
+    compared with sketching the raw column directly. HLL union takes the
+    max per register, so the merged estimate equals the direct one
+    exactly — the property that makes pre-aggregated daily sketch tables
+    work: at 100 TB you sketch each new day once (one scan) and answer
+    any date-range NDV question by merging tiny sketch blobs, never
+    rescanning history. No SQL oracle (sketch binaries are
+    engine-specific); the merge==direct invariant and a tolerance vs
+    exact COUNT DISTINCT are pinned in tests/test_llm_ops.py."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("users_merged")
+    )
+    direct = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("users_direct")
+    )
+    return (
+        merged.join(direct, "event_type")
+        .withColumn(
+            "merge_lossless", F.col("users_merged") == F.col("users_direct")
+        )
+        .orderBy("event_type")
+    )

@@ -206,3 +206,72 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "bigram")
         .limit(50)
     )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+WITH terms AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS doc_freq FROM terms GROUP BY term
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+         CAST(tf.tf AS DOUBLE)
+         * (n.n_docs / CAST(dfreq.doc_freq AS DOUBLE)) AS score
+  FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, term, tf, doc_freq, score FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+    tags=("llm", "text"),
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per document by TF-IDF (ratio-idf variant:
+    score = tf * N/df) — the relevance / keyword-extraction score, all in
+    built-in expressions. The ratio form instead of tf * ln(N/df) is a
+    deliberate cross-engine-parity choice: JVM Math.log and libm ln differ
+    in the last ulp, which breaks the driver's value-hash gate, while the
+    ratio is one IEEE divide + one multiply — bit-identical everywhere.
+    ``doc_freq`` is emitted so the log variant is a one-line map on top
+    (monotone per-term, so per-doc ranking can differ only across terms —
+    this query defines its scoring as the ratio form).
+
+    Three aggregations, each map-side combinable: term frequency per
+    (doc, term); document frequency per term (the vocabulary table — let
+    AQE decide whether it broadcasts, a 100 TB corpus can have a large
+    vocabulary); corpus size as a 1-row broadcast. The per-doc top-5
+    window is WindowGroupLimit-pruned below the shuffle like
+    q_topk_per_group; ties break on the term so the cut is
+    deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs") / F.col("doc_freq").cast("double")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "doc_freq", "score")
+    )

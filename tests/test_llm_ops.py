@@ -438,3 +438,26 @@ def test_bpe_train_matches_reference(spark):
     # the learned rules actually segment: 'newest' collapses substantially
     segs = bpe_segment("newest", got)
     assert "".join(segs) == "newest" and len(segs) < 6
+
+
+def test_hll_merge_lossless_and_close_to_exact(spark, sf_dir):
+    """Daily HLL sketches merged up must give the SAME estimate as
+    sketching the raw column (register-max union is lossless), and both
+    must land within HLL++'s error envelope of the exact NDV."""
+    from pyspark.sql import functions as F
+
+    from etl_open_source_spark.registry import get_registry
+
+    out = get_registry()["q_agg_hll_merge"].fn(spark, sf_dir).toPandas()
+    assert out["merge_lossless"].all()
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .toPandas()
+        .set_index("event_type")["n"]
+    )
+    for _, r in out.iterrows():
+        assert abs(r.users_merged - exact[r.event_type]) <= max(
+            0.05 * exact[r.event_type], 2
+        )
