@@ -182,3 +182,35 @@ def test_skew_salted_join_runs_on_salted_key(spark, sf_dir):
     (key, salt) is fine; a NestedLoop is not."""
     plan = _formatted_plan(spark, sf_dir, "q_join_skew_salted")
     assert "NestedLoop" not in plan
+
+
+def test_fuzzy_match_blocked_equi_join(spark, sf_dir):
+    """The fuzzy self-match must candidate-generate through an equi-join on
+    the block key — never a cartesian/nested-loop over all name pairs, and
+    the Levenshtein verify must sit above the join as a filter, not inside
+    a UDF."""
+    plan = _formatted_plan(spark, sf_dir, "q_fuzzy_match")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "levenshtein" in plan
+    assert "Python" not in plan  # built-in expression, no UDF crossing
+
+
+def test_tfidf_window_group_limit(spark, sf_dir):
+    """The per-doc top-5 must prune below the shuffle (partial
+    WindowGroupLimit), and the 1-row corpus-size side must be the only
+    nested-loop join (a 1-row broadcast cross is free; anything bigger
+    nested-looping would be a plan bug)."""
+    plan = _formatted_plan(spark, sf_dir, "q_text_tfidf")
+    assert plan.count("WindowGroupLimit") >= 2  # partial below + final above
+    tree = [l for l in plan.splitlines() if l.strip().startswith("(")]
+    assert sum(1 for l in tree if "BroadcastNestedLoopJoin" in l) <= 1
+
+
+def test_hll_merge_two_phase_object_agg(spark, sf_dir):
+    """Sketch aggregation must run as two-phase ObjectHashAggregate
+    (partial sketches map-side, merged after one key shuffle) — the
+    property that makes the daily-sketch-table pattern one-scan."""
+    plan = _formatted_plan(spark, sf_dir, "q_agg_hll_merge")
+    assert "ObjectHashAggregate" in plan
+    assert "SortAggregate" not in plan  # sketches never fall back to sort agg
