@@ -159,3 +159,56 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_fn_variant",
+    oracle="""
+WITH j AS (
+  SELECT event_id,
+         '{"meta":{"type":"' || event_type || '","ver":'
+         || CAST(event_id % 10 AS VARCHAR) || '},"vals":['
+         || CAST(event_id % 7 AS VARCHAR) || ','
+         || CAST(user_id % 11 AS VARCHAR) || ']}' AS doc
+  FROM events
+)
+SELECT event_id,
+       JSON_EXTRACT_STRING(doc, '$.meta.type') AS vtype,
+       CAST(JSON_EXTRACT(doc, '$.meta.ver') AS INT) AS ver,
+       CAST(JSON_EXTRACT(doc, '$.vals[1]') AS BIGINT) AS val2
+FROM j
+""",
+    tags=("fn", "variant"),
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4): a nested
+    JSON document is parse_json'd once into the binary variant encoding,
+    then fields come out with typed variant_get path expressions — the
+    engine-native path for schemaless columns (vs string-re-parsing
+    get_json_object per field, q_fn_json). The fixture props column is
+    flat, so the document is built deterministically from row fields
+    (integers and enum strings only — float rendering differs between
+    engines); the oracle extracts from the identical JSON text.
+
+    At scale: variant parse + typed access is scan-local (no shuffle), and
+    the binary encoding is shredded/pushed down by the parquet variant
+    writer in newer Spark — the column never re-parses as text."""
+    e = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('","ver":'),
+        (F.col("event_id") % 10).cast("string"),
+        F.lit('},"vals":['),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit(","),
+        (F.col("user_id") % 11).cast("string"),
+        F.lit("]}"),
+    )
+    v = F.parse_json(doc)
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.meta.type", "string").alias("vtype"),
+        F.variant_get(v, "$.meta.ver", "int").alias("ver"),
+        F.variant_get(v, "$.vals[1]", "bigint").alias("val2"),
+    )

@@ -17,8 +17,18 @@ from pyspark.sql import functions as F
 
 from etl_open_source_spark.catalog import load_table
 from etl_open_source_spark.registry import query
-from etl_open_source_spark.sources.readers import read_csv, read_json, read_parquet
-from etl_open_source_spark.sources.writers import write_csv, write_json, write_parquet
+from etl_open_source_spark.sources.readers import (
+    read_csv,
+    read_json,
+    read_orc,
+    read_parquet,
+)
+from etl_open_source_spark.sources.writers import (
+    write_csv,
+    write_json,
+    write_orc,
+    write_parquet,
+)
 
 _TMP_ROOT = os.path.join(tempfile.gettempdir(), "etl_open_source_spark_io")
 
@@ -117,3 +127,41 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_csv(src, path, mode="replace")
     schema = "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double"
     return read_csv(spark, path, schema=schema)
+
+
+@query(
+    "q_sink_orc_roundtrip",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("sink",),
+)
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink round-trip: filter lineitem, write ORC partitioned by the
+    grouping key, re-read, aggregate. ORC is Spark's second native
+    columnar format (OrcFileFormat: same pushdown + pruning contract as
+    parquet) — the roundtrip is lossless for int/string/date columns, so
+    the oracle aggregates the original table. Rounds out the reference's
+    stubbed loader matrix (core/loaders/*.py are all 0-byte)."""
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= "1995-01-01")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+    )
+    path = _tmp(sf_dir, "lineitem_orc_sink")
+    write_orc(src, path, mode="replace", partition_by=["l_returnflag"])
+    back = read_orc(spark, path)
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -50,6 +50,12 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same predicate-pushdown/column-pruning contract as
+    parquet (Spark's OrcFileFormat is a first-class columnar source)."""
+    return spark.read.orc(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

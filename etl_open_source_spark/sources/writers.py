@@ -42,6 +42,20 @@ def write_json(df: DataFrame, path: str, mode: str = "replace") -> None:
     df.write.mode("overwrite" if mode == "replace" else "append").json(path)
 
 
+def write_orc(
+    df: DataFrame, path: str, mode: str = "append", partition_by: list[str] | None = None
+) -> None:
+    """ORC sink — Spark-native columnar alternative to parquet (same
+    pushdown/pruning story); rounds out the reference's stubbed loader
+    matrix (core/loaders/*.py, all 0-byte)."""
+    if mode not in VALID_MODES:
+        raise ValueError(f"mode must be one of {VALID_MODES}, got {mode!r}")
+    writer = df.write.mode("overwrite" if mode == "replace" else "append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def jdbc_write_options(
     url: str,
     table: str,
