@@ -68,3 +68,72 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+_Z_BITS = 10  # 2^10 x 2^10 key space -> 20-bit z-values
+
+
+def _zorder_sql(xcol: str, ycol: str, bits: int = _Z_BITS) -> str:
+    """Bit-interleave expression, identical integer arithmetic in Spark SQL
+    and DuckDB (shiftright/shiftleft/&/| on BIGINT)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@query(
+    "q_layout_zorder",
+    oracle=f"""
+WITH z AS (
+  SELECT event_id,
+         user_id % 1024 AS x,
+         event_id % 1024 AS y,
+         {_zorder_sql("(user_id % 1024)", "(event_id % 1024)")} AS zval
+  FROM events
+)
+SELECT CAST(zval >> 14 AS BIGINT) AS z_bucket,
+       COUNT(*) AS cnt,
+       MIN(x) AS min_x, MAX(x) AS max_x,
+       MIN(y) AS min_y, MAX(y) AS max_y
+FROM z
+GROUP BY 1
+ORDER BY 1
+""",
+    tags=("scale", "layout"),
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data layout: interleave the bits of two clustering
+    keys and bucket rows by the high z-bits. Each bucket then covers a
+    bounded 2-D tile (here 128x128 out of 1024x1024 — pinned by
+    tests/test_plan_shape.py), which is exactly why z-ordering makes
+    multi-dimensional predicates prunable: a file written per z-bucket
+    carries tight min/max column stats on BOTH keys, so a scan with a
+    range filter on either key (or both) skips every non-overlapping
+    bucket at the parquet-footer level.
+
+    At 100 TB the layout step is ``repartitionByRange(zval)`` + sorted
+    write — one range shuffle at ingest, after which every downstream 2-D
+    range query prunes; this query computes the z-assignment and the
+    per-bucket bounding boxes that prove the locality. Pure integer bit
+    arithmetic (20 shift/mask terms, one groupBy), bit-identical across
+    engines."""
+    e = load_table(spark, sf_dir, "events")
+    z = e.select(
+        "event_id",
+        (F.col("user_id") % 1024).alias("x"),
+        (F.col("event_id") % 1024).alias("y"),
+        F.expr(_zorder_sql("(user_id % 1024)", "(event_id % 1024)")).alias("zval"),
+    )
+    return (
+        z.groupBy(F.shiftright("zval", 14).cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .orderBy("z_bucket")
+    )

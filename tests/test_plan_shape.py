@@ -214,3 +214,16 @@ def test_hll_merge_two_phase_object_agg(spark, sf_dir):
     plan = _formatted_plan(spark, sf_dir, "q_agg_hll_merge")
     assert "ObjectHashAggregate" in plan
     assert "SortAggregate" not in plan  # sketches never fall back to sort agg
+
+
+def test_zorder_bucket_locality(spark, sf_dir):
+    """The z-bucket assignment must be scan-local (one aggregation
+    exchange, no join) and each of the 2^6 buckets must cover a bounded
+    128x128 tile of the 1024x1024 key space — the property that makes
+    per-bucket file stats prunable on both dimensions."""
+    plan = _formatted_plan(spark, sf_dir, "q_layout_zorder")
+    assert "Join" not in plan
+    assert _n_exchanges(plan) <= 2, plan  # agg + final orderBy range
+    pdf = REG["q_layout_zorder"].fn(spark, sf_dir).toPandas()
+    assert ((pdf.max_x - pdf.min_x) < 128).all()
+    assert ((pdf.max_y - pdf.min_y) < 128).all()
