@@ -227,3 +227,21 @@ def test_zorder_bucket_locality(spark, sf_dir):
     pdf = REG["q_layout_zorder"].fn(spark, sf_dir).toPandas()
     assert ((pdf.max_x - pdf.min_x) < 128).all()
     assert ((pdf.max_y - pdf.min_y) < 128).all()
+
+
+def test_orc_roundtrip_native_scan(spark, sf_dir):
+    """The re-read must come back through Spark's native ORC columnar scan
+    (not a fallback row reader) with one aggregation exchange."""
+    plan = _formatted_plan(spark, sf_dir, "q_sink_orc_roundtrip")
+    assert "Scan orc" in plan
+    assert sum(1 for l in plan.splitlines()
+               if l.strip().startswith("(") and "Exchange" in l
+               and "Reused" not in l) <= 2  # agg + final orderBy
+
+
+def test_variant_access_is_scan_local(spark, sf_dir):
+    """parse_json + typed variant_get must stay a pure map stage: no
+    shuffle, no Python crossing — schemaless access at scan speed."""
+    plan = _formatted_plan(spark, sf_dir, "q_fn_variant")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
