@@ -50,11 +50,13 @@ def main() -> None:
         for name, qd in sorted(bench_queries.items()):
             qd.fn(spark, warm_dir).count()
 
-    # 3 samples per query, report the median — single-shot numbers made
-    # round-over-round deltas noise-dominated. clearCache between samples:
+    # 5 samples per query, report the median — single-shot numbers made
+    # round-over-round deltas noise-dominated, and this box's ambient load
+    # swings whole runs by 20-30%, so the wider sample window buys real
+    # stability for ~1 min of extra wall time. clearCache between samples:
     # operators that persist() intermediates must pay their materialization
     # every sample (and not accumulate cache across repetitions).
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
     for name, qd in sorted(bench_queries.items()):
         samples = []
