@@ -591,3 +591,67 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rules, "rank int, left string, right string, freq bigint"
     )
+
+
+@query(
+    "q_text_bpe_step",
+    oracle="""
+WITH words AS (
+  SELECT word, COUNT(*) AS cnt
+  FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+')) AS word
+        FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+),
+pairs AS (
+  SELECT SUBSTRING(word, i, 1) AS left_sym,
+         SUBSTRING(word, i + 1, 1) AS right_sym,
+         cnt
+  FROM words
+  CROSS JOIN UNNEST(GENERATE_SERIES(1, LENGTH(word) - 1)) AS t(i)
+)
+SELECT left_sym, right_sym, CAST(SUM(cnt) AS BIGINT) AS freq
+FROM pairs
+GROUP BY left_sym, right_sym
+ORDER BY freq DESC, left_sym, right_sym
+LIMIT 20
+""",
+    tags=("llm", "text"),
+)
+def q_text_bpe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge-selection step with an exact oracle: weighted
+    adjacent-character-pair frequencies over the word histogram, top 20 by
+    (freq, pair). This is exactly the argmax computation each
+    q_text_bpe_train round runs (operators/bpe.py _bigram_counts on the
+    initial character vocabulary) — the full trainer is iterative and
+    therefore rows-only for the driver, so this query gives its inner
+    arithmetic a hard value-hash check.
+
+    Scale: the corpus-sized work is the word-histogram shuffle; the pair
+    table is vocabulary-sized (tiny), and the top-20 cut is a TakeOrdered,
+    not a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        words.select(
+            "cnt",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - 1)
+            ).alias("i"),
+            "word",
+        )
+        .select(
+            F.expr("substring(word, i, 1)").alias("left_sym"),
+            F.expr("substring(word, i + 1, 1)").alias("right_sym"),
+            "cnt",
+        )
+        .groupBy("left_sym", "right_sym")
+        .agg(F.sum("cnt").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), "left_sym", "right_sym")
+        .limit(20)
+    )
