@@ -121,7 +121,12 @@ def ngram_jaccard_pairs(
     O(Σ postings²) by design (verification baseline only).
     [Measured: a collect_list posting-list plan with in-row pair explode
     loses to this self-join on local[32] — the list shuffle + struct
-    explode costs more than the second join-side shuffle it saves.]"""
+    explode costs more than the second join-side shuffle it saves.
+    Also measured: dropping the persist() is ~15% faster at sf0.1 because
+    it removes the materialization barrier — but the executed plan then
+    recomputes the corpus scan + shingling 8x (AQE does not reuse the
+    exchanges across the aliased self-join branches), which is exactly
+    the plan that dies at 100 TB, so the persist stays.]"""
     sh = word_shingles(df, id_col, text_col, n, max_doc_freq).persist()
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
