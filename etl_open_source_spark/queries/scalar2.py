@@ -212,3 +212,54 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.meta.ver", "int").alias("ver"),
         F.variant_get(v, "$.vals[1]", "bigint").alias("val2"),
     )
+
+
+@query(
+    "q_fn_lambda",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey,
+         LIST_TRANSFORM(GENERATE_SERIES(1, 1 + o_orderkey % 7),
+                        i -> CAST(i * (1 + o_orderkey % 5) AS BIGINT)) AS xs
+  FROM orders
+)
+SELECT o_orderkey,
+       LIST_TRANSFORM(xs, x -> x * 2) AS doubled,
+       LIST_FILTER(xs, x -> x % 2 = 0) AS evens,
+       LEN(LIST_FILTER(xs, x -> x > 10)) > 0 AS any_gt10,
+       CAST(LIST_SUM(xs) AS BIGINT) AS total,
+       LIST_TRANSFORM(xs, x -> x + CAST(LEN(xs) AS BIGINT)) AS shifted
+FROM base
+""",
+    tags=("fn", "lambda"),
+)
+def q_fn_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — the lambda surface (SPARK-23908)
+    that replaced explode-reaggregate round-trips for per-row array work:
+    transform / filter / exists / aggregate, all evaluated inside codegen
+    with zero shuffles and no row explosion. Arrays are built
+    deterministically from integer row fields so every value is exact in
+    both engines (DuckDB mirrors with list_transform / list_filter /
+    list_sum).
+
+    At scale this is the difference between a map stage and an
+    explode -> groupBy round-trip (a full shuffle of corpus x array-length
+    rows) for per-document feature vectors."""
+    o = load_table(spark, sf_dir, "orders")
+    xs = F.transform(
+        F.sequence(F.lit(1), F.lit(1) + F.col("o_orderkey") % 7),
+        lambda i: (i * (F.lit(1) + F.col("o_orderkey") % 5)).cast("bigint"),
+    )
+    base = o.select("o_orderkey", xs.alias("xs"))
+    return base.select(
+        "o_orderkey",
+        F.transform("xs", lambda x: x * 2).alias("doubled"),
+        F.filter("xs", lambda x: x % 2 == 0).alias("evens"),
+        F.exists("xs", lambda x: x > 10).alias("any_gt10"),
+        F.aggregate(
+            "xs", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("total"),
+        F.transform(
+            "xs", lambda x: x + F.size("xs").cast("bigint")
+        ).alias("shifted"),
+    )
