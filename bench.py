@@ -58,6 +58,7 @@ def main() -> None:
     # every sample (and not accumulate cache across repetitions).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name, qd in sorted(bench_queries.items()):
         samples = []
         for _ in range(reps):
@@ -66,7 +67,16 @@ def main() -> None:
             df = qd.fn(spark, sf_dir)
             df.count()
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        # min/median/max per query so ambient-load rounds (identical code
+        # has swung 10.4-13.1 s total on this box) are distinguishable from
+        # real plan regressions when comparing BENCH_r{N} files.
+        spread[name] = {
+            "min": round(samples[0], 3),
+            "median": timings[name],
+            "max": round(samples[-1], 3),
+        }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -76,6 +86,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "n_samples": reps,
                 "sf": sf,
             }
         )

@@ -57,8 +57,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Defensive: timezone-sensitive functions (unix_timestamp on NTZ cols,
     # literal parsing) must agree with the UTC-naive DuckDB oracle even if
     # the caller's session (e.g. the driver's) wasn't built by get_spark().
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # Spark 4.1 VALIDATES the default passed to conf.get for this key (an
+    # empty-string default raises INVALID_CONF_VALUE.TIME_ZONE on an unset
+    # conf), so probe inside try/except instead of relying on a default.
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz = None
+    if tz != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Same NTZ pin as session.py:get_spark — a runtime conf, so it also
+    # protects sessions the caller built with plain builder defaults.
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     return read_parquet(spark, table_path(sf_dir, name))
 
 

@@ -39,37 +39,34 @@ _MODULES = [
     "matching",
 ]
 
-# Queries that should occupy the front of the registry this round — rounds
-# 1+2 together drove 100 distinct registry entries green; this rotation
-# covers the 29 entries never inside the driver's 50-slot window plus 21 of
-# the 22 queries new in round 3. First-time checks outrank re-checks: with
-# 51 first-timers and 50 slots, the one left out is q_text_bpe_train, whose
-# driver check would be rows-only anyway (iterative, no SQL oracle) and
-# whose merge sequence is pinned exactly in tests/test_llm_ops.py.
+# Round-5 rotation. First-time checks outrank re-checks; then rows whose
+# latest evidence predates a refactor; then fixed-this-round rows; the
+# remaining slots re-check the oldest (round-1) evidence.
 # Order within the list = expected driver check order.
 _VERIFY_FIRST = [
-    # --- the 29 never-driver-checked entries (VERDICT r2 "Next round" #1)
-    "q_scd2", "q_merge_upsert", "q_sql_transform",
-    "q_subquery_scalar", "q_subquery_correlated",
-    "q_ts_gapfill",
-    "q_agg_percentile", "q_agg_approx_percentile", "q_agg_salted", "q_agg_stats",
-    "q_fn_string2", "q_fn_bitwise", "q_fn_map",
-    "q_explode_outer", "q_filter_not_in_nulls", "q_window_percent_rank",
-    "q_catalog_list_tables", "q_catalog_table_schema",
-    "q_catalog_list_columns", "q_catalog_fk_graph",
-    "q_sanitize_nulls", "q_sink_append", "q_sink_replace",
-    "q_profile_columns", "q_quality_checks",
-    "q_dedup_near", "q_dedup_simhash", "q_dedup_embedding", "q_sim_ann",
-    # --- new in round 3 (10)
-    "q_multimodal_decode", "q_dedup_embedding_planted",
-    "q_dedup_clusters", "q_dedup_keep",
-    "q_join_range_bucketed", "q_ts_sessionize", "q_ts_rollup", "q_funnel",
-    "q_quality_outliers",
-    # --- new in round 3, second batch (12, exact oracles)
-    "q_doc_chunk", "q_pack_concat", "q_pii_redact", "q_text_bigrams",
-    "q_unpivot", "q_histogram", "q_agg_filtered", "q_agg_mode_median",
-    "q_window_cume_dist", "q_cdc_apply", "q_ts_interpolate",
-    "q_join_skew_salted",
+    # --- the 9 entries never inside any driver window (VERDICT r4 item 4)
+    "q_agg_hll_merge", "q_fn_lambda", "q_fn_variant", "q_fuzzy_match",
+    "q_layout_zorder", "q_sink_orc_roundtrip", "q_text_bpe_step",
+    "q_text_bpe_train", "q_text_tfidf",
+    # --- fixed this round (oracle HUGEINT cast; NTZ-safe epoch cast)
+    "q_ts_sessionize", "q_window_range_frame",
+    # --- refactored in round 3 after their last green row (ADVICE r4):
+    #     asof rewrite 3f6e73d, hashed-shingle ngram rework
+    "q_join_asof", "q_dedup_ngram",
+    # --- re-checks: oldest (round-1) evidence, in registration order
+    "q_agg_groupby", "q_agg_global", "q_agg_distinct", "q_agg_approx_distinct",
+    "q_agg_having", "q_agg_rollup", "q_agg_cube", "q_agg_groupingsets",
+    "q_agg_pivot", "q_agg_collect",
+    "q_scan_parquet", "q_scan_csv", "q_scan_json",
+    "q_sink_parquet_roundtrip", "q_sink_csv_roundtrip",
+    "q_project_select", "q_project_rename", "q_project_computed",
+    "q_filter_compare", "q_filter_in",
+    "q_join_inner", "q_join_left", "q_join_right", "q_join_full",
+    "q_join_semi", "q_join_anti", "q_join_cross", "q_join_broadcast",
+    "q_join_multikey", "q_join_theta",
+    "q_window_rank", "q_window_lag_lead", "q_window_running",
+    "q_window_ntile", "q_window_first_last", "q_topk_per_group",
+    "q_fn_string",
 ]
 
 _loaded = False

@@ -124,10 +124,11 @@ WITH ordered AS (
   FROM events
 )
 SELECT event_id, user_id, ts,
-       SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL '30 minutes'
-                THEN 1 ELSE 0 END)
-         OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+       CAST(SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_num
 FROM ordered
 """,
     tags=("timeseries",),

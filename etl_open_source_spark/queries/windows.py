@@ -117,7 +117,10 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE (value-based) frame: trailing 1-hour moving aggregate per user.
     Peers at the same second are all included — well-defined under ties."""
     e = load_table(spark, sf_dir, "events")
-    e = e.withColumn("ts_sec", F.col("ts").cast("long"))
+    # to_unix_timestamp is NTZ-safe (a plain TIMESTAMP_NTZ cast to long is
+    # rejected by Spark 4.1); the session also pins inferTimestampNTZ=false,
+    # this is belt-and-braces for externally-built sessions.
+    e = e.withColumn("ts_sec", F.expr("to_unix_timestamp(ts)"))
     w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3600, 0)
     return e.select(
         "event_id",

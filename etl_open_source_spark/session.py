@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Naive parquet timestamps == naive UTC; matches the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
+        # Never infer TIMESTAMP_NTZ from parquet: every naive timestamp
+        # column reads as TIMESTAMP(_LTZ) in every session, so casts and
+        # window frames behave identically in driver, test, and user
+        # sessions (NTZ rejects cast-to-long under Spark 4.1).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Arrow for toPandas()/pandas_udf — the only sanctioned Python hop.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))

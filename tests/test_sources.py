@@ -150,3 +150,25 @@ def test_mongo_read_options():
         pipeline=[{"$match": {"kind": "view"}}],
     )
     assert opts["aggregation.pipeline"] == '[{"$match": {"kind": "view"}}]'
+
+
+def test_load_table_from_foreign_session(spark, sf_dir):
+    """load_table must work from a session NOT built by get_spark().
+
+    Spark 4.1 validates the default passed to ``conf.get`` for
+    ``spark.sql.session.timeZone`` — an empty-string fallback raises
+    INVALID_CONF_VALUE.TIME_ZONE when the conf is unset, which used to crash
+    load_table for any externally-built session (the driver's entry path).
+    Simulate that by unsetting the conf on a sibling session.
+    """
+    from etl_open_source_spark.catalog import load_table
+
+    foreign = spark.newSession()
+    try:
+        foreign.conf.unset("spark.sql.session.timeZone")
+    except Exception:
+        pass  # already unset / not unsettable — the call below is the test
+    df = load_table(foreign, sf_dir, "region")
+    assert df.count() == 5
+    # load_table must have pinned the session back to UTC for oracle parity.
+    assert foreign.conf.get("spark.sql.session.timeZone") == "UTC"
