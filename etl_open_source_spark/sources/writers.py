@@ -118,3 +118,16 @@ def ddl_column_types(df: DataFrame) -> dict[str, str]:
 def table_exists(spark: SparkSession, name: str) -> bool:
     """Existence probe (parity: core/loaders/sqlserver.py:64-78)."""
     return spark.catalog.tableExists(name)
+
+
+def write_jdbc(df: DataFrame, **kwargs) -> None:
+    """Apply ``jdbc_write_options`` to a real JDBC writer.
+
+    Proven live against Spark's bundled embedded Derby driver
+    (tests/test_jdbc_live.py) — the same executor-parallel batched-insert
+    path runs against SQL Server/postgres/mysql given their driver jar;
+    only the URL/driver options differ (``dialect_jdbc_options``). This is
+    the distributed replacement for the reference's one-INSERT-per-row
+    loop (core/loaders/sqlserver.py:282-286)."""
+    spark_mode, opts = jdbc_write_options(**kwargs)
+    df.write.format("jdbc").options(**opts).mode(spark_mode).save()
