@@ -131,3 +131,84 @@ def extract_image_features(
             yield out
 
     return df.mapInPandas(fn, IMAGE_FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "id bigint, src_w int, src_h int, out_w int, out_h int, resized_md5 string"
+)
+
+
+def letterbox_dims(src_w: int, src_h: int, tw: int, th: int) -> tuple[int, int]:
+    """Aspect-preserving fit of (src_w, src_h) inside (tw, th): the larger
+    relative dimension pins to the target, the other scales by the same
+    ratio with round-half-up. Pure integer-comparison + one float divide —
+    reproducible anywhere IEEE doubles are."""
+    if src_w * th >= src_h * tw:  # source is relatively wider → pin width
+        out_w = tw
+        out_h = max(1, int(src_h * tw / src_w + 0.5))
+    else:
+        out_h = th
+        out_w = max(1, int(src_w * th / src_h + 0.5))
+    return out_w, out_h
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "payload",
+    target_w: int = 256,
+    target_h: int = 256,
+    decoder: Callable[[bytes], dict] = fake_decode_image,
+) -> DataFrame:
+    """Resize stage: decode dims, compute the letterbox fit, emit the
+    resized payload. Arrow-batched mapInPandas — one Python hop per batch,
+    binary in / binary-derived out, the exact shape a real PIL/libvips
+    resize runs in at 100 TB (swap ``decoder`` and the payload line).
+
+    The stub "resized payload" is the UTF-8 of ``"{id}:{out_w}x{out_h}"``
+    — deterministic, so the whole stage (including the Python hop) is
+    value-hash checkable against a SQL oracle; emitted as its md5."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                d = decoder(bytes(b))
+                ow, oh = letterbox_dims(d["width"], d["height"], target_w, target_h)
+                fake_resized = f"{i}:{ow}x{oh}".encode()
+                rows.append(
+                    (i, d["width"], d["height"], ow, oh,
+                     hashlib.md5(fake_resized).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "src_w", "src_h", "out_w", "out_h", "resized_md5"]
+            )
+
+    return df.mapInPandas(fn, RESIZE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    duration_ms_col: str,
+    fps: float = 24.0,
+    every_ms: int = 1000,
+) -> DataFrame:
+    """Frame-sampling plan for video payloads: one row per sampled
+    timestamp (every ``every_ms``), with the nearest source frame number
+    at ``fps``. Pure JVM sequence+explode — the expensive per-frame decode
+    then runs on exactly these (id, frame_no) rows, nothing else.
+    Scan-local row generation; no shuffle."""
+    ts = F.explode(
+        F.sequence(F.lit(0), F.col(duration_ms_col).cast("bigint"), F.lit(every_ms))
+    ).alias("ts_ms")
+    out = df.select(F.col(id_col), ts)
+    return out.select(
+        id_col,
+        "ts_ms",
+        F.floor(F.col("ts_ms") * F.lit(fps) / F.lit(1000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("frame_no"),
+    )

@@ -37,6 +37,7 @@ _MODULES = [
     "llm2",
     "reshape",
     "matching",
+    "llm3",
 ]
 
 # Round-5 rotation. First-time checks outrank re-checks; then rows whose
@@ -53,10 +54,12 @@ _VERIFY_FIRST = [
     # --- refactored in round 3 after their last green row (ADVICE r4):
     #     asof rewrite 3f6e73d, hashed-shingle ngram rework
     "q_join_asof", "q_dedup_ngram",
+    # --- new in round 5 (curation + multimodal, queries/llm3.py)
+    "q_text_decontaminate", "q_text_dup_ngram_frac", "q_embedding_quantize",
+    "q_mix_domains", "q_text_entropy",
+    "q_multimodal_resize", "q_multimodal_framesample",
     # --- re-checks: oldest (round-1) evidence, in registration order
-    "q_agg_groupby", "q_agg_global", "q_agg_distinct", "q_agg_approx_distinct",
-    "q_agg_having", "q_agg_rollup", "q_agg_cube", "q_agg_groupingsets",
-    "q_agg_pivot", "q_agg_collect",
+    "q_agg_groupby", "q_agg_global", "q_agg_distinct",
     "q_scan_parquet", "q_scan_csv", "q_scan_json",
     "q_sink_parquet_roundtrip", "q_sink_csv_roundtrip",
     "q_project_select", "q_project_rename", "q_project_computed",

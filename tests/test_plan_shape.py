@@ -245,3 +245,50 @@ def test_variant_access_is_scan_local(spark, sf_dir):
     plan = _formatted_plan(spark, sf_dir, "q_fn_variant")
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+# ---------------------------------------------------------- curation family
+
+
+def test_decontaminate_benchmark_is_broadcast(spark, sf_dir):
+    """The benchmark shingle set must be the broadcast side — the corpus
+    (100 TB at scale) is scanned and hash-probed, never sort-merge
+    shuffled against the benchmark."""
+    plan = _formatted_plan(spark, sf_dir, "q_text_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mix_domains_corpus_scan_local(spark, sf_dir):
+    """Domain stats join back broadcast; the keep/drop filter runs on the
+    scan side. No sort-merge join of the corpus against anything."""
+    plan = _formatted_plan(spark, sf_dir, "q_mix_domains")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dup_ngram_frac_semi_join_broadcast(spark, sf_dir):
+    """The frequent-shingle set joins back as a broadcast semi join —
+    positions are filtered map-side, not re-shuffled."""
+    plan = _formatted_plan(spark, sf_dir, "q_text_dup_ngram_frac")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_quantize_zero_shuffle(spark, sf_dir):
+    """Quantization is pure per-row arithmetic: no Exchange anywhere."""
+    plan = _formatted_plan(spark, sf_dir, "q_embedding_quantize")
+    assert "Exchange" not in plan
+
+
+def test_text_entropy_two_aggregates(spark, sf_dir):
+    """Explode + (id,ch) aggregate + (id) aggregate + output sort: at most
+    three exchanges, all partial-aggregated map-side first."""
+    plan = _formatted_plan(spark, sf_dir, "q_text_entropy")
+    n_exchanges = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
+    )
+    assert n_exchanges <= 3, plan
+    assert "HashAggregate" in plan
