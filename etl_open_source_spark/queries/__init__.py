@@ -57,9 +57,9 @@ _VERIFY_FIRST = [
     # --- new in round 5 (curation + multimodal, queries/llm3.py)
     "q_text_decontaminate", "q_text_dup_ngram_frac", "q_embedding_quantize",
     "q_mix_domains", "q_text_entropy",
-    "q_multimodal_resize", "q_multimodal_framesample",
+    "q_multimodal_resize", "q_multimodal_framesample", "q_sim_knn_graph",
     # --- re-checks: oldest (round-1) evidence, in registration order
-    "q_agg_groupby", "q_agg_global", "q_agg_distinct",
+    "q_agg_groupby", "q_agg_global",
     "q_scan_parquet", "q_scan_csv", "q_scan_json",
     "q_sink_parquet_roundtrip", "q_sink_csv_roundtrip",
     "q_project_select", "q_project_rename", "q_project_computed",

@@ -80,6 +80,7 @@ SELECT t.doc_id, t.n_pos,
        ROUND(CAST(COALESCE(d.dup_pos, 0) AS DOUBLE) / t.n_pos, 6) AS dup_frac
 FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
 """,
+    bench=True,
     tags=("llm", "curation"),
 )
 def q_text_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,3 +258,69 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("n_chars") * 100).alias("duration_ms")
     )
     return sample_frames(d, "doc_id", "duration_ms", fps=24.0, every_ms=1000)
+
+
+_KNN_SIM = (
+    "ROUND(list_reduce(list_transform(list_zip(qv, cv), "
+    "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y) / "
+    "(SQRT(list_reduce(list_transform(list_zip(qv, qv), "
+    "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)) * "
+    "SQRT(list_reduce(list_transform(list_zip(cv, cv), "
+    "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y))), 6)"
+)
+
+
+@query(
+    "q_sim_knn_graph",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_KNN_SIM} AS sim
+  FROM q CROSS JOIN c
+  WHERE query_id <> neighbor_id
+),
+knn AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM scored
+  QUALIFY rnk <= 3
+)
+SELECT a.query_id, a.neighbor_id, a.sim, a.rnk,
+       (b.query_id IS NOT NULL) AS mutual
+FROM knn a
+LEFT JOIN knn b
+  ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id
+""",
+    tags=("llm", "similarity"),
+)
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine 3-NN graph over the whole embedding table with a
+    mutual-edge flag (reverse edge also in the other node's top-3) — the
+    building block for semantic-dedup clustering (mutual-kNN components).
+
+    Exactness baseline: all-pairs is O(n²) by definition and quarantined
+    to verification scale; the 100 TB path builds the same edges from IVF
+    buckets (q_sim_ann) or sign-LSH bands (q_dedup_embedding) and feeds
+    them to the identical mutual-flag join, which is |V|·k sized — tiny.
+    The mutual join keys on (query_id, neighbor_id) pairs, n·k rows."""
+    from etl_open_source_spark.operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    knn = brute_force_topk(e, e, k=3).withColumnRenamed("rank", "rnk")
+    rev = knn.select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("query_id").alias("neighbor_id"),
+        F.lit(True).alias("rev"),
+    )
+    return (
+        knn.join(rev, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim",
+            "rnk",
+            F.coalesce(F.col("rev"), F.lit(False)).alias("mutual"),
+        )
+    )

@@ -292,3 +292,15 @@ def test_text_entropy_two_aggregates(spark, sf_dir):
     )
     assert n_exchanges <= 3, plan
     assert "HashAggregate" in plan
+
+
+def test_knn_graph_broadcast_and_group_limit(spark, sf_dir):
+    """The n² scoring join must be broadcast (never a shuffled cartesian)
+    with a per-query group limit pushed below the rank shuffle
+    (WindowGroupLimit). The mutual join on the n·k edge list MAY
+    sort-merge — that is the correct shape when edge lists outgrow a
+    broadcast at scale — but the score matrix must not."""
+    plan = _formatted_plan(spark, sf_dir, "q_sim_knn_graph")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
