@@ -461,3 +461,115 @@ def test_hll_merge_lossless_and_close_to_exact(spark, sf_dir):
         assert abs(r.users_merged - exact[r.event_type]) <= max(
             0.05 * exact[r.event_type], 2
         )
+
+
+# ------------------------------------------------------------ curation
+
+
+def test_quantize_range_and_reconstruction(spark, sf_dir):
+    """int8 invariants: every q in [-127, 127]; dequantized vector within
+    scale/2 of the source elementwise (round-half-up bound)."""
+    from etl_open_source_spark.catalog import load_table
+    from etl_open_source_spark.operators.curation import quantize_embeddings
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(e, "vec_id", "embedding")
+    row = (
+        out.join(e, "vec_id")
+        .selectExpr(
+            "q_min", "q_max", "scale9",
+            "aggregate(zip_with(qvec, embedding, (q, x) -> "
+            "  CASE WHEN abs(q * scale9 - CAST(x AS DOUBLE)) > scale9 * 0.5001 "
+            "       THEN 1 ELSE 0 END), 0, (a, b) -> a + b) AS n_bad"
+        )
+        .toPandas()
+    )
+    assert (row.q_min >= -127).all() and (row.q_max <= 127).all()
+    assert (row.n_bad == 0).all()
+
+
+def test_mix_domains_budget_and_determinism(spark, sf_dir):
+    """The realized sample is within a few % of the 60% budget; re-running
+    selects the exact same rows (hash-deterministic, no RNG)."""
+    from etl_open_source_spark.catalog import load_table
+    from etl_open_source_spark.operators.curation import domain_mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    total = d.count()
+    s1 = domain_mixture(d, "doc_id", "source", "n_chars").select("doc_id").toPandas()
+    s2 = domain_mixture(d, "doc_id", "source", "n_chars").select("doc_id").toPandas()
+    assert sorted(s1.doc_id) == sorted(s2.doc_id)
+    # hash buckets are uniform-ish, not exact: ±10% of the 60% budget
+    assert abs(len(s1) / total - 0.6) < 0.1
+
+
+def test_entropy_bounds(spark, sf_dir):
+    """0 <= H <= log2(alphabet size of the doc); a single-char doc is 0."""
+    from etl_open_source_spark.operators.curation import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.entropy_bits for r in char_entropy(df, "doc_id", "text").collect()}
+    assert out[1] == 0.0
+    assert out[2] == 1.0  # two symbols, uniform
+    assert out[3] == 2.0  # four symbols, uniform
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A corpus doc that quotes 5+ consecutive benchmark words must be
+    flagged; disjoint-vocabulary docs must not."""
+    from etl_open_source_spark.operators.curation import decontaminate_hits
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text alpha beta gamma delta epsilon more words"),
+            (2, "totally unrelated vocabulary nothing shared here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.n_shared_ngrams for r in
+           decontaminate_hits(corpus, bench, "doc_id", "text", n=5).collect()}
+    assert 1 in out and out[1] >= 1
+    assert 2 not in out
+
+
+def test_dup_ngram_fraction_planted(spark):
+    """Five docs sharing one 4-gram: those positions are flagged at
+    min_docs=5; a unique-text doc scores 0."""
+    from etl_open_source_spark.operators.curation import dup_ngram_fraction
+
+    shared = "the quick brown fox"
+    rows = [(i, f"{shared} unique{i} tail{i} words{i}") for i in range(5)]
+    rows.append((99, "completely different sentence with no overlap at all"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.dup_frac for r in
+           dup_ngram_fraction(df, "doc_id", "text", n=4, min_docs=5).collect()}
+    assert out[0] > 0 and out[99] == 0.0
+
+
+def test_knn_graph_mutual_symmetry(spark, sf_dir):
+    """Every mutual edge's reverse is present and also mutual."""
+    from etl_open_source_spark.registry import get_registry
+
+    out = get_registry()["q_sim_knn_graph"].fn(spark, sf_dir).toPandas()
+    edges = {(r.query_id, r.neighbor_id): r.mutual for _, r in out.iterrows()}
+    for (a, b), m in edges.items():
+        if m:
+            assert edges.get((b, a)) is True or edges.get((b, a)) == True  # noqa: E712
+
+
+def test_letterbox_dims_properties(spark):
+    """Fit never exceeds the target box, preserves orientation, and is
+    exact for integer-ratio scales."""
+    from etl_open_source_spark.operators.multimodal import letterbox_dims
+
+    for sw, sh in [(640, 480), (480, 640), (1, 1), (5000, 3), (3, 5000), (256, 256)]:
+        ow, oh = letterbox_dims(sw, sh, 256, 256)
+        assert 1 <= ow <= 256 and 1 <= oh <= 256
+        assert (sw >= sh) == (ow >= oh)
+    assert letterbox_dims(512, 256, 256, 256) == (256, 128)
+    assert letterbox_dims(1024, 1024, 256, 256) == (256, 256)
