@@ -194,6 +194,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, then EXACT Jaccard verification
     of candidates only (no false positives; recall governed by (bands,
@@ -202,7 +203,18 @@ def minhash_lsh_pairs(
     Scale path: nothing here is quadratic in corpus size — signatures are
     one shuffle, banding is an equi-join on (band, key), verification
     touches only candidate pairs.
-    """
+
+    ``max_bucket_size`` is the banding-side skew guard (the analog of
+    ``max_doc_freq`` for the shingle join): band keys are 64-bit hashes,
+    so two docs share a bucket only when a whole band of their signatures
+    agrees — but a *degenerate* corpus (say 1M byte-identical docs) puts
+    all of them in the same bucket in EVERY band, and the candidate join
+    explodes quadratically per bucket (10¹² pairs at 1M). Buckets larger
+    than the cap are dropped from pair generation via a broadcast
+    anti-join (the hot list is ≤ corpus/cap entries — tiny). Pairs
+    discoverable ONLY through an over-cap bucket are missed by design;
+    run ``exact_dedup`` first so identical docs collapse to one
+    representative and never form such buckets."""
     rows = num_hashes // bands
     # persisted: reused by signatures AND candidate verification
     sh = word_shingles(df, id_col, text_col, n, max_doc_freq).persist()
@@ -216,6 +228,14 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col("id"), F.posexplode(band_keys).alias("band", "band_key")
     )
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") > max_bucket_size)
+            .select("band", "band_key")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
     a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
     candidates = (

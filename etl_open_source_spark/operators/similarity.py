@@ -195,7 +195,15 @@ def embedding_near_dup_pairs(
     """All pairs with cosine >= threshold, via sign-LSH: 16 pseudo-random
     hyperplane sign bits (derived from xxhash64, no stored model), banded
     4×4 so near-identical vectors collide in at least one band with
-    overwhelming probability; exact cosine verifies candidates."""
+    overwhelming probability; exact cosine verifies candidates.
+
+    Sizing at scale: the per-band keyspace is 2^(planes/bands), and the
+    band self-join costs Σ bucket² — so ``planes``/``bands`` must grow
+    with the corpus until corpus/2^(planes/bands) is a tolerable bucket
+    size (e.g. 64 planes × 8 bands → 256-bucket bands for fixtures;
+    256 planes × 16 bands → 65k-bucket bands for billions of rows).
+    The 16×4 default is fixture-sized. Exact-dedup identical vectors
+    first; they collide in every band by construction."""
     dim = 64  # fixture embedding dimensionality
     v = corpus.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v")).withColumn(
         "vn", norm(F.col("v"))

@@ -573,3 +573,28 @@ def test_letterbox_dims_properties(spark):
         assert (sw >= sh) == (ow >= oh)
     assert letterbox_dims(512, 256, 256, 256) == (256, 128)
     assert letterbox_dims(1024, 1024, 256, 256) == (256, 256)
+
+
+def test_lsh_hot_bucket_cap_bounds_degenerate_corpus(spark):
+    """A flood of byte-identical docs must not explode the banding join:
+    with the cap, the degenerate bucket is dropped (identical docs are
+    exact-dedup's job); genuine near-dup pairs elsewhere still surface."""
+    from etl_open_source_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base) for i in range(40)]  # degenerate flood
+    rows += [
+        (100, "one two three four five six seven eight nine ten"),
+        (101, "one two three four five six seven eight nine eleven"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.5, max_bucket_size=10
+    ).toPandas()
+    # flood pairs (both ids < 40) suppressed; the real near-dup pair kept
+    assert not ((capped.id_a < 40) & (capped.id_b < 40)).any()
+    assert ((capped.id_a == 100) & (capped.id_b == 101)).any()
+    uncapped = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.5, max_bucket_size=None
+    ).toPandas()
+    assert ((uncapped.id_a < 40) & (uncapped.id_b < 40)).sum() == 40 * 39 / 2
