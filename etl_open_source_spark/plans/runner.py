@@ -20,8 +20,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_open_source_spark.plans.models import PipelineSpec, Step, StepType
 from etl_open_source_spark.plans.sanitize import sanitize_nulls
-from etl_open_source_spark.sources.readers import read_csv, read_json, read_parquet
-from etl_open_source_spark.sources.writers import write_csv, write_json, write_parquet
+from etl_open_source_spark.sources.readers import (
+    jdbc_query_options,
+    read_csv,
+    read_jdbc,
+    read_json,
+    read_parquet,
+)
+from etl_open_source_spark.sources.writers import (
+    write_csv,
+    write_jdbc,
+    write_json,
+    write_parquet,
+)
 
 HISTORY_SCHEMA = (
     "run_id string, task_id string, started_at timestamp, finished_at timestamp, "
@@ -90,19 +101,38 @@ class PipelineRunner:
         if step.step_type == StepType.LOAD:
             if data is None:
                 raise ValueError(f"load step {step.name!r} has no input")
-            self._load(step, data)
+            self._load(spec, step, data)
             return data  # passthrough, steps keep chaining
         raise ValueError(f"unknown step type: {step.step_type}")
 
     def _extract(self, spec: PipelineSpec, step: Step) -> DataFrame:
         cfg = step.config
-        if "query" in cfg:
-            # the reference's core capability: arbitrary SQL pushed to the
-            # source engine (core/extractors/sqlserver.py:46-55). Our source
-            # engine IS Spark SQL over the registered catalog.
-            return self.spark.sql(cfg["query"])
         conn = spec.connection(step.connection_id)
         fmt = (conn.type if conn else cfg.get("format", "parquet")).lower()
+        if fmt == "jdbc":
+            # The reference's core path: a live DBMS source. "query" pushes
+            # arbitrary SQL to the source engine (core/extractors/
+            # sqlserver.py:46-55); "table" reads a table, optionally as a
+            # partitioned parallel extract. Live-tested against embedded
+            # Derby in tests/test_plans_jdbc.py.
+            opts = dict(conn.params)
+            url = opts.pop("url")
+            if "query" in cfg:
+                return (
+                    self.spark.read.format("jdbc")
+                    .options(**jdbc_query_options(url, cfg["query"], **opts))
+                    .load()
+                )
+            part = {
+                k: cfg[k]
+                for k in ("partition_column", "lower_bound", "upper_bound", "num_partitions")
+                if k in cfg
+            }
+            return read_jdbc(self.spark, url=url, table=cfg["table"], **part, **opts)
+        if "query" in cfg:
+            # No DBMS connection: the source engine IS Spark SQL over the
+            # registered catalog.
+            return self.spark.sql(cfg["query"])
         path = cfg.get("table") or cfg.get("path")
         opts = dict(conn.params) if conn else {}
         if fmt == "parquet":
@@ -129,10 +159,25 @@ class PipelineRunner:
             return data.transform(fn)
         raise ValueError(f"unsupported transform type: {kind}")
 
-    def _load(self, step: Step, data: DataFrame) -> None:
+    def _load(self, spec: PipelineSpec, step: Step, data: DataFrame) -> None:
         cfg = step.config
-        fmt = cfg.get("format", "parquet").lower()
+        conn = spec.connection(step.connection_id)
+        fmt = (conn.type if conn else cfg.get("format", "parquet")).lower()
         mode = cfg.get("mode", "append")
+        if fmt == "jdbc":
+            # Executor-parallel batched insert with optional auto-DDL —
+            # replaces the reference's per-row INSERT loop
+            # (core/loaders/sqlserver.py:282-286).
+            opts = dict(conn.params)
+            write_jdbc(
+                data,
+                url=opts.pop("url"),
+                table=cfg["table"],
+                mode=mode,
+                column_types=cfg.get("column_types"),
+                **opts,
+            )
+            return
         path = cfg["path"]
         if fmt == "parquet":
             write_parquet(data, path, mode=mode, partition_by=cfg.get("partition_by"))
