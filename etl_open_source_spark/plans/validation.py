@@ -45,8 +45,13 @@ def validate_spec(spec: PipelineSpec) -> list[str]:
                 issues.append(f"sql transform step {s.name!r} missing 'sql'")
             if kind == "python" and not cfg.get("fn"):
                 issues.append(f"python transform step {s.name!r} missing 'fn'")
-        if s.step_type == StepType.LOAD and not cfg.get("path"):
-            issues.append(f"load step {s.name!r} missing 'path'")
+        if s.step_type == StepType.LOAD:
+            conn = spec.connection(s.connection_id)
+            if conn is not None and conn.type == "jdbc":
+                if not cfg.get("table"):
+                    issues.append(f"jdbc load step {s.name!r} missing 'table'")
+            elif not cfg.get("path"):
+                issues.append(f"load step {s.name!r} missing 'path'")
 
     try:
         next_run_from_cron(spec.cron, datetime(2026, 1, 1))

@@ -170,3 +170,15 @@ def test_jdbc_spec_json_roundtrip(tmp_path, derby_url):
     back = PipelineSpec.from_json(p.read_text())
     assert back.connection("db").params["url"] == derby_url
     assert back.ordered_steps()[1].config["table"] == "t2"
+
+
+def test_jdbc_spec_validation(derby_url):
+    """JDBC load steps validate on 'table' (no 'path'); a jdbc load
+    missing its table is flagged; the shipped example spec is clean."""
+    from etl_open_source_spark.plans.validation import validate_spec
+
+    spec = PipelineSpec.load("examples/jdbc_rollup.json")
+    assert validate_spec(spec) == []
+    spec.ordered_steps()[2].config.pop("table")
+    issues = validate_spec(spec)
+    assert any("missing 'table'" in i for i in issues)
