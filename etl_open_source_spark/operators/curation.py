@@ -196,3 +196,27 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "entropy_bits"
         ),
     )
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonicalize a URL for corpus dedup: strip fragment, lowercase
+    scheme+host, drop a leading ``www.``, drop default ports (:80/:443),
+    strip ``utm_*`` tracking params (restoring the ``?`` separator when the
+    first query param was stripped), and trim the trailing path slash.
+    Pure regexp/string built-ins — scan-local, codegen'd.
+
+    NOTE for oracle writers: Spark's regexp_replace replaces ALL matches;
+    DuckDB's replaces the FIRST unless given the 'g' flag — any
+    multi-match pattern must carry 'g' on the DuckDB side."""
+    nofrag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(hostport), r"^www\.", ""), r":(443|80)$", ""
+    )
+    rest = F.regexp_replace(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    rest = F.regexp_replace(rest, r"[?&]utm_[^&#]*", "")
+    rest = F.regexp_replace(rest, r"^([^?&]*)&", r"$1?")
+    rest = F.regexp_replace(rest, r"/\?", "?")
+    rest = F.regexp_replace(rest, r"/$", "")
+    return F.concat(scheme, F.lit("://"), host, rest)

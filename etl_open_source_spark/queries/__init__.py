@@ -58,8 +58,8 @@ _VERIFY_FIRST = [
     "q_text_decontaminate", "q_text_dup_ngram_frac", "q_embedding_quantize",
     "q_mix_domains", "q_text_entropy",
     "q_multimodal_resize", "q_multimodal_framesample", "q_sim_knn_graph",
+    "q_url_normalize", "q_agg_argmax",
     # --- re-checks: oldest (round-1) evidence, in registration order
-    "q_agg_groupby", "q_agg_global",
     "q_scan_parquet", "q_scan_csv", "q_scan_json",
     "q_sink_parquet_roundtrip", "q_sink_csv_roundtrip",
     "q_project_select", "q_project_rename", "q_project_computed",

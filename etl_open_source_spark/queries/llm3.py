@@ -324,3 +324,70 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("rev"), F.lit(False)).alias("mutual"),
         )
     )
+
+
+_RAW_URL_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END"
+    " || source || '.Example.COM'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END"
+    " || '/Docs/' || CAST(doc_id % 50 AS STRING) || '/?utm_source=feed'"
+    " || CAST(doc_id AS STRING) || '&ref=' || source || '&utm_campaign=c'"
+    " || CAST(doc_id AS STRING) || '#sec' || CAST(doc_id AS STRING))"
+)
+
+
+@query(
+    "q_url_normalize",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id, source,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END
+     || source || '.Example.COM'
+     || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+     || '/Docs/' || CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed'
+     || CAST(doc_id AS VARCHAR) || '&ref=' || source || '&utm_campaign=c'
+     || CAST(doc_id AS VARCHAR) || '#sec' || CAST(doc_id AS VARCHAR)) AS url
+  FROM documents
+),
+n1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(
+        lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+        '^www\\.', ''), ':(443|80)$', '') AS host,
+    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+  FROM n1
+),
+fixed AS (
+  SELECT doc_id, scheme || '://' || host ||
+    regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(rest, '[?&]utm_[^&#]*', '', 'g'),
+        '^([^?&]*)&', '\\1?'), '/\\?', '?'), '/$', '') AS url_norm
+  FROM parts
+)
+SELECT doc_id, url_norm,
+       CAST(COUNT(*) OVER (PARTITION BY url_norm) AS BIGINT) AS n_same
+FROM fixed
+""",
+    tags=("llm", "curation"),
+)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for corpus dedup: strip fragment + utm_*
+    params + default port + www., lowercase scheme/host, trim trailing
+    slash; n_same counts docs collapsing to the same canonical URL.
+    Raw URLs are manufactured deterministically from (doc_id, source) —
+    messy case/port/tracking variants that canonicalize into collisions.
+    Scan-local regexp chain + one window on the canonical key.
+    (Oracle note: DuckDB regexp_replace needs 'g' where Spark's is
+    always-global — see operators/curation.py normalize_url.)"""
+    from etl_open_source_spark.operators.curation import normalize_url
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", F.expr(_RAW_URL_SQL).alias("url"))
+    from pyspark.sql import Window as W
+
+    out = raw.select("doc_id", normalize_url(F.col("url")).alias("url_norm"))
+    return out.withColumn(
+        "n_same", F.count(F.lit(1)).over(W.partitionBy("url_norm")).cast("bigint")
+    )

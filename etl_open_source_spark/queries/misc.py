@@ -221,3 +221,40 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("user_id", "last_seq", F.col("value").alias("last_value"))
     )
+
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag, l_orderkey, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey DESC) AS rx,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice ASC, l_orderkey ASC) AS rn
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MAX(CASE WHEN rx = 1 THEN l_orderkey END) AS top_order,
+       CAST(MAX(CASE WHEN rx = 1 THEN l_extendedprice END) AS DOUBLE) AS top_price,
+       MAX(CASE WHEN rn = 1 THEN l_orderkey END) AS bottom_order
+FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    tags=("agg",),
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by argmax aggregates with deterministic tie-break: the
+    ordinal is struct(value, key), so equal prices resolve by key instead
+    of Spark's arbitrary-winner default. One hash aggregate — no window,
+    no self-join (the oracle uses the window formulation; same result).
+    At scale this is THE pattern for 'latest row per key' without a sort."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr("max_by(l_orderkey, struct(l_extendedprice, l_orderkey))").alias("top_order"),
+            F.max("l_extendedprice").cast("double").alias("top_price"),
+            F.expr("min_by(l_orderkey, struct(l_extendedprice, l_orderkey))").alias("bottom_order"),
+        )
+        .orderBy("l_returnflag")
+    )
