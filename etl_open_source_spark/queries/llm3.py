@@ -391,3 +391,49 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "n_same", F.count(F.lit(1)).over(W.partitionBy("url_norm")).cast("bigint")
     )
+
+
+@query(
+    "q_text_lm_score",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+),
+freq AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+n AS (SELECT SUM(cnt) AS total FROM freq),
+scored AS (
+  SELECT w.doc_id, log2(CAST(f.cnt AS DOUBLE) / n.total) AS logp
+  FROM w JOIN freq f USING (word) CROSS JOIN n
+)
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       ROUND(SUM(logp) / COUNT(*), 6) AS avg_log2p
+FROM scored GROUP BY doc_id
+""",
+    tags=("llm", "curation"),
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: mean log2-probability of a doc's words
+    under the corpus unigram distribution (the cheapest perplexity proxy —
+    gibberish and off-distribution docs score low). Two aggregates + one
+    join against the vocabulary-sized frequency table (broadcast; at web
+    scale the vocab join shuffles and AQE picks the side). Train the
+    frequency table on a SAMPLE at 100 TB — compose with sample_uniform."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    logp = F.log2(F.col("cnt").cast("double") / F.col("total"))
+    return (
+        words.join(freq.hint("broadcast"), "word")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", logp.alias("logp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.sum("logp") / F.count(F.lit(1)), 6).alias("avg_log2p"),
+        )
+    )

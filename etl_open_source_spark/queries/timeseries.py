@@ -373,3 +373,48 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.alias("interp_sum"),
         F.col("hour_sum").isNotNull().alias("observed"),
     )
+
+
+@query(
+    "q_ts_resample_ohlc",
+    oracle="""
+WITH r AS (
+  SELECT user_id, STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+         value, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('hour', ts)
+                            ORDER BY ts ASC, event_id ASC) AS rn_open,
+         ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM events
+)
+SELECT user_id, bucket,
+       ROUND(MAX(CASE WHEN rn_open = 1 THEN value END), 6) AS open,
+       ROUND(MAX(value), 6) AS high,
+       ROUND(MIN(value), 6) AS low,
+       ROUND(MAX(CASE WHEN rn_close = 1 THEN value END), 6) AS close,
+       COUNT(*) AS n_events
+FROM r GROUP BY user_id, bucket
+""",
+    tags=("timeseries",),
+)
+def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (user, hour) the first/max/min/last value.
+    open/close are max_by/min_by with struct(ts, event_id) ordinals — ONE
+    hash aggregate, no window pass over the fact table (the oracle uses
+    the equivalent two-window formulation). This is the argmax rollup
+    shape that replaces sort-based resampling at 100 TB: partial
+    aggregates combine map-side, nothing global sorts."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00")
+    ordinal = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.select("user_id", bucket.alias("bucket"), "value", "ts", "event_id")
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.round(F.expr("min_by(value, struct(ts, event_id))"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.expr("max_by(value, struct(ts, event_id))"), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
