@@ -304,3 +304,37 @@ def test_knn_graph_broadcast_and_group_limit(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ohlc_single_aggregate_no_window(spark, sf_dir):
+    """OHLC via min_by/max_by must be ONE grouped aggregate (single
+    exchange on the group key) — no window pass, no sort, no join."""
+    plan = _formatted_plan(spark, sf_dir, "q_ts_resample_ohlc")
+    n_exchanges = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
+    )
+    assert n_exchanges == 1, plan
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_lm_score_vocab_join_broadcast(spark, sf_dir):
+    """The vocabulary frequency join must broadcast (never sort-merge the
+    exploded word stream against the vocab at fixture scale)."""
+    plan = _formatted_plan(spark, sf_dir, "q_text_lm_score")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_url_normalize_scan_local_plus_one_window(spark, sf_dir):
+    """The regexp chain is scan-local; the only exchange is the canonical
+    -key window for collision counts."""
+    plan = _formatted_plan(spark, sf_dir, "q_url_normalize")
+    n_exchanges = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
+    )
+    assert n_exchanges == 1, plan
+    assert "Join" not in plan
