@@ -162,3 +162,42 @@ def stream_stream_interval_join(
         & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, "inner").drop(r[on])
+
+
+def foreach_batch_jdbc_sink(
+    stream: DataFrame,
+    url: str,
+    table: str,
+    checkpoint: str,
+    **jdbc_opts: str,
+):
+    """Streaming → DBMS sink: every micro-batch lands in the JDBC target
+    as one executor-parallel batched append (the streaming flavor of the
+    reference's SQL Server load, core/loaders/sqlserver.py:244-288 —
+    minus the row-at-a-time loop). Live-tested against embedded Derby.
+
+    Each row carries the micro-batch epoch in ``__epoch`` so a replayed
+    batch (restart between sink write and checkpoint commit) is
+    detectable target-side: dedupe on (key, __epoch) or MERGE from a
+    staging table for exactly-once; plain append is at-least-once.
+
+    Returns the StreamingQuery (caller awaits/stops it)."""
+    from pyspark.sql import functions as F
+
+    from etl_open_source_spark.sources.writers import write_jdbc
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        write_jdbc(
+            batch.withColumn("__epoch", F.lit(epoch_id)),
+            url=url,
+            table=table,
+            mode="append",
+            **jdbc_opts,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
