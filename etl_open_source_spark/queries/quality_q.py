@@ -159,3 +159,89 @@ def q_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 2.0).alias("is_outlier"),
         )
     )
+
+
+@query(
+    "q_quality_fk",
+    oracle="""
+SELECT 'lineitem.l_orderkey->orders' AS edge,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_keys,
+       SUM(CASE WHEN l_orderkey NOT IN (SELECT o_orderkey FROM orders) THEN 1 ELSE 0 END) AS n_orphans
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       COUNT(*), COUNT(DISTINCT l_partkey),
+       SUM(CASE WHEN l_partkey NOT IN (SELECT p_partkey FROM part) THEN 1 ELSE 0 END)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       COUNT(*), COUNT(DISTINCT l_suppkey),
+       SUM(CASE WHEN l_suppkey NOT IN (SELECT s_suppkey FROM supplier) THEN 1 ELSE 0 END)
+FROM lineitem
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       COUNT(*), COUNT(DISTINCT o_custkey),
+       SUM(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END)
+FROM orders
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       COUNT(*), COUNT(DISTINCT c_nationkey),
+       SUM(CASE WHEN c_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 ELSE 0 END)
+FROM customer
+UNION ALL
+SELECT 'supplier.s_nationkey->nation',
+       COUNT(*), COUNT(DISTINCT s_nationkey),
+       SUM(CASE WHEN s_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 ELSE 0 END)
+FROM supplier
+UNION ALL
+SELECT 'nation.n_regionkey->region',
+       COUNT(*), COUNT(DISTINCT n_regionkey),
+       SUM(CASE WHEN n_regionkey NOT IN (SELECT r_regionkey FROM region) THEN 1 ELSE 0 END)
+FROM nation
+""",
+    tags=("quality",),
+)
+def q_quality_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the whole FK manifest
+    (catalog.FK_GRAPH — the engine analog of the reference's
+    sys.foreign_keys walk, core/extractors/sqlserver.py:155-198): per
+    edge, row/key counts and orphan rows whose FK value has no parent.
+
+    Orphans are counted with a broadcast LEFT ANTI join per edge —
+    dimension parents broadcast, the fact side is scanned once per edge
+    and never shuffled. (NOT IN in the oracle is safe here: fixture keys
+    are non-null; the engine uses anti-join semantics which also ignore
+    parent-side NULLs.)"""
+    from pyspark.sql import functions as F
+
+    from etl_open_source_spark.catalog import FK_GRAPH
+
+    parts = []
+    for fk in FK_GRAPH:
+        child = load_table(spark, sf_dir, fk["table"])
+        parent = load_table(spark, sf_dir, fk["ref_table"]).select(
+            F.col(fk["ref_column"]).alias("__pk")
+        )
+        orphans = (
+            child.join(
+                F.broadcast(parent),
+                child[fk["column"]] == F.col("__pk"),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        stats = child.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(fk["column"]).alias("n_keys"),
+        )
+        edge = f"{fk['table']}.{fk['column']}->{fk['ref_table']}"
+        parts.append(
+            stats.crossJoin(orphans).select(
+                F.lit(edge).alias("edge"), "n_rows", "n_keys", "n_orphans"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
