@@ -49,3 +49,36 @@ def test_next_run_prints_timestamp(capsys):
     assert main(["next-run", SPEC]) == 0
     out = capsys.readouterr().out.strip()
     assert len(out) == 19 and out[4] == "-" and out[13] == ":"
+
+
+def test_bench_json_contract():
+    """bench.py must print exactly ONE JSON line with the driver-contract
+    keys; run at sf0.001 with 1 rep to keep it fast."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_REPS="1",
+        PYTHONPATH=os.path.dirname(os.path.dirname(__file__)),
+    )
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, proc.stdout + proc.stderr[-1000:]
+    d = json.loads(lines[0])
+    assert d["metric"] == "headline_queries_total" and d["unit"] == "sec"
+    assert d["value"] > 0 and d["sf"] == 0.001
+    assert set(d["queries"]) == set(d["spread"])
+    for s in d["spread"].values():
+        assert s["min"] <= s["median"] <= s["max"]
+    assert d["n_samples"] == 1
