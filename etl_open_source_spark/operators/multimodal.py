@@ -212,3 +212,35 @@ def sample_frames(
         .cast("bigint")
         .alias("frame_no"),
     )
+
+
+AUDIO_CHUNK_SCHEMA = "id bigint, chunk int, n_bytes int, energy bigint"
+
+
+def chunk_audio(
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "payload",
+    chunk_bytes: int = 100,
+) -> DataFrame:
+    """Audio windowing stage: split each payload into fixed-size byte
+    chunks (a stand-in for fixed-duration PCM windows) and emit per-chunk
+    size + energy (sum of byte values — the stub for RMS; a real librosa/
+    scipy path swaps in behind the same schema). Arrow-batched
+    mapInPandas, one Python hop per batch, rows explode Python-side so
+    one input row → ceil(len/chunk) output rows inside the same batch.
+
+    Deterministic byte arithmetic → the whole stage (batch plumbing
+    included) is value-hash checkable against a SQL oracle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                data = bytes(b)
+                for c in range(0, max(len(data), 1), chunk_bytes):
+                    piece = data[c : c + chunk_bytes]
+                    rows.append((i, c // chunk_bytes, len(piece), sum(piece)))
+            yield pd.DataFrame(rows, columns=["id", "chunk", "n_bytes", "energy"])
+
+    return df.mapInPandas(fn, AUDIO_CHUNK_SCHEMA)

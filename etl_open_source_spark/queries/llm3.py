@@ -437,3 +437,37 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("logp") / F.count(F.lit(1)), 6).alias("avg_log2p"),
         )
     )
+
+
+@query(
+    "q_multimodal_audio_chunks",
+    oracle="""
+WITH pieces AS (
+  SELECT doc_id,
+         CAST((i - 1) // 100 AS INTEGER) AS chunk,
+         ascii(substr(text, i, 1)) AS byteval
+  FROM documents, GENERATE_SERIES(1, 1024) AS t(i)
+  WHERE i <= STRLEN(text)
+)
+SELECT doc_id AS id, chunk,
+       CAST(COUNT(*) AS INTEGER) AS n_bytes,
+       CAST(SUM(byteval) AS BIGINT) AS energy
+FROM pieces GROUP BY doc_id, chunk
+""",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing over binary payloads: 100-byte chunks (stand-in
+    for fixed-duration PCM windows) with per-chunk energy. The Arrow-
+    batched Python stage uses deterministic byte arithmetic, so the whole
+    mapInPandas hop value-hash matches the SQL oracle (fixture text is
+    ASCII → UTF-8 bytes == ascii codes; the oracle's 1024-position series
+    bounds fixture docs ≤1024 chars — the engine has no such bound)."""
+    from etl_open_source_spark.operators.multimodal import (
+        chunk_audio,
+        with_binary_column,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_column(d, "doc_id", "text")
+    return chunk_audio(payloads, chunk_bytes=100)
