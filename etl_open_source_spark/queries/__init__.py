@@ -2,12 +2,14 @@
 
 Keep this list in sync with SURVEY.md §2's inventory sections.
 
-Registration order doubles as the driver's verification order: round 1's
-CORRECTNESS file covered exactly the first 50 registered queries, so
-``_VERIFY_FIRST`` rotates queries without a driver-green row yet into that
-window.  Round 1 verified (49 pass + 1 no_oracle): the aggregates, scans,
-project/filter, setops, scalar-fn, join, and rank/lag window families —
-those now register last; their round-1 rows stand in CORRECTNESS_r01.json.
+Registration order doubles as the driver's verification order: each
+round's CORRECTNESS file covers exactly the first 50 registered queries,
+so ``_VERIFY_FIRST`` (exactly 50 names, asserted) selects that window.
+Policy, in priority order: (1) queries never yet inside a driver window,
+(2) queries whose code changed after their last green row, (3) queries
+fixed this round, (4) re-checks of the oldest evidence. Every rotation
+is pre-verified locally against DuckDB at sf0.01 before the round ends
+(round 5: all 50 green — 48 exact, 2 rows-only by design).
 """
 
 from __future__ import annotations

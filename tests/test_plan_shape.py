@@ -338,3 +338,17 @@ def test_url_normalize_scan_local_plus_one_window(spark, sf_dir):
     )
     assert n_exchanges == 1, plan
     assert "Join" not in plan
+
+
+def test_multimodal_python_stages_single_hop_no_shuffle(spark, sf_dir):
+    """Each multimodal Python stage must be exactly ONE Arrow-batched
+    MapInPandas over the scan — one JVM<->Python hop, zero exchanges."""
+    for name in ("q_multimodal_resize", "q_multimodal_audio_chunks"):
+        plan = _formatted_plan(spark, sf_dir, name)
+        assert plan.count("MapInPandas") >= 1, name
+        n_nodes = sum(
+            1 for l in plan.splitlines()
+            if l.strip().startswith("(") and "MapInPandas" in l
+        )
+        assert n_nodes == 1, (name, plan)
+        assert "Exchange" not in plan, (name, plan)
