@@ -229,13 +229,16 @@ def minhash_lsh_pairs(
         F.col("id"), F.posexplode(band_keys).alias("band", "band_key")
     )
     if max_bucket_size is not None:
-        hot = (
-            banded.groupBy("band", "band_key")
-            .agg(F.count(F.lit(1)).alias("sz"))
-            .filter(F.col("sz") > max_bucket_size)
-            .select("band", "band_key")
+        # Window (not a groupBy + anti-join back): a second branch off
+        # `banded` would recompute the 64-agg signatures; the window keeps
+        # one lineage and its (band, band_key) exchange is the same
+        # partitioning the candidate self-join needs anyway.
+        w_bucket = Window.partitionBy("band", "band_key")
+        banded = (
+            banded.withColumn("__sz", F.count(F.lit(1)).over(w_bucket))
+            .filter(F.col("__sz") <= max_bucket_size)
+            .drop("__sz")
         )
-        banded = banded.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
     a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
     candidates = (

@@ -258,3 +258,65 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covp,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covs,
+       ROUND(stddev_pop(l_quantity), 6) AS qty_sd,
+       COUNT(*) AS cnt
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    tags=("agg",),
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics: correlation + covariance (pop/sample) per
+    group in one pass (partial moments combine map-side — no second scan,
+    no window). Rounded because the double moment sums fold in partition
+    order (corr/covar cannot go through the decimal-exact path — they are
+    ratios of co-moments)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qty_price_covp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covs"),
+            F.round(F.stddev_pop("l_quantity"), 6).alias("qty_sd"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_fn_regex",
+    oracle="""
+SELECT p_partkey,
+       len(regexp_extract_all(p_name, '[aeiou]+')) AS n_vowel_runs,
+       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+       CASE WHEN regexp_matches(p_name, 'red|blue|green') THEN 1 ELSE 0 END AS has_color,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+FROM part
+WHERE p_partkey <= 500
+""",
+    tags=("fn",),
+)
+def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function pack: extract-all counts, anchored group extract,
+    boolean match, global replace — all codegen'd JVM regex, scan-local.
+    (Oracle notes: DuckDB regexp_replace needs the 'g' flag to match
+    Spark's always-global semantics; boolean match is regexp_matches
+    there vs rlike here.)"""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.size(F.expr("regexp_extract_all(p_name, '[aeiou]+', 0)")).alias("n_vowel_runs"),
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.when(F.col("p_name").rlike("red|blue|green"), 1).otherwise(0).alias("has_color"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+    )
