@@ -352,3 +352,15 @@ def test_multimodal_python_stages_single_hop_no_shuffle(spark, sf_dir):
         )
         assert n_nodes == 1, (name, plan)
         assert "Exchange" not in plan, (name, plan)
+
+
+@pytest.mark.parametrize(
+    "name", ["q_tpch_q5", "q_tpch_q8", "q_tpch_q9", "q_tpch_q18", "q_tpch_q21"]
+)
+def test_tpch_heavies_no_degenerate_joins(spark, sf_dir, name):
+    """The heavy multi-join TPC-H queries must never plan a cartesian or
+    nested-loop join — every join is an equi hash/merge join (broadcast
+    at fixture scale; shuffled-hash/sort-merge on real clusters)."""
+    plan = _formatted_plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name

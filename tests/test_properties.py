@@ -266,3 +266,47 @@ def test_merge_upsert_properties(spark_prop, target_keys, update_keys):
         assert out[k] == "new"  # updates win
     for k in target_keys - update_keys:
         assert out[k] == "old"  # untouched rows survive
+
+
+def test_normalize_url_idempotent(spark_prop):
+    """normalize_url(normalize_url(x)) == normalize_url(x) over messy
+    generated URLs — canonicalization must be a fixpoint."""
+    from pyspark.sql import functions as F
+
+    from etl_open_source_spark.operators.curation import normalize_url
+
+    urls = [
+        "HTTPS://WWW.Ex.COM:443/A/b/?utm_source=x&q=1#f",
+        "http://ex.com:80/",
+        "https://ex.com/path/",
+        "HTTP://WWW.A.B.C:80/p?utm_a=1&utm_b=2&keep=3",
+        "https://ex.com/p?utm_only=1",
+        "ftp://Files.Ex.COM/Dir/",
+        "https://ex.com",
+    ]
+    df = spark_prop.createDataFrame([(u,) for u in urls], ["url"])
+    once = df.select(normalize_url(F.col("url")).alias("n1"))
+    twice = once.select(F.col("n1"), normalize_url(F.col("n1")).alias("n2"))
+    rows = twice.collect()
+    for r in rows:
+        assert r.n1 == r.n2, (r.n1, r.n2)
+
+
+def test_letterbox_hypothesis_bounds():
+    from hypothesis import given, strategies as st
+
+    from etl_open_source_spark.operators.multimodal import letterbox_dims
+
+    @given(
+        st.integers(min_value=1, max_value=20000),
+        st.integers(min_value=1, max_value=20000),
+        st.integers(min_value=8, max_value=2048),
+        st.integers(min_value=8, max_value=2048),
+    )
+    def check(sw, sh, tw, th):
+        ow, oh = letterbox_dims(sw, sh, tw, th)
+        assert 1 <= ow <= tw and 1 <= oh <= th
+        # at least one dimension pins to the target (max-fit, not fit-in-half)
+        assert ow == tw or oh == th
+
+    check()
