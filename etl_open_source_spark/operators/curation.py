@@ -219,4 +219,8 @@ def normalize_url(url: Column) -> Column:
     rest = F.regexp_replace(rest, r"^([^?&]*)&", r"$1?")
     rest = F.regexp_replace(rest, r"/\?", "?")
     rest = F.regexp_replace(rest, r"/$", "")
-    return F.concat(scheme, F.lit("://"), host, rest)
+    # schemeless input isn't a URL — pass it through (fragment-stripped)
+    # instead of manufacturing a dangling "://" prefix
+    return F.when(scheme == "", nofrag).otherwise(
+        F.concat(scheme, F.lit("://"), host, rest)
+    )

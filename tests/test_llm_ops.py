@@ -598,3 +598,38 @@ def test_lsh_hot_bucket_cap_bounds_degenerate_corpus(spark):
         df, "doc_id", "text", threshold=0.5, max_bucket_size=None
     ).toPandas()
     assert ((uncapped.id_a < 40) & (uncapped.id_b < 40)).sum() == 40 * 39 / 2
+
+
+def test_curation_ops_null_and_empty_safe(spark):
+    """Real corpora carry nulls and empties: no curation operator may
+    crash; nulls propagate or drop, never poison the batch."""
+    from pyspark.sql import functions as F
+
+    from etl_open_source_spark.operators import curation as C
+
+    df = spark.createDataFrame(
+        [
+            (1, "normal text with several words here ok", "s1", 38),
+            (2, "", "s1", 0),
+            (3, None, "s2", None),
+            (4, "short", "s2", 5),
+        ],
+        "doc_id bigint, text string, source string, n_chars bigint",
+    )
+    emb = spark.createDataFrame(
+        [(1, [0.1, -0.2]), (2, []), (3, None)],
+        "vec_id bigint, embedding array<float>",
+    )
+    assert C.char_entropy(df, "doc_id", "text").count() == 3  # null text drops
+    assert C.dup_ngram_fraction(df, "doc_id", "text", n=2, min_docs=2).count() >= 1
+    C.decontaminate_hits(
+        df.filter("doc_id > 1"), df.filter("doc_id = 1"), "doc_id", "text", n=2
+    ).count()
+    assert C.domain_mixture(df, "doc_id", "source", "n_chars").count() >= 1
+    q = {r.vec_id: r for r in C.quantize_embeddings(emb, "vec_id", "embedding").collect()}
+    assert q[2].qvec == [] and q[3].qvec is None  # empty/null propagate cleanly
+    urls = spark.createDataFrame(
+        [(None,), ("notaurl",), ("notaurl#frag",)], "url string"
+    ).select(C.normalize_url(F.col("url")).alias("n"))
+    got = [r.n for r in urls.collect()]
+    assert got == [None, "notaurl", "notaurl"]  # schemeless passes through
