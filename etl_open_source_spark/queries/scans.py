@@ -165,3 +165,27 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "q_scan_text",
+    oracle="""
+SELECT MD5(text) AS line_md5, STRLEN(text) AS n_bytes
+FROM documents
+""",
+    tags=("scan",),
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text line ingestion — the corpus format before any structure:
+    write one doc per line, read with spark.read.text (splittable;
+    parallel line scanning). Verified by per-line md5 against the source
+    table. (Fixture texts carry no newlines; for real multi-line docs
+    use wholetext=True per file or a record-separator format.)"""
+    src = load_table(spark, sf_dir, "documents").select("text")
+    path = _tmp(sf_dir, "documents_txt")
+    src.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.select(
+        F.md5("value").alias("line_md5"),
+        F.length("value").cast("bigint").alias("n_bytes"),
+    )

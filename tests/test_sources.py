@@ -172,3 +172,19 @@ def test_load_table_from_foreign_session(spark, sf_dir):
     assert df.count() == 5
     # load_table must have pinned the session back to UTC for oracle parity.
     assert foreign.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_binaryfile_reader(spark, tmp_path):
+    """spark.read.format('binaryFile') — opaque media ingestion: whole
+    files as (path, length, content) rows, the entry point for the
+    multimodal operators (operators/multimodal.py)."""
+    import os
+
+    payloads = {f"f{i}.bin": bytes([i]) * (10 + i) for i in range(3)}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    df = spark.read.format("binaryFile").load(str(tmp_path))
+    rows = {os.path.basename(r.path): (r.length, bytes(r.content)) for r in df.collect()}
+    assert set(rows) == set(payloads)
+    for name, data in payloads.items():
+        assert rows[name] == (len(data), data)
