@@ -182,3 +182,51 @@ def test_jdbc_spec_validation(derby_url):
     spec.ordered_steps()[2].config.pop("table")
     issues = validate_spec(spec)
     assert any("missing 'table'" in i for i in issues)
+
+
+def test_example_spec_runs_via_cli(spark, sf_dir, tmp_path):
+    """The shipped examples/jdbc_rollup.json is actually runnable: seed
+    the source table, patch the DB path into a tmp copy, run it through
+    the real CLI subprocess, and verify the target table landed."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    url = f"jdbc:derby:{tmp_path}/demo_db;create=true"
+    _seed(spark, sf_dir, url)
+
+    def _derby_shutdown():
+        # embedded Derby is single-JVM: release the DB so the CLI
+        # subprocess can boot it (shutdown always raises SQLException)
+        try:
+            spark._jvm.java.sql.DriverManager.getConnection(
+                f"jdbc:derby:{tmp_path}/demo_db;shutdown=true"
+            )
+        except Exception:
+            pass
+
+    _derby_shutdown()
+    spec = json.loads(open("examples/jdbc_rollup.json").read())
+    spec["connections"][0]["params"]["url"] = url
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps(spec))
+    env = dict(
+        os.environ,
+        PYTHONPATH=os.path.dirname(os.path.dirname(__file__)),
+        SPARK_GRAFT_CPUS="4",
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "etl_open_source_spark", "run", str(spec_path)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert proc.returncode == 0, proc.stdout[-500:] + proc.stderr[-1500:]
+
+    from etl_open_source_spark.sources.readers import read_jdbc
+
+    back = read_jdbc(spark, url=url, table="order_rollup", driver=DRIVER)
+    assert back.count() >= 1
