@@ -36,14 +36,26 @@ def asof_join(
     right_on: str,
     right_values: list[str] | None = None,
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join (inclusive). ``right_values`` are the payload
-    columns carried from the right side (default: all non-key columns).
-    ``tolerance`` (an INTERVAL literal, e.g. ``'30 minutes'``) drops matches
-    older than ``left_on - tolerance``.
+    """As-of join (inclusive). ``right_values`` are the payload columns
+    carried from the right side (default: all non-key columns).
+    ``tolerance`` (an INTERVAL literal, e.g. ``'30 minutes'``) bounds the
+    match distance on the chosen side.
+
+    ``direction``: ``"backward"`` (latest right row at-or-before the left
+    time — the default everywhere: kdb aj, pandas merge_asof, DuckDB
+    ASOF), ``"forward"`` (earliest right row at-or-after), or
+    ``"nearest"`` (closer of the two; exact ties resolve backward, like
+    pandas). All three are the same ONE union + (by)-partitioned ordered
+    window — forward carries first-over-following instead of
+    last-over-preceding; nearest runs both carries in the same window
+    pass and picks per-row.
 
     Left and right payload column names must not collide (pre-rename).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     right_values = right_values or [
         c for c in right.columns if c not in by and c != right_on
     ]
@@ -55,9 +67,11 @@ def asof_join(
     # grow a suffix until every candidate is free.
     taken = set(left.columns) | set(right.columns)
     suffix = ""
-    while any(f"__{b}{suffix}" in taken for b in ("r", "rts", "ts", "tag")):
+    while any(f"__{b}{suffix}" in taken for b in ("r", "rts", "ts", "tag", "cb", "cf")):
         suffix += "_"
-    c_r, c_rts, c_ts, c_tag = (f"__{b}{suffix}" for b in ("r", "rts", "ts", "tag"))
+    c_r, c_rts, c_ts, c_tag, c_b, c_f = (
+        f"__{b}{suffix}" for b in ("r", "rts", "ts", "tag", "cb", "cf")
+    )
 
     # The whole right row rides in one struct: the struct is non-NULL for
     # every right row even when payload fields are NULL, so the ignorenulls
@@ -78,12 +92,26 @@ def asof_join(
         c_ts, F.coalesce(F.col(left_on), F.col(c_rts))
     )
 
-    w = (
+    # Backward carries last-over-preceding with right-before-left at equal
+    # timestamps (tag asc → inclusive); forward carries first-over-following
+    # with left-before-right at equal timestamps (tag desc → inclusive).
+    # Both windows share the (by) partitioning, so the second direction
+    # costs one extra in-partition sort, never an extra shuffle.
+    w_b = (
         Window.partitionBy(*by)
         .orderBy(F.col(c_ts).asc(), F.col(c_tag).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.withColumn(c_r, F.last(F.col(c_r), ignorenulls=True).over(w))
+    w_f = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(c_ts).asc(), F.col(c_tag).desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned
+    if direction in ("backward", "nearest"):
+        carried = carried.withColumn(c_b, F.last(F.col(c_r), ignorenulls=True).over(w_b))
+    if direction in ("forward", "nearest"):
+        carried = carried.withColumn(c_f, F.first(F.col(c_r), ignorenulls=True).over(w_f))
     out = carried.filter(F.col(c_tag) == 1)
 
     # Match validity (struct carried + non-NULL left time + inside
@@ -91,15 +119,28 @@ def asof_join(
     # output column unwraps in a single select — no column is read after
     # being overwritten.  A NULL left_on can't match (l.ts >= r.ts is
     # NULL-falsy in the reference semantics).
-    match_ok = F.col(c_r).isNotNull() & F.col(left_on).isNotNull()
-    if tolerance is not None:
-        match_ok = match_ok & (
-            F.col(c_r)[right_on] >= F.col(left_on) - F.expr(f"INTERVAL {tolerance}")
+    def _ok(col, side: str):
+        ok = col.isNotNull() & F.col(left_on).isNotNull()
+        if tolerance is not None:
+            bound = F.expr(f"INTERVAL {tolerance}")
+            if side == "b":
+                ok = ok & (col[right_on] >= F.col(left_on) - bound)
+            else:
+                ok = ok & (col[right_on] <= F.col(left_on) + bound)
+        return ok
+
+    if direction == "backward":
+        chosen = F.when(_ok(F.col(c_b), "b"), F.col(c_b))
+    elif direction == "forward":
+        chosen = F.when(_ok(F.col(c_f), "f"), F.col(c_f))
+    else:
+        ok_b, ok_f = _ok(F.col(c_b), "b"), _ok(F.col(c_f), "f")
+        d_b = F.col(left_on).cast("double") - F.col(c_b)[right_on].cast("double")
+        d_f = F.col(c_f)[right_on].cast("double") - F.col(left_on).cast("double")
+        chosen = F.when(ok_b & (~ok_f | (d_b <= d_f)), F.col(c_b)).when(
+            ok_f, F.col(c_f)
         )
     return out.select(
         *left.columns,
-        *[
-            F.when(match_ok, F.col(c_r)[c]).alias(c)
-            for c in [right_on, *right_values]
-        ],
+        *[chosen[c].alias(c) for c in [right_on, *right_values]],
     )

@@ -300,3 +300,52 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, iv, point_ts="ts", start_col="win_start", end_col="win_end",
         bucket_seconds=6 * 3600,
     )
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+WITH views AS (
+  SELECT user_id, ts AS view_ts, MAX(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.purchase_ts, p.purchase_value,
+       v.view_ts, v.view_value
+FROM purchases p
+ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND p.purchase_ts <= v.view_ts
+""",
+    tags=("join", "asof"),
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase matched to the user's earliest
+    view at-or-after it (the look-ahead direction — label joins, next-
+    quote joins). Same one-shuffle union+window shape as backward; the
+    forward carry is first-over-following (operators/asof.py direction=
+    'forward'). Oracle: DuckDB ASOF with the <= inequality."""
+    e = load_table(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .withColumnRenamed("ts", "view_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        purchases,
+        views,
+        by=["user_id"],
+        left_on="purchase_ts",
+        right_on="view_ts",
+        right_values=["view_value"],
+        direction="forward",
+    )

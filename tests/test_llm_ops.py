@@ -633,3 +633,34 @@ def test_curation_ops_null_and_empty_safe(spark):
     ).select(C.normalize_url(F.col("url")).alias("n"))
     got = [r.n for r in urls.collect()]
     assert got == [None, "notaurl", "notaurl"]  # schemeless passes through
+
+
+def test_asof_nearest_direction(spark):
+    """nearest = argmin |l.ts - r.ts| over backward/forward candidates;
+    exact ties resolve backward (pandas merge_asof semantics)."""
+    from datetime import datetime
+
+    from etl_open_source_spark.operators.asof import asof_join
+
+    def ts(s):
+        return datetime.fromisoformat(s)
+
+    left = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01 10:00:00")),   # backward at 9:59, forward at 10:02 -> backward
+         (2, 1, ts("2024-01-01 10:01:30")),   # backward 9:59 (90s), forward 10:02 (30s) -> forward
+         (3, 1, ts("2024-01-01 10:00:30")),   # 9:59 is 90s back, 10:02 is 90s fwd: tie -> backward
+         (4, 2, ts("2024-01-01 00:00:00"))],  # no right rows for user 2 -> null
+        "event_id bigint, user_id bigint, l_ts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:59:00"), 10.0),
+         (1, ts("2024-01-01 10:02:00"), 20.0)],
+        "user_id bigint, r_ts timestamp, r_val double")
+    out = {r.event_id: r.r_val for r in asof_join(
+        left, right, by=["user_id"], left_on="l_ts", right_on="r_ts",
+        right_values=["r_val"], direction="nearest").collect()}
+    assert out[1] == 10.0 and out[2] == 20.0 and out[3] == 10.0 and out[4] is None
+    # tolerance bounds both sides
+    out_t = {r.event_id: r.r_val for r in asof_join(
+        left, right, by=["user_id"], left_on="l_ts", right_on="r_ts",
+        right_values=["r_val"], direction="nearest", tolerance="40 seconds").collect()}
+    assert out_t[1] is None and out_t[2] == 20.0 and out_t[3] is None
