@@ -320,3 +320,25 @@ def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_name").rlike("red|blue|green"), 1).otherwise(0).alias("has_color"),
         F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
     )
+
+
+@query("q_agg_cms", oracle=None, tags=("agg", "sketch", "approx"))
+def q_agg_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch per event_type over user_id (eps=0.001,
+    confidence 0.99, fixed seed): a mergeable frequency sketch — the
+    heavy-hitter / frequency-estimate companion to the HLL cardinality
+    sketch (q_agg_hll_merge). Counter sums are commutative, so the
+    serialized sketch is partition-order deterministic. rows-only for
+    the driver (DuckDB has no CMS); the error bound (est >= true, est <=
+    true + eps*N at 99% confidence) is pinned by decoding the sketch
+    JVM-side in tests/test_llm_ops.py."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.expr("hex(count_min_sketch(user_id, 0.001d, 0.99d, 42)) ").alias("cms_hex"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -664,3 +664,28 @@ def test_asof_nearest_direction(spark):
         left, right, by=["user_id"], left_on="l_ts", right_on="r_ts",
         right_values=["r_val"], direction="nearest", tolerance="40 seconds").collect()}
     assert out_t[1] is None and out_t[2] == 20.0 and out_t[3] is None
+
+
+def test_cms_error_bounds(spark, sf_dir):
+    """Decode each count-min sketch JVM-side and check the classical CMS
+    guarantee per user: true <= estimate <= true + eps*N."""
+    from etl_open_source_spark.catalog import load_table
+    from etl_open_source_spark.registry import get_registry
+
+    out = get_registry()["q_agg_cms"].fn(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    truth = {
+        (r.event_type, r.user_id): r.cnt
+        for r in e.groupBy("event_type", "user_id").count().withColumnRenamed("count", "cnt").collect()
+    }
+    eps = 0.001
+    jvm = spark._jvm
+    for row in out:
+        data = bytes.fromhex(row.cms_hex)
+        bais = jvm.java.io.ByteArrayInputStream(data)
+        cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)
+        users = [u for (et, u) in truth if et == row.event_type][:50]
+        for u in users:
+            true = truth[(row.event_type, u)]
+            est = cms.estimateCount(u)
+            assert true <= est <= true + eps * row.n_rows + 1, (row.event_type, u, true, est)
