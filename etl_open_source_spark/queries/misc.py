@@ -342,3 +342,42 @@ def q_agg_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_recursive_cte",
+    oracle="""
+WITH RECURSIVE chain AS (
+  SELECT o_orderkey AS start_key, o_orderkey AS cur, 0 AS depth
+  FROM orders WHERE o_orderkey <= 500
+  UNION ALL
+  SELECT start_key, cur // 2, depth + 1 FROM chain WHERE cur > 1
+)
+SELECT start_key,
+       CAST(MAX(depth) AS BIGINT) AS chain_len,
+       CAST(SUM(cur) AS BIGINT) AS chain_sum
+FROM chain GROUP BY start_key
+""",
+    tags=("sql", "recursive"),
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x WITH RECURSIVE, SPARK-24497): per order
+    key, walk the halving chain k -> k/2 -> ... -> 1 and aggregate its
+    depth and sum — the iterate-until-fixpoint surface (org hierarchies,
+    BOM explosions, graph reachability) as plain SQL. Each iteration is
+    one distributed step; contrast the driver-loop variants in
+    operators/dedup.py connected_components (which add convergence
+    checks + lineage truncation the SQL form can't express)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+      WITH RECURSIVE chain AS (
+        SELECT o_orderkey AS start_key, o_orderkey AS cur, 0 AS depth
+        FROM orders WHERE o_orderkey <= 500
+        UNION ALL
+        SELECT start_key, cur DIV 2, depth + 1 FROM chain WHERE cur > 1
+      )
+      SELECT start_key,
+             CAST(MAX(depth) AS BIGINT) AS chain_len,
+             CAST(SUM(cur) AS BIGINT) AS chain_sum
+      FROM chain GROUP BY start_key
+    """)
