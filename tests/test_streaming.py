@@ -301,7 +301,7 @@ def test_streaming_jdbc_sink_live(spark, stream_env, tmp_path):
     """Streaming micro-batches land in a LIVE JDBC target (embedded
     Derby): two file drops → two epochs appended; row-count and epoch
     tagging verified by reading the DBMS back."""
-    src, _, root = stream_env
+    src, _, _ = stream_env
     from etl_open_source_spark.sources.readers import read_jdbc
     from etl_open_source_spark.streaming.windows import (
         file_event_stream,
@@ -315,7 +315,7 @@ def test_streaming_jdbc_sink_live(spark, stream_env, tmp_path):
         stream,
         url=url,
         table="stream_events",
-        checkpoint=f"{root}/ckpt_jdbc",
+        checkpoint=str(tmp_path / "ckpt_jdbc"),
         driver=driver,
     )
     try:
