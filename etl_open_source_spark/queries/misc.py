@@ -381,3 +381,37 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(cur) AS BIGINT) AS chain_sum
       FROM chain GROUP BY start_key
     """)
+
+
+@query(
+    "q_fn_date2",
+    oracle="""
+SELECT event_id,
+       CAST(ts AS DATE) AS d,
+       last_day(CAST(ts AS DATE)) AS last_d,
+       CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week_start,
+       CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS dow,
+       CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+       CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-12-31') AS INTEGER) AS days_to_eoy
+FROM events
+WHERE event_id < 2000
+""",
+    tags=("fn", "date"),
+)
+def q_fn_date2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date-function pack: last_day / week truncation / dayofweek
+    / month arithmetic with end-of-month clamping (Jan 31 + 1 month =
+    Feb 29) / day differences — all scan-local codegen. Oracle notes:
+    Spark's dayofweek is Sunday=1 while DuckDB's is Sunday=0 (+1 to
+    align); month-add clamping matches exactly in both engines."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    d = F.col("ts").cast("date")
+    return e.select(
+        "event_id",
+        d.alias("d"),
+        F.last_day(d).alias("last_d"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.add_months(d, 1).alias("next_month"),
+        F.datediff(F.lit("2024-12-31").cast("date"), d).cast("int").alias("days_to_eoy"),
+    )
