@@ -65,13 +65,13 @@ _VERIFY_FIRST = [
     "q_quality_fk", "q_multimodal_audio_chunks",
     "q_intersect_all", "q_except_all", "q_agg_corr", "q_fn_regex",
     "q_scan_text", "q_join_asof_forward", "q_agg_cms", "q_recursive_cte",
-    "q_fn_date2",
+    "q_fn_date2", "q_fn_null_pack",
     # --- re-checks: oldest (round-1) evidence, in registration order
     "q_scan_parquet", "q_scan_csv", "q_scan_json",
     "q_sink_parquet_roundtrip", "q_sink_csv_roundtrip",
     "q_project_select", "q_project_rename", "q_project_computed",
     "q_filter_compare", "q_filter_in",
-    "q_join_inner", "q_join_left", "q_join_right", "q_join_full",
+    "q_join_inner", "q_join_left", "q_join_right",
 ]
 
 _loaded = False

@@ -415,3 +415,36 @@ def q_fn_date2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months(d, 1).alias("next_month"),
         F.datediff(F.lit("2024-12-31").cast("date"), d).cast("int").alias("days_to_eoy"),
     )
+
+
+@query(
+    "q_fn_null_pack",
+    oracle="""
+SELECT event_id,
+       NULLIF(event_type, 'view') AS not_view,
+       COALESCE(NULLIF(event_type, 'view'), 'VIEWED') AS label,
+       CASE WHEN NULLIF(value, 0.0) IS NULL THEN -1.0 ELSE value END AS nz_value,
+       IFNULL(NULLIF(props, '{}'), '<empty>') AS props_or_marker,
+       (NULLIF(value, 0.0) IS NOT NULL) AS has_value
+FROM events
+WHERE event_id < 3000
+""",
+    tags=("fn", "null"),
+)
+def q_fn_null_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling pack: NULLIF / COALESCE / IFNULL / null-aware CASE
+    and boolean null tests — the sanitize-adjacent scalar surface
+    (the reference's only null story is the lossy global fill at
+    core/utils.py:6-15; these are the targeted per-column forms).
+    Scan-local; identical semantics in both engines."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    not_view = F.nullif(F.col("event_type"), F.lit("view"))
+    nz = F.nullif(F.col("value"), F.lit(0.0))
+    return e.select(
+        "event_id",
+        not_view.alias("not_view"),
+        F.coalesce(not_view, F.lit("VIEWED")).alias("label"),
+        F.when(nz.isNull(), F.lit(-1.0)).otherwise(F.col("value")).alias("nz_value"),
+        F.ifnull(F.nullif(F.col("props"), F.lit("{}")), F.lit("<empty>")).alias("props_or_marker"),
+        nz.isNotNull().alias("has_value"),
+    )
