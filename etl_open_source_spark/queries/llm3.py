@@ -111,7 +111,8 @@ qv AS (
 )
 SELECT vec_id,
        ROUND(scale, 9) AS scale9,
-       qvec,
+       CASE WHEN qvec IS NULL THEN NULL
+            ELSE COALESCE(ARRAY_TO_STRING(qvec, ','), '') END AS qvec_csv,
        CAST(list_sum(qvec) AS BIGINT) AS q_sum,
        CAST(list_sum(list_transform(qvec, x -> abs(x))) AS BIGINT) AS q_l1,
        CAST(list_min(qvec) AS INTEGER) AS q_min,
@@ -123,9 +124,22 @@ FROM qv
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (scale =
     max|x|/127, q = floor(x/scale + 0.5)) with exact integer checksums.
-    Scan-local; 4× fewer shuffle bytes for every downstream stage."""
+    Scan-local; 4× fewer shuffle bytes for every downstream stage.
+
+    The raw int8 array is CSV-joined for the driver compare (the value
+    hasher cannot digest array cells) — every element is still verified
+    exactly, one string per row, plus the integer checksums."""
     e = load_table(spark, sf_dir, "embeddings")
-    return C.quantize_embeddings(e, "vec_id", "embedding")
+    q = C.quantize_embeddings(e, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        "scale9",
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec_csv"),
+        "q_sum",
+        "q_l1",
+        "q_min",
+        "q_max",
+    )
 
 
 @query(

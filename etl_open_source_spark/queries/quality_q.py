@@ -167,37 +167,37 @@ def q_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT 'lineitem.l_orderkey->orders' AS edge,
        COUNT(*) AS n_rows,
        COUNT(DISTINCT l_orderkey) AS n_keys,
-       SUM(CASE WHEN l_orderkey NOT IN (SELECT o_orderkey FROM orders) THEN 1 ELSE 0 END) AS n_orphans
+       CAST(SUM(CASE WHEN l_orderkey NOT IN (SELECT o_orderkey FROM orders) THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
 FROM lineitem
 UNION ALL
 SELECT 'lineitem.l_partkey->part',
        COUNT(*), COUNT(DISTINCT l_partkey),
-       SUM(CASE WHEN l_partkey NOT IN (SELECT p_partkey FROM part) THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN l_partkey NOT IN (SELECT p_partkey FROM part) THEN 1 ELSE 0 END) AS BIGINT)
 FROM lineitem
 UNION ALL
 SELECT 'lineitem.l_suppkey->supplier',
        COUNT(*), COUNT(DISTINCT l_suppkey),
-       SUM(CASE WHEN l_suppkey NOT IN (SELECT s_suppkey FROM supplier) THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN l_suppkey NOT IN (SELECT s_suppkey FROM supplier) THEN 1 ELSE 0 END) AS BIGINT)
 FROM lineitem
 UNION ALL
 SELECT 'orders.o_custkey->customer',
        COUNT(*), COUNT(DISTINCT o_custkey),
-       SUM(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END) AS BIGINT)
 FROM orders
 UNION ALL
 SELECT 'customer.c_nationkey->nation',
        COUNT(*), COUNT(DISTINCT c_nationkey),
-       SUM(CASE WHEN c_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN c_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 ELSE 0 END) AS BIGINT)
 FROM customer
 UNION ALL
 SELECT 'supplier.s_nationkey->nation',
        COUNT(*), COUNT(DISTINCT s_nationkey),
-       SUM(CASE WHEN s_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN s_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 ELSE 0 END) AS BIGINT)
 FROM supplier
 UNION ALL
 SELECT 'nation.n_regionkey->region',
        COUNT(*), COUNT(DISTINCT n_regionkey),
-       SUM(CASE WHEN n_regionkey NOT IN (SELECT r_regionkey FROM region) THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN n_regionkey NOT IN (SELECT r_regionkey FROM region) THEN 1 ELSE 0 END) AS BIGINT)
 FROM nation
 """,
     tags=("quality",),

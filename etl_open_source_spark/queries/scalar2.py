@@ -224,11 +224,11 @@ WITH base AS (
   FROM orders
 )
 SELECT o_orderkey,
-       LIST_TRANSFORM(xs, x -> x * 2) AS doubled,
-       LIST_FILTER(xs, x -> x % 2 = 0) AS evens,
+       ARRAY_TO_STRING(LIST_TRANSFORM(xs, x -> x * 2), ',') AS doubled_csv,
+       COALESCE(ARRAY_TO_STRING(LIST_FILTER(xs, x -> x % 2 = 0), ','), '') AS evens_csv,
        LEN(LIST_FILTER(xs, x -> x > 10)) > 0 AS any_gt10,
        CAST(LIST_SUM(xs) AS BIGINT) AS total,
-       LIST_TRANSFORM(xs, x -> x + CAST(LEN(xs) AS BIGINT)) AS shifted
+       ARRAY_TO_STRING(LIST_TRANSFORM(xs, x -> x + CAST(LEN(xs) AS BIGINT)), ',') AS shifted_csv
 FROM base
 """,
     tags=("fn", "lambda"),
@@ -253,13 +253,20 @@ def q_fn_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = o.select("o_orderkey", xs.alias("xs"))
     return base.select(
         "o_orderkey",
-        F.transform("xs", lambda x: x * 2).alias("doubled"),
-        F.filter("xs", lambda x: x % 2 == 0).alias("evens"),
+        F.array_join(
+            F.transform("xs", lambda x: x * 2).cast("array<string>"), ","
+        ).alias("doubled_csv"),
+        F.array_join(
+            F.filter("xs", lambda x: x % 2 == 0).cast("array<string>"), ","
+        ).alias("evens_csv"),
         F.exists("xs", lambda x: x > 10).alias("any_gt10"),
         F.aggregate(
             "xs", F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("total"),
-        F.transform(
-            "xs", lambda x: x + F.size("xs").cast("bigint")
-        ).alias("shifted"),
+        F.array_join(
+            F.transform("xs", lambda x: x + F.size("xs").cast("bigint")).cast(
+                "array<string>"
+            ),
+            ",",
+        ).alias("shifted_csv"),
     )
