@@ -57,6 +57,14 @@ def main() -> None:
     # operators that persist() intermediates must pay their materialization
     # every sample (and not accumulate cache across repetitions).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = {q.strip() for q in only.split(",") if q.strip()}
+        bench_queries = {n: q for n, q in bench_queries.items() if n in wanted}
+    # 1/5/15-min load averages before and after the timed region: identical
+    # code has swung 10.0-14.6 s total round-over-round on this box, and the
+    # load context is what separates ambient drift from a real regression.
+    load_before = os.getloadavg()
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     for name, qd in sorted(bench_queries.items()):
@@ -88,6 +96,8 @@ def main() -> None:
                 "queries": timings,
                 "spread": spread,
                 "n_samples": reps,
+                "load_avg_before": [round(x, 2) for x in load_before],
+                "load_avg_after": [round(x, 2) for x in os.getloadavg()],
                 "sf": sf,
             }
         )

@@ -209,12 +209,17 @@ def minhash_lsh_pairs(
     so two docs share a bucket only when a whole band of their signatures
     agrees — but a *degenerate* corpus (say 1M byte-identical docs) puts
     all of them in the same bucket in EVERY band, and the candidate join
-    explodes quadratically per bucket (10¹² pairs at 1M). Buckets larger
-    than the cap are dropped from pair generation via a broadcast
-    anti-join (the hot list is ≤ corpus/cap entries — tiny). Pairs
-    discoverable ONLY through an over-cap bucket are missed by design;
-    run ``exact_dedup`` first so identical docs collapse to one
-    representative and never form such buckets."""
+    explodes quadratically per bucket (10¹² pairs at 1M). Buckets are
+    materialized with a single ``groupBy(band, key).collect_list(id)``
+    and over-cap buckets are filtered out BEFORE pair explosion — one
+    shuffle, no persist, no self-join (an earlier hot-list + broadcast
+    anti-join + equi-self-join shape cost an extra aggregate and two
+    persists for the same semantics). Aggregation memory per bucket is
+    8 bytes x bucket size (a 1M-doc degenerate bucket folds an 8 MB
+    array), bounded in practice because ``exact_dedup`` runs first so
+    identical docs collapse to one representative and never form such
+    buckets. Pairs discoverable ONLY through an over-cap bucket are
+    missed by design."""
     rows = num_hashes // bands
     # persisted: reused by signatures AND candidate verification
     sh = word_shingles(df, id_col, text_col, n, max_doc_freq).persist()
@@ -228,27 +233,16 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col("id"), F.posexplode(band_keys).alias("band", "band_key")
     )
+    buckets = banded.groupBy("band", "band_key").agg(
+        F.collect_list("id").alias("ids")
+    )
     if max_bucket_size is not None:
-        # persist before branching: the hot-list aggregate is a second
-        # consumer of `banded`, and without the persist it would recompute
-        # the 64-aggregate signatures (measured ~2x the whole operator).
-        # banded is tiny — n_docs x bands rows of (long, int, long).
-        # A count-window over (band, band_key) also avoids the recompute
-        # but pays a per-bucket sort; the persisted branch measures faster.
-        banded = banded.persist()
-        hot = (
-            banded.groupBy("band", "band_key")
-            .agg(F.count(F.lit(1)).alias("sz"))
-            .filter(F.col("sz") > max_bucket_size)
-            .select("band", "band_key")
-        )
-        banded = banded.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
-    a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
-    b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     candidates = (
-        a.join(b, ["band", "band_key"])
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
     return _jaccard_on_pairs(candidates, sh).filter(F.col("jaccard") >= threshold)
