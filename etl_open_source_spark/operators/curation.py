@@ -68,7 +68,16 @@ def dup_ngram_fraction(
     counts combine map-side), one join back on the 8-byte shingle hash,
     one per-doc aggregate. Positions are NOT deduped — a doc repeating a
     common n-gram 10 times counts 10 positions, matching the published
-    definition."""
+    definition.
+
+    The frequent-shingle set is usually tiny (boilerplate n-grams shared
+    by >= min_docs docs — 16 bytes/row, web-scale corpora measure it in
+    the low millions, tens of MB), so AQE converts the join-back to a
+    broadcast at runtime. The hint is deliberately NOT forced: if a
+    pathological corpus ever breaks the boilerplate-vocabulary bound, a
+    forced broadcast OOMs the executors where AQE instead degrades
+    gracefully to a shuffled semi join on the already-partitioned
+    shingle hash."""
     words = F.split(F.lower(F.col(text_col)), " ")
     terms = ", ".join(f"__ws[i+{j}]" for j in range(n))
     sh = F.expr(f"transform(sequence(0, size(__ws) - {n}), i -> xxhash64({terms}))")
@@ -85,7 +94,7 @@ def dup_ngram_fraction(
         .filter(F.col("docfreq") >= min_docs)
         .select("shingle")
     )
-    flagged = pos.join(freq.hint("broadcast"), "shingle", "left_semi")
+    flagged = pos.join(freq, "shingle", "left_semi")
     totals = pos.groupBy("id").agg(F.count(F.lit(1)).alias("n_pos"))
     dups = flagged.groupBy("id").agg(F.count(F.lit(1)).alias("dup_pos"))
     return (

@@ -220,10 +220,25 @@ def minhash_lsh_pairs(
     identical docs collapse to one representative and never form such
     buckets. Pairs discoverable ONLY through an over-cap bucket are
     missed by design."""
-    rows = num_hashes // bands
     # persisted: reused by signatures AND candidate verification
     sh = word_shingles(df, id_col, text_col, n, max_doc_freq).persist()
     sig = minhash_signatures(sh, num_hashes)
+    candidates = lsh_candidate_pairs(sig, num_hashes, bands, max_bucket_size)
+    return _jaccard_on_pairs(candidates, sh).filter(F.col("jaccard") >= threshold)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Banding stage of MinHash-LSH: (id, h0..h{n-1}) signatures →
+    distinct candidate (id_a, id_b) pairs, id_a < id_b. Split out of
+    ``minhash_lsh_pairs`` so the skew guard's candidate-count bound is
+    directly measurable (tests/test_properties.py pins it against a
+    degenerate corpus)."""
+    rows = num_hashes // bands
     band_keys = F.array(
         *[
             F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)])
@@ -238,14 +253,13 @@ def minhash_lsh_pairs(
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket_size)
-    candidates = (
+    return (
         buckets.filter(F.size("ids") >= 2)
         .select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
-    return _jaccard_on_pairs(candidates, sh).filter(F.col("jaccard") >= threshold)
 
 
 # ------------------------------------------------- cluster formation

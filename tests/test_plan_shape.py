@@ -267,12 +267,17 @@ def test_mix_domains_corpus_scan_local(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_dup_ngram_frac_semi_join_broadcast(spark, sf_dir):
-    """The frequent-shingle set joins back as a broadcast semi join —
-    positions are filtered map-side, not re-shuffled."""
+def test_dup_ngram_frac_semi_join(spark, sf_dir):
+    """The frequent-shingle set joins back as a LEFT SEMI join. The join
+    strategy is deliberately unpinned: the hint-free plan lets AQE pick a
+    runtime broadcast when the frequent set is small (the normal case)
+    and degrade to a shuffled join instead of OOMing when it is not —
+    either strategy is a correct plan, so the test tolerates both."""
     plan = _formatted_plan(spark, sf_dir, "q_text_dup_ngram_frac")
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
-    assert "SortMergeJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or (
+        "ShuffledHashJoin" in plan
+    )
 
 
 def test_embedding_quantize_zero_shuffle(spark, sf_dir):

@@ -310,3 +310,98 @@ def test_letterbox_hypothesis_bounds():
         assert ow == tw or oh == th
 
     check()
+
+
+# ------------------------------------------------ dedup skew guards
+
+
+def _skew_corpus(spark):
+    """Adversarial corpus for the dedup guards: a 600-doc byte-identical
+    flood (worst LSH input — every band of every pair agrees), 100 docs
+    sharing a power-law boilerplate prefix, and 10 planted genuine
+    near-dup pairs (~0.83 n-gram Jaccard, pair-unique vocabulary)."""
+    flood = [
+        (i, "the quick brown fox jumps over the lazy dog again and again")
+        for i in range(600)
+    ]
+    boiler = [
+        (
+            1000 + i,
+            f"terms of service all rights reserved u{i}a u{i}b u{i}c u{i}d",
+        )
+        for i in range(100)
+    ]
+    planted = []
+    for p in range(10):
+        shared = " ".join(f"p{p}w{k}" for k in range(12))
+        planted.append((2000 + 2 * p, shared + f" xa{p}"))
+        planted.append((2000 + 2 * p + 1, shared + f" xb{p}"))
+    return spark.createDataFrame(
+        flood + boiler + planted, ["doc_id", "text"]
+    )
+
+
+def test_lsh_bucket_cap_bounds_candidates_and_keeps_recall(spark_prop):
+    """With ``max_bucket_size`` on, the LSH candidate-pair count must
+    collapse from quadratic-in-the-flood to a small bounded set, and
+    every planted non-degenerate near-dup pair must still be found —
+    the pinned evidence behind the guard's 100 TB claim."""
+    from etl_open_source_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    df = _skew_corpus(spark_prop)
+    sig = minhash_signatures(word_shingles(df, "doc_id", "text", 3)).persist()
+    uncapped = lsh_candidate_pairs(sig, max_bucket_size=None).count()
+    capped = lsh_candidate_pairs(sig, max_bucket_size=50).count()
+    sig.unpersist()
+    # without the cap the flood alone is quadratic: C(600, 2) pairs
+    assert uncapped >= 600 * 599 // 2
+    # with it: flood buckets (size 600 > 50) are gone entirely; what is
+    # left is the planted pairs plus incidental boilerplate collisions
+    assert capped <= 3000, capped
+    assert capped * 20 <= uncapped, (capped, uncapped)
+
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.5, max_bucket_size=50
+    ).toPandas()
+    assert not ((pairs.id_a < 600) & (pairs.id_b < 600)).any()
+    for p in range(10):
+        a, b = 2000 + 2 * p, 2000 + 2 * p + 1
+        assert ((pairs.id_a == a) & (pairs.id_b == b)).any(), (a, b)
+
+
+def test_ngram_doc_freq_cap_bounds_postings_and_keeps_recall(spark_prop):
+    """``max_doc_freq`` must bound every posting list of the exact
+    inverted index (the O(sum postings^2) join driver) under power-law
+    shingle skew, while pair-unique planted dup shingles (doc freq 2)
+    pass through untouched — exact Jaccard on them is unaffected."""
+    from etl_open_source_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    df = _skew_corpus(spark_prop)
+    capped_sh = word_shingles(df, "doc_id", "text", 3, max_doc_freq=50)
+    max_posting = (
+        capped_sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df"))
+        .collect()[0][0]
+    )
+    assert max_posting <= 50  # uncapped: the flood shingles post 600 each
+
+    pairs = ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.5, max_doc_freq=50
+    ).toPandas()
+    assert not ((pairs.id_a < 600) & (pairs.id_b < 600)).any()
+    for p in range(10):
+        a, b = 2000 + 2 * p, 2000 + 2 * p + 1
+        got = pairs[(pairs.id_a == a) & (pairs.id_b == b)]
+        assert len(got) == 1, (a, b)
+        # 12 shared words -> 10 shared 3-shingles of 11 each: J = 10/12
+        assert abs(got.jaccard.iloc[0] - 10 / 12) < 1e-9
