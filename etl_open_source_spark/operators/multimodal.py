@@ -237,8 +237,13 @@ def chunk_audio(
         for pdf in batches:
             rows = []
             for i, b in zip(pdf[id_col], pdf[bin_col]):
+                # empty/null payloads emit NO chunk rows (matching the SQL
+                # oracle's WHERE i <= length guard) — a zero-byte "chunk 0"
+                # row would silently diverge the engine from the oracle.
+                if b is None:
+                    continue
                 data = bytes(b)
-                for c in range(0, max(len(data), 1), chunk_bytes):
+                for c in range(0, len(data), chunk_bytes):
                     piece = data[c : c + chunk_bytes]
                     rows.append((i, c // chunk_bytes, len(piece), sum(piece)))
             yield pd.DataFrame(rows, columns=["id", "chunk", "n_bytes", "energy"])

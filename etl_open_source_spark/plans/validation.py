@@ -25,6 +25,9 @@ def validate_spec(spec: PipelineSpec) -> list[str]:
         issues.append(f"duplicate step orders: {sorted(orders)}")
 
     conn_ids = {c.id for c in spec.connections}
+    for c in spec.connections:
+        if c.type == "jdbc" and not c.params.get("url"):
+            issues.append(f"jdbc connection {c.id!r} missing 'url' in params")
     for s in spec.steps:
         if s.connection_id is not None and s.connection_id not in conn_ids:
             issues.append(f"step {s.name!r} references unknown connection {s.connection_id!r}")
@@ -37,8 +40,17 @@ def validate_spec(spec: PipelineSpec) -> list[str]:
 
     for s in ordered:
         cfg = s.config
-        if s.step_type == StepType.EXTRACT and not (cfg.get("query") or cfg.get("table") or cfg.get("path")):
-            issues.append(f"extract step {s.name!r} needs 'query', 'table' or 'path'")
+        if s.step_type == StepType.EXTRACT:
+            conn = spec.connection(s.connection_id)
+            if conn is not None and conn.type == "jdbc":
+                # a jdbc extract that reaches the runner without query/table
+                # raises a raw KeyError mid-run; catch it at validation
+                if not (cfg.get("query") or cfg.get("table")):
+                    issues.append(
+                        f"jdbc extract step {s.name!r} needs 'query' or 'table'"
+                    )
+            elif not (cfg.get("query") or cfg.get("table") or cfg.get("path")):
+                issues.append(f"extract step {s.name!r} needs 'query', 'table' or 'path'")
         if s.step_type == StepType.TRANSFORM:
             kind = cfg.get("type", "sql")
             if kind == "sql" and not cfg.get("sql"):

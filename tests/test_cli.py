@@ -45,6 +45,24 @@ def test_validate_step_order_and_first_step(tmp_path):
     assert any("expected extract" in i for i in issues)
 
 
+def test_validate_jdbc_connection_and_extract(tmp_path):
+    """A jdbc spec with no url, or a jdbc extract with neither 'query' nor
+    'table', must fail validation — previously both passed validate and
+    crashed the runner mid-pipeline with a raw KeyError."""
+    spec = PipelineSpec.load("examples/jdbc_rollup.json")
+    spec.connections[0].params.pop("url")
+    issues = validate_spec(spec)
+    assert any("missing 'url'" in i for i in issues)
+
+    spec = PipelineSpec.load("examples/jdbc_rollup.json")
+    spec.steps[0].config.pop("query")
+    issues = validate_spec(spec)
+    assert any("needs 'query' or 'table'" in i for i in issues)
+
+    # the shipped example itself stays valid
+    assert validate_spec(PipelineSpec.load("examples/jdbc_rollup.json")) == []
+
+
 def test_next_run_prints_timestamp(capsys):
     assert main(["next-run", SPEC]) == 0
     out = capsys.readouterr().out.strip()

@@ -689,3 +689,19 @@ def test_cms_error_bounds(spark, sf_dir):
             true = truth[(row.event_type, u)]
             est = cms.estimateCount(u)
             assert true <= est <= true + eps * row.n_rows + 1, (row.event_type, u, true, est)
+
+
+def test_chunk_audio_empty_and_null_payloads_emit_no_rows(spark):
+    """Empty or null payloads must contribute NO chunk rows — the SQL
+    oracle's position-series guard emits none, and a silent zero-byte
+    'chunk 0' row would diverge engine from oracle on a sparse corpus."""
+    from etl_open_source_spark.operators.multimodal import chunk_audio
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdefgh")), (2, bytearray(b"")), (3, None)],
+        "id bigint, payload binary",
+    )
+    out = chunk_audio(df, "id", "payload", chunk_bytes=5).toPandas()
+    assert set(out.id) == {1}
+    assert len(out) == 2  # ceil(8/5)
+    assert list(out.sort_values("chunk").n_bytes) == [5, 3]
