@@ -6,11 +6,15 @@ Registration order doubles as the driver's verification order: each
 round's CORRECTNESS file covers exactly the first 50 registered queries,
 so ``_VERIFY_FIRST`` (exactly 50 names, asserted) selects that window.
 Policy, in priority order: (1) queries never yet inside a driver window,
-(2) queries whose code changed after their last green row, (3) queries
-fixed this round, (4) re-checks of the oldest evidence. Every rotation
-is pre-verified locally against DuckDB at sf0.01 before the round ends
-(round 5: all 50 green — 47 exact, 3 rows-only by design: the HLL
-rollup, CMS sketch, and iterative BPE trainer).
+(2) queries fixed this round, (3) queries whose code changed after their
+last green row, (4) re-checks of the oldest evidence. Every rotation is
+pre-verified locally against DuckDB at sf0.01 before the round ends
+(round 6: all 50 green — 48 exact, 2 rows-only by design:
+q_agg_approx_distinct's HLL sketch and q_dedup_near's hash-seeded LSH;
+note the round-5 window recorded 3 driver ERR/FAIL rows despite a green
+local pre-verify because the local compare of that round did not model
+the driver hasher's array-cell and HUGEINT sensitivities — both are now
+pinned registry-wide by tests/test_oracle_contract.py).
 """
 
 from __future__ import annotations
@@ -43,35 +47,36 @@ _MODULES = [
     "llm3",
 ]
 
-# Round-5 rotation. First-time checks outrank re-checks; then rows whose
-# latest evidence predates a refactor; then fixed-this-round rows; the
-# remaining slots re-check the oldest (round-1) evidence.
+# Round-6 rotation. Every registered query has now been driver-checked at
+# least once (round 5 closed the first-timer backlog), so the policy
+# reduces to: (1) queries fixed this round, (2) queries whose code changed
+# after their last green row, (3) re-checks of the oldest evidence
+# (round-1 rows untouched for 5 rounds, then the oldest round-2 rows).
 # Order within the list = expected driver check order.
 _VERIFY_FIRST = [
-    # --- the 9 entries never inside any driver window (VERDICT r4 item 4)
-    "q_agg_hll_merge", "q_fn_lambda", "q_fn_variant", "q_fuzzy_match",
-    "q_layout_zorder", "q_sink_orc_roundtrip", "q_text_bpe_step",
-    "q_text_bpe_train", "q_text_tfidf",
-    # --- fixed this round (oracle HUGEINT cast; NTZ-safe epoch cast)
-    "q_ts_sessionize", "q_window_range_frame",
-    # --- refactored in round 3 after their last green row (ADVICE r4):
-    #     asof rewrite 3f6e73d, hashed-shingle ngram rework
-    "q_join_asof", "q_dedup_ngram",
-    # --- new in round 5 (curation + multimodal, queries/llm3.py)
-    "q_text_decontaminate", "q_text_dup_ngram_frac", "q_embedding_quantize",
-    "q_mix_domains", "q_text_entropy",
-    "q_multimodal_resize", "q_multimodal_framesample", "q_sim_knn_graph",
-    "q_url_normalize", "q_agg_argmax", "q_ts_resample_ohlc", "q_text_lm_score",
-    "q_quality_fk", "q_multimodal_audio_chunks",
-    "q_intersect_all", "q_except_all", "q_agg_corr", "q_fn_regex",
-    "q_scan_text", "q_join_asof_forward", "q_agg_cms", "q_recursive_cte",
-    "q_fn_date2", "q_fn_null_pack",
-    # --- re-checks: oldest (round-1) evidence, in registration order
-    "q_scan_parquet", "q_scan_csv", "q_scan_json",
-    "q_sink_parquet_roundtrip", "q_sink_csv_roundtrip",
-    "q_project_select", "q_project_rename", "q_project_computed",
-    "q_filter_compare", "q_filter_in",
-    "q_join_inner", "q_join_left", "q_join_right",
+    # --- the 3 hash-red rows fixed this round (oracle BIGINT cast;
+    #     array outputs CSV-joined for the driver hasher)
+    "q_quality_fk", "q_fn_lambda", "q_embedding_quantize",
+    # --- code changed this round after their last check: LSH hot-bucket
+    #     guard reshaped (collect_list pass), frequent-shingle broadcast
+    #     hint dropped, chunk_audio empty-payload behavior
+    "q_dedup_near", "q_text_dup_ngram_frac", "q_multimodal_audio_chunks",
+    # --- re-checks: round-1 evidence, untouched since — oldest first
+    #     (registration order within the family blocks)
+    "q_agg_approx_distinct", "q_agg_collect", "q_agg_cube",
+    "q_agg_distinct", "q_agg_global", "q_agg_groupby",
+    "q_agg_groupingsets", "q_agg_having", "q_agg_pivot", "q_agg_rollup",
+    "q_except", "q_filter_between", "q_filter_compound", "q_filter_like",
+    "q_filter_null", "q_fn_array", "q_fn_cast", "q_fn_cond", "q_fn_date",
+    "q_fn_hash", "q_fn_json", "q_fn_math", "q_fn_string", "q_intersect",
+    "q_join_anti", "q_join_broadcast", "q_join_cross", "q_join_full",
+    "q_join_multikey", "q_join_semi", "q_join_theta", "q_limit",
+    "q_sort_multi", "q_union_all", "q_union_distinct",
+    "q_window_lag_lead", "q_window_rank",
+    # --- oldest round-2 evidence rows fill the remaining slots
+    "q_dedup_exact", "q_sample_uniform", "q_sample_stratified",
+    "q_sample_weighted", "q_sample_split", "q_multimodal_meta",
+    "q_sim_topk",
 ]
 
 _loaded = False
