@@ -233,3 +233,68 @@ def normalize_url(url: Column) -> Column:
     return F.when(scheme == "", nofrag).otherwise(
         F.concat(scheme, F.lit("://"), host, rest)
     )
+
+
+def rep_ngram_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style WITHIN-doc repetition signals (Rae et al. 2021 §A1.1,
+    the complement of the cross-doc ``dup_ngram_fraction``): per doc, the
+    fraction of word-n-gram positions covered by n-grams occurring >= 2
+    times in that same doc (``rep_frac``) and by the single most frequent
+    n-gram (``top_frac``). Templated/spammy docs score high on both.
+
+    Plan: explode to (doc, gram), one (doc, gram) counting aggregate, one
+    per-doc aggregate — both combine map-side, grams never cross docs so
+    the shuffle key is (doc, gram) and skew is bounded by doc length.
+    Scan-local per doc; no corpus-wide state at any scale."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    terms = ", ".join(["' '" if j % 2 else f"__ws[i+{j // 2}]" for j in range(2 * n - 1)])
+    grams = F.expr(f"transform(sequence(0, size(__ws) - {n}), i -> concat({terms}))")
+    counts = (
+        df.withColumn("__ws", words)
+        .filter(F.size("__ws") >= n)
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rep = F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0)))
+    return (
+        counts.groupBy("id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_pos"),
+            rep.cast("bigint").alias("rep_pos"),
+            F.max("cnt").alias("top_cnt"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_pos",
+            "rep_pos",
+            F.round(F.col("rep_pos").cast("double") / F.col("n_pos"), 6).alias(
+                "rep_frac"
+            ),
+            F.round(F.col("top_cnt").cast("double") / F.col("n_pos"), 6).alias(
+                "top_frac"
+            ),
+        )
+    )
+
+
+def cluster_safe_split(
+    df: DataFrame, rep_col: str, train_frac: float = 0.9
+) -> DataFrame:
+    """Leakage-safe train/heldout assignment: the split coin is thrown on
+    the duplicate-cluster REPRESENTATIVE, not the row, so every member of
+    a cluster lands in the same split — the standard guard against
+    train/eval contamination through near-duplicates. Deterministic
+    integer hash (``det_hash``) → reproducible anywhere, scan-local, no
+    shuffle beyond whatever produced ``rep_col``.
+
+    Compose: exact clusters via a min-id window over the content key (see
+    q_split_leakage_safe), near-dup clusters via connected_components on
+    minhash_lsh_pairs — both yield a (id, rep) mapping this consumes."""
+    buckets = int(train_frac * 10_000)
+    coin = F.pmod(det_hash(F.col(rep_col)), F.lit(10_000))
+    return df.withColumn(
+        "split", F.when(coin < buckets, F.lit("train")).otherwise(F.lit("heldout"))
+    )

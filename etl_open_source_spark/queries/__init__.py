@@ -45,6 +45,7 @@ _MODULES = [
     "reshape",
     "matching",
     "llm3",
+    "llm4",
 ]
 
 # Round-6 rotation. Every registered query has now been driver-checked at

@@ -1,0 +1,83 @@
+"""Corpus-curation queries (round 6): within-doc repetition signals and
+leakage-safe dataset splitting. Operator library: operators/curation.py.
+
+Complements the round-5 curation family: ``q_text_dup_ngram_frac``
+measures CROSS-doc boilerplate; ``q_text_rep_ngram`` measures WITHIN-doc
+repetition (the other half of the Gopher repetition filters), and
+``q_split_leakage_safe`` closes the train/eval contamination loop that
+``q_text_decontaminate`` detects — duplicates are forced into the same
+split by hashing their cluster representative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_open_source_spark.catalog import load_table
+from etl_open_source_spark.operators import curation as C
+from etl_open_source_spark.operators.sampling import sql_det_hash
+from etl_open_source_spark.registry import query
+
+
+@query(
+    "q_text_rep_ngram",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+  FROM d, GENERATE_SERIES(1, 2048) AS t(i)
+  WHERE i <= LEN(ws) - 1
+),
+c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS rep_pos,
+       ROUND(CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+             / SUM(cnt), 6) AS rep_frac,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_frac
+FROM c GROUP BY doc_id
+""",
+    tags=("llm", "curation"),
+)
+def q_text_rep_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeated-bigram fraction + top-bigram share (the Gopher
+    repetition filters, Rae et al. 2021 §A1.1) — high values flag
+    templated/spammy docs. Grams never cross docs, so both aggregates
+    combine map-side and skew is bounded by doc length at any corpus
+    size. The oracle's 2048-position series bounds fixture docs (≤100
+    words); the engine has no such bound."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.rep_ngram_stats(d, "doc_id", "text", n=2)
+
+
+@query(
+    "q_split_leakage_safe",
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS rep FROM documents
+)
+SELECT doc_id, rep,
+       CASE WHEN ({sql_det_hash("rep")}) % 10000 < 9000
+            THEN 'train' ELSE 'heldout' END AS split
+FROM r
+""",
+    tags=("llm", "curation", "sampling"),
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 90/10 train/heldout split: the split coin is thrown
+    on each doc's exact-duplicate cluster representative (min doc_id per
+    identical text), so copies of a document can never straddle the
+    split — the standard guard against eval contamination via dups.
+
+    One window shuffle keyed on the content (at 100 TB key on a 128-bit
+    content hash instead of the raw text to keep shuffle rows narrow);
+    the assignment itself is a scan-local deterministic hash. Near-dup
+    safety composes the same way: feed connected_components(
+    minhash_lsh_pairs(...)) reps into cluster_safe_split."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text")
+    reps = d.select("doc_id", F.min("doc_id").over(w).alias("rep"))
+    return C.cluster_safe_split(reps, "rep", train_frac=0.9).select(
+        "doc_id", "rep", "split"
+    )

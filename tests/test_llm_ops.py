@@ -705,3 +705,45 @@ def test_chunk_audio_empty_and_null_payloads_emit_no_rows(spark):
     assert set(out.id) == {1}
     assert len(out) == 2  # ceil(8/5)
     assert list(out.sort_values("chunk").n_bytes) == [5, 3]
+
+
+def test_rep_ngram_stats_crafted_docs(spark):
+    """Hand-computed repetition stats: 'a b a b a b' has 5 bigram
+    positions, all repeated (a-b x3, b-a x2) -> rep_frac 1.0, top 3/5;
+    an all-distinct doc repeats nothing; a 1-word doc emits no row."""
+    from etl_open_source_spark.operators.curation import rep_ngram_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "u v w x y"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in rep_ngram_stats(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_pos == 5 and out[1].rep_pos == 5
+    assert abs(out[1].rep_frac - 1.0) < 1e-9
+    assert abs(out[1].top_frac - 0.6) < 1e-9
+    assert out[2].n_pos == 4 and out[2].rep_pos == 0
+    assert abs(out[2].top_frac - 0.25) < 1e-9
+
+
+def test_cluster_safe_split_never_straddles(spark):
+    """Every member of a duplicate cluster must land in the same split,
+    and the overall rate must track train_frac across many clusters."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_open_source_spark.operators.curation import cluster_safe_split
+
+    rows = []
+    for c in range(200):          # 200 clusters of 3 exact copies
+        for m in range(3):
+            rows.append((c * 10 + m, f"cluster text {c}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    reps = df.select(
+        "doc_id", F.min("doc_id").over(Window.partitionBy("text")).alias("rep")
+    )
+    out = cluster_safe_split(reps, "rep", train_frac=0.9).toPandas()
+    per_cluster = out.groupby("rep").split.nunique()
+    assert (per_cluster == 1).all()  # no cluster straddles
+    frac = (out.split == "train").mean()
+    assert 0.8 < frac < 0.97
