@@ -81,3 +81,39 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.cluster_safe_split(reps, "rep", train_frac=0.9).select(
         "doc_id", "rep", "split"
     )
+
+
+@query(
+    "q_text_hashvec",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || SUBSTR(MD5(word), 1, 8)) AS BIGINT) % 64 AS bucket,
+       COUNT(*) AS cnt
+FROM w GROUP BY doc_id, bucket
+""",
+    tags=("llm", "curation"),
+)
+def q_text_hashvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing ("hashing trick") bag-of-words: each word maps to
+    one of 64 buckets via an md5-prefix hash (md5 chosen because every
+    engine computes it identically — cross-engine reproducible features),
+    emitted long-form as (doc, bucket, count) so downstream model feeds
+    pivot or sparse-assemble as they choose. Fixed dimensionality with no
+    vocabulary table is the point at 100 TB: no fit pass, no vocab join,
+    one map-side-combinable aggregate whose key space is bounded by
+    docs x 64."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("bigint"), F.lit(64)
+    )
+    return (
+        words.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -418,3 +418,62 @@ def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "q_ts_ewma",
+    oracle="""
+WITH b AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn,
+         FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x0
+  FROM events
+),
+c AS (
+  SELECT user_id, event_id, rn, x0,
+         SUM(value * POWER(1.25, rn)) OVER (
+           PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM b
+)
+SELECT user_id, event_id,
+       ROUND(POWER(0.8, rn) * (x0 + 0.2 * (s - x0)), 6) AS ewma
+FROM c
+""",
+    tags=("timeseries",),
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average (alpha = 0.2,
+    pandas adjust=False semantics: ewma_i = a*x_i + (1-a)*ewma_{i-1},
+    seeded at x_0) — the recurrence re-expressed as a CLOSED FORM over
+    one cumulative window sum, so it runs entirely in whole-stage
+    codegen: ewma_i = (1-a)^i * (x_0 + a * (S_i - x_0)) with
+    S_i = sum_{j<=i} x_j / (1-a)^j. One shuffle (the user partition);
+    both window passes share it.
+
+    Numeric bound: the rescaled weights grow as (1/(1-a))^i, so series
+    longer than ~3.1k points per key (at a=0.2: 308/log10(1.25))
+    overflow doubles — at that scale
+    renormalize per fixed-size segment (same identity applied per
+    segment, carrying one scalar across boundaries) or drop to an
+    ordered applyInPandas per key. Fixture series are <= ~900 points."""
+    e = load_table(spark, sf_dir, "events")
+    a = 0.2
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.first("value").over(w).alias("x0"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = F.sum(F.col("value") * F.pow(F.lit(1.0 / (1 - a)), F.col("rn"))).over(wcum)
+    ewma = F.pow(F.lit(1 - a), F.col("rn")) * (
+        F.col("x0") + F.lit(a) * (s - F.col("x0"))
+    )
+    return base.select("user_id", "event_id", F.round(ewma, 6).alias("ewma"))

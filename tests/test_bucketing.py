@@ -121,3 +121,58 @@ def test_hive_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "event_type" in pf  # pruned at the directory level
     assert back.count() == e.filter("event_type = 'purchase'").count()
+
+
+def test_salted_ops_under_adversarial_skew(spark):
+    """90%-one-key skew — the distribution AQE's split threshold is sized
+    for but the salted rewrites must also survive. Results must equal the
+    unsalted forms exactly; the salted partial phase must spread the hot
+    key across all salts (the property that caps any one reducer at
+    ~hot/n_salts rows at any scale)."""
+    from etl_open_source_spark.operators.skew import salt_col
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise(F.col("id") % 97)
+        .alias("k"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    salted = {
+        r.k: (r.cnt, r.total)
+        for r in salted_count_sum(df, "k", "v", n_salts=8).collect()
+    }
+    plain = {
+        r.k: (r.cnt, r.total)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("v").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+        .collect()
+    }
+    assert salted == plain
+    assert salted[7][0] >= int(n * 0.9)  # the hot key really is hot
+
+    # the hot key's rows spread over every salt, none holding > 2x its
+    # fair share — the actual skew-flattening guarantee
+    spread = (
+        df.withColumn("__salt", salt_col(8, "k", "v"))
+        .filter(F.col("k") == 7)
+        .groupBy("__salt")
+        .count()
+        .collect()
+    )
+    assert len(spread) == 8
+    fair = (n * 0.9) / 8
+    assert max(r["count"] for r in spread) < 2 * fair
+
+    dim = spark.range(97).select(F.col("id").alias("k"), (F.col("id") * 10).alias("attr"))
+    sj = salted_join(df, dim, "k", n_salts=8)
+    assert sj.count() == df.join(dim, "k").count()
+    agg_s = {r.k: r.s for r in sj.groupBy("k").agg(F.sum("attr").alias("s")).collect()}
+    agg_p = {
+        r.k: r.s
+        for r in df.join(dim, "k").groupBy("k").agg(F.sum("attr").alias("s")).collect()
+    }
+    assert agg_s == agg_p
