@@ -55,8 +55,9 @@ _MODULES = [
 # (round-1 rows untouched for 5 rounds, then the oldest round-2 rows).
 # Order within the list = expected driver check order.
 _VERIFY_FIRST = [
-    # --- first-timers: the four round-6 queries (never driver-checked)
+    # --- first-timers: the five round-6 queries (never driver-checked)
     "q_text_rep_ngram", "q_split_leakage_safe", "q_ts_ewma", "q_text_hashvec",
+    "q_scan_partition_pruned",
     # --- the 3 hash-red rows fixed this round (oracle BIGINT cast;
     #     array outputs CSV-joined for the driver hasher)
     "q_quality_fk", "q_fn_lambda", "q_embedding_quantize",
@@ -77,7 +78,7 @@ _VERIFY_FIRST = [
     "q_sort_multi", "q_union_all", "q_union_distinct",
     "q_window_lag_lead", "q_window_rank",
     # --- oldest round-2 evidence rows fill the remaining slots
-    "q_dedup_exact", "q_sample_uniform", "q_sample_stratified",
+    "q_dedup_exact", "q_sample_uniform",
 ]
 
 _loaded = False

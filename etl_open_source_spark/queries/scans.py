@@ -189,3 +189,39 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("value").alias("line_md5"),
         F.length("value").cast("bigint").alias("n_bytes"),
     )
+
+
+@query(
+    "q_scan_partition_pruned",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("scan", "sink", "scale"),
+)
+def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout end-to-end: write orders partitioned by
+    o_orderstatus, read back with a partition-column filter, aggregate.
+    The filter must resolve as a PARTITION filter (directory pruning at
+    planning time — tests/test_plan_shape.py pins PartitionFilters in
+    the scan), not a row predicate: at 100 TB the difference is reading
+    one partition's files vs scanning everything and discarding 2/3."""
+    src = load_table(spark, sf_dir, "orders")
+    path = _tmp(sf_dir, "orders_part_pruned")
+    write_parquet(src, path, mode="replace", partition_by=["o_orderstatus"])
+    back = read_parquet(spark, path)
+    return (
+        back.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

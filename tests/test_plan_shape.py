@@ -369,3 +369,13 @@ def test_tpch_heavies_no_degenerate_joins(spark, sf_dir, name):
     plan = _formatted_plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_partition_pruned_scan_has_partition_filter(spark, sf_dir):
+    """The partition-column predicate must prune directories at planning
+    time (PartitionFilters on the scan), not filter rows after reading."""
+    plan = _formatted_plan(spark, sf_dir, "q_scan_partition_pruned")
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), plan[:2000]
