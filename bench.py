@@ -38,6 +38,13 @@ def main() -> None:
 
     registry = get_registry()
     bench_queries = {n: qd for n, qd in registry.items() if qd.bench}
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = {q.strip() for q in only.split(",") if q.strip()}
+        unknown = wanted - set(bench_queries)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY names not in bench set: {sorted(unknown)}")
+        bench_queries = {n: q for n, q in bench_queries.items() if n in wanted}
     spark = get_spark(app_name="etl-open-source-spark-bench")
 
     # Warm up the JVM + parquet footer cache outside the timed region, then
@@ -57,10 +64,6 @@ def main() -> None:
     # operators that persist() intermediates must pay their materialization
     # every sample (and not accumulate cache across repetitions).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
-    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    if only:
-        wanted = {q.strip() for q in only.split(",") if q.strip()}
-        bench_queries = {n: q for n, q in bench_queries.items() if n in wanted}
     # 1/5/15-min load averages before and after the timed region: identical
     # code has swung 10.0-14.6 s total round-over-round on this box, and the
     # load context is what separates ambient drift from a real regression.

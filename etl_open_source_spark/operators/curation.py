@@ -293,7 +293,9 @@ def cluster_safe_split(
     Compose: exact clusters via a min-id window over the content key (see
     q_split_leakage_safe), near-dup clusters via connected_components on
     minhash_lsh_pairs — both yield a (id, rep) mapping this consumes."""
-    buckets = int(train_frac * 10_000)
+    # round, don't truncate: int(0.57 * 10_000) floor-truncates the binary
+    # float to 5699 and silently shifts the boundary bucket
+    buckets = int(round(train_frac * 10_000))
     coin = F.pmod(det_hash(F.col(rep_col)), F.lit(10_000))
     return df.withColumn(
         "split", F.when(coin < buckets, F.lit("train")).otherwise(F.lit("heldout"))

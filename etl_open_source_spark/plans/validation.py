@@ -26,7 +26,7 @@ def validate_spec(spec: PipelineSpec) -> list[str]:
 
     conn_ids = {c.id for c in spec.connections}
     for c in spec.connections:
-        if c.type == "jdbc" and not c.params.get("url"):
+        if (c.type or "").lower() == "jdbc" and not c.params.get("url"):
             issues.append(f"jdbc connection {c.id!r} missing 'url' in params")
     for s in spec.steps:
         if s.connection_id is not None and s.connection_id not in conn_ids:
@@ -42,7 +42,7 @@ def validate_spec(spec: PipelineSpec) -> list[str]:
         cfg = s.config
         if s.step_type == StepType.EXTRACT:
             conn = spec.connection(s.connection_id)
-            if conn is not None and conn.type == "jdbc":
+            if conn is not None and (conn.type or "").lower() == "jdbc":
                 # a jdbc extract that reaches the runner without query/table
                 # raises a raw KeyError mid-run; catch it at validation
                 if not (cfg.get("query") or cfg.get("table")):
@@ -59,7 +59,7 @@ def validate_spec(spec: PipelineSpec) -> list[str]:
                 issues.append(f"python transform step {s.name!r} missing 'fn'")
         if s.step_type == StepType.LOAD:
             conn = spec.connection(s.connection_id)
-            if conn is not None and conn.type == "jdbc":
+            if conn is not None and (conn.type or "").lower() == "jdbc":
                 if not cfg.get("table"):
                     issues.append(f"jdbc load step {s.name!r} missing 'table'")
             elif not cfg.get("path"):

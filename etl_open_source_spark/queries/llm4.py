@@ -70,11 +70,13 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical text), so copies of a document can never straddle the
     split — the standard guard against eval contamination via dups.
 
-    One window shuffle keyed on the content (at 100 TB key on a 128-bit
-    content hash instead of the raw text to keep shuffle rows narrow);
-    the assignment itself is a scan-local deterministic hash. Near-dup
-    safety composes the same way: feed connected_components(
-    minhash_lsh_pairs(...)) reps into cluster_safe_split."""
+    Costs one window shuffle, keyed here on the raw text for oracle
+    parity; the 100 TB deployment should key the window on a 128-bit
+    content hash (e.g. md5) instead so shuffle rows stay narrow —
+    same clusters, same splits. The assignment itself is a scan-local
+    deterministic hash. Near-dup safety composes the same way: feed
+    connected_components(minhash_lsh_pairs(...)) reps into
+    cluster_safe_split."""
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("text")
     reps = d.select("doc_id", F.min("doc_id").over(w).alias("rep"))

@@ -62,6 +62,16 @@ def test_validate_jdbc_connection_and_extract(tmp_path):
     # the shipped example itself stays valid
     assert validate_spec(PipelineSpec.load("examples/jdbc_rollup.json")) == []
 
+    # type matching must be case-insensitive like the runner's
+    # conn.type.lower() dispatch — a "JDBC" spec must not bypass the checks
+    spec = PipelineSpec.load("examples/jdbc_rollup.json")
+    spec.connections[0].type = "JDBC"
+    spec.connections[0].params.pop("url")
+    spec.steps[0].config.pop("query")
+    issues = validate_spec(spec)
+    assert any("missing 'url'" in i for i in issues)
+    assert any("needs 'query' or 'table'" in i for i in issues)
+
 
 def test_next_run_prints_timestamp(capsys):
     assert main(["next-run", SPEC]) == 0

@@ -747,3 +747,16 @@ def test_cluster_safe_split_never_straddles(spark):
     assert (per_cluster == 1).all()  # no cluster straddles
     frac = (out.split == "train").mean()
     assert 0.8 < frac < 0.97
+
+    # the bucket cutoff must ROUND train_frac * 10000 (0.57 -> 5700, not
+    # the float-truncated 5699) so engine and any "% 10000 < 5700" oracle
+    # agree on boundary clusters
+    from etl_open_source_spark.operators.sampling import det_hash
+
+    got = cluster_safe_split(reps, "rep", train_frac=0.57).toPandas()
+    want = reps.select(
+        "doc_id",
+        (F.pmod(det_hash("rep"), F.lit(10_000)) < 5700).alias("is_train"),
+    ).toPandas()
+    merged = got.merge(want, on="doc_id")
+    assert ((merged.split == "train") == merged.is_train).all()

@@ -15,7 +15,9 @@ This test closes the class, not the instance: for EVERY registered query
 with an oracle it asserts
 
 * the Spark output schema contains no ArrayType/MapType/StructType
-  column (schema-only — no job is run), and
+  column (only the schema is inspected — no collect; note the sink /
+  partitioned-scan query fns still execute their write step while
+  building the frame), and
 * the DuckDB oracle's result types contain no HUGEINT/INT128 and no
   LIST/STRUCT/MAP (prepared against the sf0.001 views via
   ``LIMIT 0`` so no data is materialized).
