@@ -46,6 +46,7 @@ _MODULES = [
     "matching",
     "llm3",
     "llm4",
+    "maintenance_q",
 ]
 
 # Round-6 rotation. Every registered query has now been driver-checked at
@@ -55,9 +56,11 @@ _MODULES = [
 # (round-1 rows untouched for 5 rounds, then the oldest round-2 rows).
 # Order within the list = expected driver check order.
 _VERIFY_FIRST = [
-    # --- first-timers: the five round-6 queries (never driver-checked)
+    # --- first-timers: the round-6 queries (never driver-checked)
     "q_text_rep_ngram", "q_split_leakage_safe", "q_ts_ewma", "q_text_hashvec",
     "q_scan_partition_pruned",
+    "q_snapshot_diff", "q_scd2_lookup", "q_shard_assign", "q_compact_files",
+    "q_ts_anomaly",
     # --- the 3 hash-red rows fixed this round (oracle BIGINT cast;
     #     array outputs CSV-joined for the driver hasher)
     "q_quality_fk", "q_fn_lambda", "q_embedding_quantize",
@@ -75,10 +78,10 @@ _VERIFY_FIRST = [
     "q_fn_hash", "q_fn_json", "q_fn_math", "q_fn_string", "q_intersect",
     "q_join_anti", "q_join_broadcast", "q_join_cross", "q_join_full",
     "q_join_multikey", "q_join_semi", "q_join_theta", "q_limit",
-    "q_sort_multi", "q_union_all", "q_union_distinct",
-    "q_window_lag_lead", "q_window_rank",
-    # --- oldest round-2 evidence rows fill the remaining slots
-    "q_dedup_exact", "q_sample_uniform",
+    "q_sort_multi", "q_union_all",
+    # (q_union_distinct, q_window_lag_lead, q_window_rank and the round-2
+    #  rows rotated out to make room for the five new first-timers —
+    #  first-timers outrank oldest-evidence re-checks per the policy above)
 ]
 
 _loaded = False

@@ -477,3 +477,61 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x0") + F.lit(a) * (s - F.col("x0"))
     )
     return base.select("user_id", "event_id", F.round(ewma, 6).alias("ewma"))
+
+
+@query(
+    "q_ts_anomaly",
+    oracle="""
+WITH med AS (
+  SELECT user_id, MEDIAN(value) AS med
+  FROM events GROUP BY user_id
+),
+mad AS (
+  SELECT e.user_id, MEDIAN(ABS(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (user_id)
+  GROUP BY e.user_id
+)
+SELECT e.event_id, e.user_id, e.value,
+       ROUND(m.med, 4) AS med, ROUND(d.mad, 4) AS mad,
+       ABS(e.value - m.med) > 4.4478 * d.mad AS is_anomaly
+FROM events e
+JOIN med m USING (user_id)
+JOIN mad d USING (user_id)
+""",
+    tags=("timeseries", "quality"),
+)
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series anomaly flagging: median + MAD (median absolute
+    deviation) per user, flag |x - med| > 3 * 1.4826 * MAD — the standard
+    robust z-score that, unlike the mean/stddev variant
+    (q_quality_outliers), is not itself dragged by the outliers it hunts.
+
+    Shape: two small per-key aggregates (exact median needs a sort-based
+    agg — Spark's F.median, same interpolating semantics as DuckDB's
+    MEDIAN) broadcast back onto the event scan. The per-user stats frame
+    is key-cardinality-sized (tiny vs the corpus), so both joins
+    broadcast and the corpus is scanned exactly twice, shuffled never.
+    At 100 TB with high-cardinality keys, swap exact median for
+    approx_percentile(0.5) (q_agg_approx_percentile) and both passes
+    collapse into one map-side-combinable aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("user_id").agg(F.median("value").alias("med"))
+    mad = (
+        e.join(F.broadcast(med), "user_id")
+        .groupBy("user_id")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    return (
+        e.join(F.broadcast(med), "user_id")
+        .join(F.broadcast(mad), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            (F.abs(F.col("value") - F.col("med")) > F.lit(4.4478) * F.col("mad")).alias(
+                "is_anomaly"
+            ),
+        )
+    )
