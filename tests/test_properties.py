@@ -405,3 +405,120 @@ def test_ngram_doc_freq_cap_bounds_postings_and_keeps_recall(spark_prop):
         assert len(got) == 1, (a, b)
         # 12 shared words -> 10 shared 3-shingles of 11 each: J = 10/12
         assert abs(got.jaccard.iloc[0] - 10 / 12) < 1e-9
+
+
+# ------------------------------------------ maintenance: snapshot diff
+
+
+@given(
+    old_rows=st.dictionaries(
+        st.integers(0, 15), st.one_of(st.integers(0, 3), st.none()), max_size=10
+    ),
+    new_rows=st.dictionaries(
+        st.integers(0, 15), st.one_of(st.integers(0, 3), st.none()), max_size=10
+    ),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_snapshot_diff_roundtrip(spark_prop, old_rows, new_rows):
+    """diff(old, new) applied back onto old reconstructs new EXACTLY —
+    snapshot_diff and changelog-apply are inverses, over random snapshots
+    including NULL values (null-safe compare) and disjoint/overlapping key
+    sets. Also: unchanged keys never appear in the diff (no write
+    amplification at 100 TB — the whole point of diffing snapshots)."""
+    from etl_open_source_spark.operators.maintenance import snapshot_diff
+
+    spark = spark_prop
+    old = spark.createDataFrame(list(old_rows.items()), "k int, v int")
+    new = spark.createDataFrame(list(new_rows.items()), "k int, v int")
+    diff = snapshot_diff(old, new, keys=["k"], compare=["v"]).collect()
+
+    rebuilt = dict(old_rows)
+    for r in diff:
+        if r.change_type == "delete":
+            assert r.k in old_rows and r.k not in new_rows
+            rebuilt.pop(r.k)
+        elif r.change_type == "insert":
+            assert r.k not in old_rows and r.k in new_rows
+            rebuilt[r.k] = r.new_v
+        else:
+            assert r.change_type == "update"
+            assert old_rows[r.k] != new_rows[r.k]  # never a no-op update
+            rebuilt[r.k] = r.new_v
+    assert rebuilt == new_rows
+    # unchanged keys are absent from the changelog
+    diff_keys = {r.k for r in diff}
+    for k in set(old_rows) & set(new_rows):
+        if old_rows[k] == new_rows[k]:
+            assert k not in diff_keys
+
+
+# --------------------------------------- maintenance: scd2 point-in-time
+
+
+@given(
+    cuts=st.lists(st.integers(1, 99), min_size=0, max_size=3, unique=True),
+    fact_ts=st.lists(st.integers(0, 99), min_size=1, max_size=8),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_scd2_lookup_exactly_one_version(spark_prop, cuts, fact_ts):
+    """With a dim whose versions tile [0, 100) without gaps or overlaps
+    (the invariant scd2_apply maintains), every fact joins EXACTLY one
+    version — no fact loss, no fan-out — and it is the version a naive
+    bisect picks. Validity bounds here are ints: the operator is
+    type-generic over any ordered bound."""
+    from etl_open_source_spark.operators.maintenance import scd2_lookup
+
+    spark = spark_prop
+    bounds = [0] + sorted(cuts) + [100]
+    dim_rows = [
+        (1, i, bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)
+    ]
+    dim = spark.createDataFrame(
+        dim_rows, "dk int, version int, valid_from int, valid_to int"
+    )
+    facts = spark.createDataFrame(
+        [(j, 1, ts) for j, ts in enumerate(fact_ts)], "fid int, fk int, ts int"
+    )
+    out = scd2_lookup(
+        facts, dim, fact_key="fk", dim_key="dk", fact_ts="ts", how="inner"
+    ).collect()
+    assert len(out) == len(fact_ts)  # one row per fact: no loss, no fan-out
+    expect = {}
+    for j, ts in enumerate(fact_ts):
+        expect[j] = max(i for i in range(len(bounds) - 1) if bounds[i] <= ts)
+    for r in out:
+        assert r.version == expect[r.fid], (r, bounds)
+
+
+# ------------------------------------------- maintenance: compaction
+
+
+def test_compact_parquet_size_targeted(spark_prop, tmp_path):
+    """Size-targeted compaction: output file count == ceil(src_bytes /
+    target) and the data survives bit-exactly (count + sum). The explicit
+    num_files mode is covered by q_compact_files' oracle row."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_open_source_spark.operators.maintenance import compact_parquet
+
+    spark = spark_prop
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compact")
+    df = spark.range(0, 5000).withColumn("v", F.col("id") * 3)
+    df.repartition(8).write.parquet(src)
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    target = total // 3 + 1
+    n = compact_parquet(spark, src, dst, target_file_bytes=target)
+    assert n == max(1, math.ceil(total / target))
+    back = spark.read.parquet(dst)
+    agg = back.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    ).collect()[0]
+    assert agg.n == 5000 and agg.s == sum(3 * i for i in range(5000))
