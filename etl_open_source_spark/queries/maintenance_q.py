@@ -246,3 +246,52 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "sum_qty",
     )
+
+
+@query(
+    "q_mv_incremental",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("maintenance", "agg"),
+)
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-priority order
+    rollup is built as BASE (orders before 2000-01-01, the standing MV)
+    plus DELTA (orders at/after — the new ingest batch), then the two
+    partial-aggregate states merge: counts add, decimal sums add, avg is
+    re-derived from the merged state. The oracle is the FULL recompute —
+    hash-equality proves merge(base, delta) == recompute, the property
+    that lets a 100 TB rollup absorb a daily batch by touching only the
+    delta (map-side-combinable states, one dimension-sized merge; the
+    corpus-sized base is never re-scanned)."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("sum_dec"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_dec").alias("sum_dec"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("sum_dec").cast("double").alias("sum_price"),
+        (F.col("sum_dec").cast("double") / F.col("n_orders")).alias("avg_price"),
+    )

@@ -245,3 +245,57 @@ def q_quality_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+WITH pct AS (
+  SELECT l_returnflag,
+         QUANTILE_CONT(l_extendedprice, 0.05) AS p05,
+         QUANTILE_CONT(l_extendedprice, 0.95) AS p95
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(LEAST(GREATEST(l.l_extendedprice, p.p05), p.p95) AS DECIMAL(18,4))) AS DOUBLE) AS sum_winsorized,
+       CAST(SUM(CASE WHEN l.l_extendedprice < p.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+       CAST(SUM(CASE WHEN l.l_extendedprice > p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high
+FROM lineitem l JOIN pct p USING (l_returnflag)
+GROUP BY l.l_returnflag
+""",
+    tags=("quality",),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — clamp each value into its group's [P05, P95] band
+    before aggregating, the standard robust pre-processing step for
+    noisy numeric features (vs dropping outliers, which loses rows).
+
+    Exact interpolating percentiles (F.percentile == DuckDB
+    QUANTILE_CONT bitwise on identical inputs) computed per group, then
+    broadcast back onto the scan: the stats frame is group-cardinality-
+    sized, so the corpus is scanned twice and shuffled never. At 100 TB
+    swap in approx_percentile for the first pass and it becomes one
+    pass, still map-side-combinable."""
+    from pyspark.sql import functions as F
+
+    l = load_table(spark, sf_dir, "lineitem")
+    pct = l.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.05).alias("p05"),
+        F.percentile("l_extendedprice", 0.95).alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
+    return (
+        l.join(F.broadcast(pct), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(clamped.cast("decimal(18,4)")).cast("double").alias("sum_winsorized"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("p05"), 1).otherwise(0)
+            ).cast("bigint").alias("n_clamped_low"),
+            F.sum(
+                F.when(F.col("l_extendedprice") > F.col("p95"), 1).otherwise(0)
+            ).cast("bigint").alias("n_clamped_high"),
+        )
+    )

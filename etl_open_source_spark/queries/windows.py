@@ -211,3 +211,62 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "q_gaps_islands",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+isl AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, COUNT(*) AS len, MIN(day) AS start_day
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS max_streak,
+       CAST(MIN(CASE WHEN len = mx THEN start_day END) AS TIMESTAMP) AS max_streak_start
+FROM (SELECT *, MAX(len) OVER (PARTITION BY user_id) AS mx FROM streaks) s
+GROUP BY user_id
+""",
+    tags=("window", "timeseries"),
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-active-day streaks via the
+    classic day-minus-row_number island key (consecutive days share one
+    constant), then per-island lengths and the longest streak (earliest
+    start breaks ties). The idiom turns sequence detection — seemingly
+    iterative — into two shuffles: one window over (user, day) and one
+    group-by, both on the same key, so at 100 TB the exchange is reused
+    and nothing is quadratic or stateful."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "island", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day")
+    )
+    mx = F.max("len").over(Window.partitionBy("user_id"))
+    return (
+        streaks.withColumn("mx", mx)
+        .groupBy("user_id")
+        .agg(
+            F.sum("len").cast("bigint").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").cast("bigint").alias("max_streak"),
+            # TIMESTAMP (not DATE) output: both engines' pandas frames then
+            # carry identical datetime64 cells with no canonicalization step
+            F.min(F.when(F.col("len") == F.col("mx"), F.col("start_day")))
+            .cast("timestamp")
+            .alias("max_streak_start"),
+        )
+    )
