@@ -508,22 +508,25 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: two small per-key aggregates (exact median needs a sort-based
     agg — Spark's F.median, same interpolating semantics as DuckDB's
-    MEDIAN) broadcast back onto the event scan. The per-user stats frame
-    is key-cardinality-sized (tiny vs the corpus), so both joins
-    broadcast and the corpus is scanned exactly twice, shuffled never.
-    At 100 TB with high-cardinality keys, swap exact median for
-    approx_percentile(0.5) (q_agg_approx_percentile) and both passes
-    collapse into one map-side-combinable aggregate."""
+    MEDIAN) broadcast back onto the event scan. The per-user median frame
+    is key-cardinality-sized and PERSISTED — without that, Spark inlines
+    the median subtree into both consumers and the corpus is scanned four
+    times; with it, three scans, the minimum for the inherently
+    two-sequential-pass MAD chain plus the final flagging pass. Both
+    joins broadcast; the corpus itself is never shuffled. At 100 TB with
+    high-cardinality keys, swap exact median for approx_percentile(0.5)
+    (q_agg_approx_percentile) and the chain collapses to one
+    map-side-combinable aggregate."""
     e = load_table(spark, sf_dir, "events")
-    med = e.groupBy("user_id").agg(F.median("value").alias("med"))
+    med = e.groupBy("user_id").agg(F.median("value").alias("med")).persist()
     mad = (
         e.join(F.broadcast(med), "user_id")
         .groupBy("user_id")
         .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
     )
+    stats = med.join(mad, "user_id")
     return (
-        e.join(F.broadcast(med), "user_id")
-        .join(F.broadcast(mad), "user_id")
+        e.join(F.broadcast(stats), "user_id")
         .select(
             "event_id",
             "user_id",

@@ -379,3 +379,49 @@ def test_partition_pruned_scan_has_partition_filter(spark, sf_dir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "o_orderstatus" in m.group(1), plan[:2000]
+
+
+def test_snapshot_diff_is_one_full_outer_merge(spark, sf_dir):
+    """The snapshot diff must be a single key-partitioned full-outer
+    sort-merge join — never a nested-loop/cartesian shape — so it stays
+    linear when both snapshots are 100 TB."""
+    plan = _formatted_plan(spark, sf_dir, "q_snapshot_diff")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_lookup_is_equi_join_with_residual(spark, sf_dir):
+    """The point-in-time lookup must run as a key equi-join (hash/merge;
+    broadcast at fixture scale) with the validity bounds as a residual
+    filter — a nested-loop over the range predicate would be quadratic."""
+    plan = _formatted_plan(spark, sf_dir, "q_scd2_lookup")
+    assert any(
+        j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ts_anomaly_caches_median_three_scans(spark, sf_dir):
+    """The MAD chain is two sequential aggregate passes + one flagging
+    pass = exactly 3 corpus scans; the per-user median frame must be
+    cached (without it Spark inlines the median subtree twice → 4 scans)
+    and the stats always broadcast — the corpus is never shuffled."""
+    plan = _formatted_plan(spark, sf_dir, "q_ts_anomaly")
+    scans = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and "Scan parquet" in l
+    )
+    assert scans == 3, plan
+    assert "InMemoryRelation" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_winsorize_broadcasts_percentiles(spark, sf_dir):
+    """Group-cardinality percentile stats broadcast back onto the fact
+    scan; the corpus is never hash-exchanged for the join."""
+    plan = _formatted_plan(spark, sf_dir, "q_winsorize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
