@@ -349,3 +349,34 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_values=["view_value"],
         direction="forward",
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+WITH a AS (
+  SELECT p_partkey, NULLIF(p_size % 5, 0) AS k FROM part
+),
+b AS (
+  SELECT NULLIF(p_size % 5, 0) AS k, COUNT(*) AS grp_n
+  FROM part GROUP BY NULLIF(p_size % 5, 0)
+)
+SELECT a.p_partkey, a.k, b.grp_n
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
+    tags=("join",),
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of silently dropping — the semantics a plain
+    equi-join gets wrong when the join key is derived and nullable (here
+    NULLIF carves a NULL group out of p_size). Spark plans eqNullSafe as
+    a hash join on a null-wrapped key, so it stays an equi-join (no
+    nested-loop fallback) at any scale."""
+    p = load_table(spark, sf_dir, "part")
+    k = F.nullif(F.col("p_size") % 5, F.lit(0))
+    a = p.select("p_partkey", k.alias("k"))
+    b = p.select(k.alias("k")).groupBy("k").agg(F.count(F.lit(1)).alias("grp_n"))
+    return a.join(b, a["k"].eqNullSafe(b["k"]), "inner").select(
+        a["p_partkey"], a["k"].alias("k"), b["grp_n"]
+    )

@@ -538,3 +538,114 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT o_custkey, DATE_TRUNC('month', o_orderdate) AS act_month
+  FROM orders
+),
+c AS (
+  SELECT o_custkey, act_month,
+         MIN(act_month) OVER (PARTITION BY o_custkey) AS cohort_month
+  FROM act
+)
+SELECT cohort_month,
+       CAST((EXTRACT(YEAR FROM act_month) * 12 + EXTRACT(MONTH FROM act_month))
+          - (EXTRACT(YEAR FROM cohort_month) * 12 + EXTRACT(MONTH FROM cohort_month)) AS BIGINT) AS offset_m,
+       COUNT(*) AS n_customers
+FROM c
+GROUP BY cohort_month, offset_m
+""",
+    tags=("timeseries", "agg"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by first-order month,
+    counted in every later month they stayed active — the standard
+    retention triangle (cohort_month × months-since-cohort → active
+    customers).
+
+    Shape: the cohort month comes from a window MIN over the distinct
+    (customer, month) activity frame — NOT a separate aggregate + join —
+    so the distinct, the window, and the per-customer work all reuse ONE
+    exchange on the customer key; the final matrix aggregate is
+    cohort-cardinality-sized. Month arithmetic is explicit year*12+month
+    on both engines (months_between/date_diff have per-engine day-of-month
+    semantics)."""
+    o = load_table(spark, sf_dir, "orders")
+    act = o.select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("act_month")
+    ).distinct()
+    cohort = F.min("act_month").over(Window.partitionBy("o_custkey"))
+    months = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    return (
+        act.withColumn("cohort_month", cohort)
+        .groupBy(
+            "cohort_month",
+            (months(F.col("act_month")) - months(F.col("cohort_month")))
+            .cast("bigint")
+            .alias("offset_m"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.click_id,
+       c.click_id IS NOT NULL AS attributed
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+  SELECT c.event_id AS click_id
+  FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 7 DAY
+  ORDER BY c.ts DESC LIMIT 1
+) c ON TRUE
+""",
+    tags=("timeseries", "join"),
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the latest click by
+    the same user within a 7-day lookback — marketing attribution as a
+    tolerance-bounded backward as-of join (operators/asof.py), i.e. the
+    same one-union one-window shape as q_join_asof, no per-pair candidate
+    explosion. The oracle is an independent LATERAL top-1 formulation.
+
+    At 100 TB: one shuffle on user_id for the union of both event
+    streams; the 7-day tolerance is a post-carry filter, not a range
+    join."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    from etl_open_source_spark.operators.asof import asof_join
+
+    out = asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_on="purchase_ts",
+        right_on="click_ts",
+        right_values=["click_id"],
+        tolerance="7 days",
+        direction="backward",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "click_id",
+        F.col("click_id").isNotNull().alias("attributed"),
+    )
