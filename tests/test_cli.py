@@ -110,3 +110,32 @@ def test_bench_json_contract():
     for s in d["spread"].values():
         assert s["min"] <= s["median"] <= s["max"]
     assert d["n_samples"] == 1
+
+
+def test_snapshot_diff_example_runs_and_matches_operator(spark, sf_dir):
+    """The shipped examples/snapshot_diff.json is actually runnable AND its
+    SQL-transform changelog equals the engine operator's output
+    (q_snapshot_diff) row-for-row — spec layer and operator layer agree.
+    (Run through PipelineRunner on the shared session — `main(["run"])`
+    owns and stops its own SparkSession; the subprocess CLI path is the
+    verify recipe's job.)"""
+    import tempfile
+
+    from etl_open_source_spark.plans.runner import PipelineRunner
+    from etl_open_source_spark.registry import get_registry
+
+    assert main(["validate", "examples/snapshot_diff.json"]) == 0
+    runner = PipelineRunner(
+        spark, history_path=tempfile.mkdtemp(prefix="etl_snapdiff_") + "/history"
+    )
+    runner.run(PipelineSpec.load("examples/snapshot_diff.json"))
+
+    got = spark.read.parquet("/tmp/etl_cli_demo/orders_changelog")
+    want = get_registry()["q_snapshot_diff"].fn(spark, "/root/testdata/sf0.001")
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    assert got.count() == want.count()
+    assert (
+        got.select(cols).exceptAll(want.select(cols)).count() == 0
+        and want.select(cols).exceptAll(got.select(cols)).count() == 0
+    )
