@@ -58,6 +58,7 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
    OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
    OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
 """,
+    bench=True,
     tags=("maintenance", "cdc"),
 )
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:

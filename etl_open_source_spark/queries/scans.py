@@ -225,3 +225,47 @@ def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_sink_json_roundtrip",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS cnt,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("sink",),
+)
+def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink round-trip, completing the sink matrix
+    (parquet/csv/orc/text/json — the reference's loader matrix is all
+    0-byte stubs, core/loaders/*.py): filter events, write ndjson with the
+    engine writer, re-read with an EXPLICIT schema (schema inference is an
+    extra full pass — never at scale), aggregate. Integer/string columns
+    only, so the trip is lossless by construction and the oracle
+    aggregates the original table."""
+    src = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "event_type")
+    )
+    path = _tmp(sf_dir, "events_json_sink")
+    write_json(src, path, mode="replace")
+    back = read_json(
+        spark, path, schema="event_id bigint, user_id bigint, event_type string"
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            F.sum("user_id").cast("bigint").alias("sum_user"),
+        )
+        .orderBy("event_type")
+    )
