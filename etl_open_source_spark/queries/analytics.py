@@ -1,0 +1,148 @@
+"""Behavioral-analytics queries: market-basket co-occurrence, event
+transitions, RFM segmentation.
+
+[EXT] per SURVEY.md §2 — the reference's transform vocabulary stops at
+filter/map/merge (structure.txt:24); these are the standard BI/feature ops
+a warehouse team runs on the same star schema. All exact-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_open_source_spark.catalog import load_table
+from etl_open_source_spark.registry import query
+
+
+@query(
+    "q_pair_cooccurrence",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       COUNT(*) AS support
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+HAVING COUNT(*) >= 2
+""",
+    tags=("analytics", "join"),
+)
+def q_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts that co-occur in the same order,
+    with their support count (pairs ordered part_a < part_b so each pair
+    counts once; support >= 2 filters the long unique tail).
+
+    Shape: one self-join CO-PARTITIONED on the basket key — a single
+    shuffle of the deduped item list, then per-basket pair generation.
+    Per-basket work is O(basket²) but basket size is bounded (<= ~13
+    items here; a retail basket, not a corpus), so the explosion is a
+    constant factor, never quadratic in table size. The same shape at
+    100 TB wants a basket-size cap filter first — the degenerate
+    "one basket with a million items" row is the thing to guard, exactly
+    like the LSH hot-bucket cap (operators/dedup.py)."""
+    items = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n,
+       ROUND(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6) AS p
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+    tags=("analytics", "timeseries"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (Markov counts): for each
+    consecutive pair of events per user, count prev→next transitions and
+    the per-source transition probability — the building block of
+    journey/funnel analysis beyond the fixed-order q_funnel.
+
+    Shape: one (user)-partitioned window for the lag, one global
+    transition aggregate (event-type² cells — tiny), one type-cardinality
+    window for the probabilities. The corpus shuffles once, on user_id;
+    event_id tiebreaks equal timestamps so the sequence is
+    deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy("prev_type"))
+    return counts.select(
+        "prev_type", "next_type", "n", F.round(F.col("n") / total, 6).alias("p")
+    )
+
+
+@query(
+    "q_rfm_segments",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS freq,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS BIGINT) AS r_bucket,
+       CAST(NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT) AS f_bucket,
+       CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_bucket,
+       CAST(monetary AS DOUBLE) AS monetary
+FROM base
+""",
+    tags=("analytics", "window"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored into recency / frequency /
+    monetary quartiles (1 = best) — the classic lifecycle-marketing
+    segmentation. NTILE over (metric DESC, custkey) — identical bucket-
+    boundary semantics in both engines once the order is made total by
+    the key tiebreak; without it quartile membership at metric ties is
+    engine-dependent.
+
+    Shape: one per-customer aggregate, then three global NTILE windows.
+    The global sort is the scale caveat: at 100 TB replace exact NTILE
+    with approx_percentile bucket edges broadcast back (one aggregate +
+    scan-local bucketing, as in q_histogram) — exact quartile ranks are
+    rarely worth a total order."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("monetary"),
+    )
+    nt = lambda col: F.ntile(4).over(  # noqa: E731
+        Window.orderBy(F.col(col).desc(), F.col("o_custkey").asc())
+    )
+    return base.select(
+        "o_custkey",
+        nt("last_order").cast("bigint").alias("r_bucket"),
+        nt("freq").cast("bigint").alias("f_bucket"),
+        nt("monetary").cast("bigint").alias("m_bucket"),
+        F.col("monetary").cast("double").alias("monetary"),
+    )
