@@ -37,15 +37,20 @@ def q_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one self-join CO-PARTITIONED on the basket key — a single
     shuffle of the deduped item list, then per-basket pair generation.
-    Per-basket work is O(basket²) but basket size is bounded (<= ~13
-    items here; a retail basket, not a corpus), so the explosion is a
-    constant factor, never quadratic in table size. The same shape at
-    100 TB wants a basket-size cap filter first — the degenerate
-    "one basket with a million items" row is the thing to guard, exactly
-    like the LSH hot-bucket cap (operators/dedup.py)."""
-    items = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
+    The deduped list is PERSISTED: without that Spark inlines the
+    distinct subtree into both join sides and scans + deduplicates the
+    corpus twice. Per-basket work is O(basket²) but basket size is
+    bounded (<= ~13 items here; a retail basket, not a corpus), so the
+    explosion is a constant factor, never quadratic in table size. The
+    same shape at 100 TB wants a basket-size cap filter first — the
+    degenerate "one basket with a million items" row is the thing to
+    guard, exactly like the LSH hot-bucket cap (operators/dedup.py)."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
     a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
     b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
     return (

@@ -567,21 +567,27 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention triangle (cohort_month × months-since-cohort → active
     customers).
 
-    Shape: the cohort month comes from a window MIN over the distinct
-    (customer, month) activity frame — NOT a separate aggregate + join —
-    so the distinct, the window, and the per-customer work all reuse ONE
-    exchange on the customer key; the final matrix aggregate is
-    cohort-cardinality-sized. Month arithmetic is explicit year*12+month
-    on both engines (months_between/date_diff have per-engine day-of-month
-    semantics)."""
+    Shape: ONE exchange on the customer key — collect_set gathers each
+    customer's distinct active months (bounded: one cell per month in the
+    date range, ~80 here), the cohort month is array_min of that set, and
+    the offsets explode back out; the final matrix aggregate is
+    cohort-cardinality-sized. (A distinct + window formulation costs a
+    second exchange because distinct hashes on (customer, month) while
+    the window partitions on customer alone.) Month arithmetic is
+    explicit year*12+month on both engines (months_between/date_diff
+    have per-engine day-of-month semantics)."""
     o = load_table(spark, sf_dir, "orders")
     act = o.select(
-        "o_custkey", F.date_trunc("month", "o_orderdate").alias("act_month")
-    ).distinct()
-    cohort = F.min("act_month").over(Window.partitionBy("o_custkey"))
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    )
+    per_cust = act.groupBy("o_custkey").agg(F.collect_set("m").alias("months"))
+    exploded = per_cust.select(
+        F.array_min("months").alias("cohort_month"),
+        F.explode("months").alias("act_month"),
+    )
     months = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
     return (
-        act.withColumn("cohort_month", cohort)
+        exploded
         .groupBy(
             "cohort_month",
             (months(F.col("act_month")) - months(F.col("cohort_month")))

@@ -425,3 +425,30 @@ def test_winsorize_broadcasts_percentiles(spark, sf_dir):
     plan = _formatted_plan(spark, sf_dir, "q_winsorize")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pair_cooccurrence_single_distinct_pass(spark, sf_dir):
+    """The deduped (basket, item) list must be computed once and cached —
+    without the persist Spark inlines the distinct into both self-join
+    sides and scans + deduplicates the corpus twice."""
+    plan = _formatted_plan(spark, sf_dir, "q_pair_cooccurrence")
+    scans = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and "Scan parquet" in l
+    )
+    assert scans == 1, plan
+    assert "InMemoryRelation" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cohort_retention_one_customer_exchange(spark, sf_dir):
+    """collect_set formulation: exactly two hash exchanges (customer key +
+    final matrix aggregate) and one scan — the distinct+window variant
+    pays a third exchange because its partitionings differ."""
+    plan = _formatted_plan(spark, sf_dir, "q_cohort_retention")
+    lines = [l for l in plan.splitlines() if l.strip().startswith("(")]
+    scans = sum("Scan parquet" in l for l in lines)
+    exchanges = sum("Exchange" in l and "Broadcast" not in l for l in lines)
+    assert scans == 1, plan
+    assert exchanges == 2, plan
