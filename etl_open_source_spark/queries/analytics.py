@@ -151,3 +151,56 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         nt("monetary").cast("bigint").alias("m_bucket"),
         F.col("monetary").cast("double").alias("monetary"),
     )
+
+
+@query(
+    "q_embedding_norm_stats",
+    oracle="""
+WITH norms AS (
+  SELECT label,
+         SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         LEN(embedding) AS dim
+  FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n,
+       CAST(MIN(dim) AS BIGINT) AS min_dim, CAST(MAX(dim) AS BIGINT) AS max_dim,
+       CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm,
+       CAST(SUM(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
+FROM norms
+GROUP BY label
+""",
+    tags=("analytics", "llm"),
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table quality audit: per label, row count, dimension
+    bounds (a ragged dim is a broken export), exact decimal sum of L2
+    norms, and degenerate (near-zero) vector count — the sanity pass
+    every similarity/dedup pipeline runs before trusting cosine math
+    (q_sim_*, q_dedup_embedding assume unit-ish, fixed-dim vectors).
+
+    Scan-local arithmetic via fold over the array column (no explode
+    round-trip — same zero-exchange design as q_vector_agg), then one
+    label-sized aggregate. Norms fold through DECIMAL(18,6) so the
+    per-label sum is order-independent and bit-identical to DuckDB's."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(sq)
+    return (
+        emb.select("label", nrm.alias("nrm"), F.size("embedding").alias("dim"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("dim").cast("bigint").alias("min_dim"),
+            F.max("dim").cast("bigint").alias("max_dim"),
+            F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double").alias("sum_norm"),
+            F.sum(F.when(F.col("nrm") < 1e-6, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_degenerate"),
+        )
+    )
