@@ -201,3 +201,60 @@ def foreach_batch_jdbc_sink(
         .outputMode("append")
         .start()
     )
+
+
+def foreach_batch_incremental_mv(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    value_col: str,
+    checkpoint: str,
+):
+    """Streaming incremental materialized view — the streaming twin of
+    q_mv_incremental (queries/maintenance_q.py): every micro-batch
+    reduces to per-key partial-aggregate state (row count + exact
+    DECIMAL(18,4) sum of ``value_col``) and folds it into a standing
+    parquet rollup, so the view absorbs each batch by touching only
+    batch-sized state — history is never re-scanned.
+
+    The state columns are re-aggregatable (counts add, decimal sums
+    add), which is the whole trick; averages and the like derive at read
+    time. Unlike the upsert sink above, the additive merge is NOT
+    idempotent under batch replay — with plain parquet the guarantee is
+    the checkpoint's at-least-once, so a crash exactly between the
+    snapshot write and the epoch commit can double-fold one batch; a
+    transactional table format (Delta/Iceberg) closes that window by
+    committing data + epoch atomically. The plan shape is identical
+    either way.
+
+    Returns the StreamingQuery (caller awaits/stops it)."""
+    from pyspark.sql import functions as F
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = batch.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,4)")).alias("sum_dec"),
+        )
+        try:
+            standing = spark.read.parquet(target_path)
+        except Exception:  # first batch: no standing view yet
+            standing = None
+        if standing is not None:
+            partial = (
+                standing.unionByName(partial)
+                .groupBy(*keys)
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("sum_dec").alias("sum_dec"),
+                )
+            )
+        # materialize before overwriting the path being read
+        partial.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

@@ -330,3 +330,50 @@ def test_streaming_jdbc_sink_live(spark, stream_env, tmp_path):
     assert set(back["event_id".upper()] if "EVENT_ID" in back.columns else back["event_id"]) == {1, 2, 3}
     epoch_col = "__epoch" if "__epoch" in back.columns else "__EPOCH"
     assert back[epoch_col].nunique() >= 1  # epochs recorded for replay dedupe
+
+
+def test_foreach_batch_incremental_mv(spark, stream_env):
+    """Streaming incremental MV: after two micro-batches the standing
+    per-type rollup equals a batch recompute over ALL events — counts and
+    decimal sums fold associatively across batches (the streaming twin of
+    q_mv_incremental's merge == recompute property)."""
+    import os
+    import tempfile
+    from decimal import Decimal
+
+    from etl_open_source_spark.streaming.windows import (
+        file_event_stream,
+        foreach_batch_incremental_mv,
+    )
+
+    src, _, spark = stream_env
+    root = tempfile.mkdtemp(prefix="inc_mv_")
+    target = os.path.join(root, "mv")
+    ckpt = os.path.join(root, "ckpt")
+    stream = file_event_stream(spark, src).select("event_type", "value")
+    q = foreach_batch_incremental_mv(
+        stream, target, keys=["event_type"], value_col="value", checkpoint=ckpt
+    )
+    batch_a = [
+        _ev(1, "2024-01-01 00:00:00", etype="view", value=1.5),
+        _ev(2, "2024-01-01 00:01:00", etype="click", value=2.25),
+        _ev(3, "2024-01-01 00:02:00", etype="view", value=3.0),
+    ]
+    batch_b = [
+        _ev(4, "2024-01-01 01:00:00", etype="view", value=10.0),
+        _ev(5, "2024-01-01 01:01:00", etype="buy", value=7.75),
+    ]
+    _write_events(src, batch_a, "a.json")
+    q.processAllAvailable()
+    _write_events(src, batch_b, "b.json")
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.event_type: (r.n, r.sum_dec)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {
+        "view": (3, Decimal("14.5000")),
+        "click": (1, Decimal("2.2500")),
+        "buy": (1, Decimal("7.7500")),
+    }
