@@ -35,30 +35,20 @@ def q_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     with their support count (pairs ordered part_a < part_b so each pair
     counts once; support >= 2 filters the long unique tail).
 
-    Shape: one self-join CO-PARTITIONED on the basket key — a single
-    shuffle of the deduped item list, then per-basket pair generation.
-    The deduped list is PERSISTED: without that Spark inlines the
-    distinct subtree into both join sides and scans + deduplicates the
-    corpus twice. Per-basket work is O(basket²) but basket size is
-    bounded (<= ~13 items here; a retail basket, not a corpus), so the
-    explosion is a constant factor, never quadratic in table size. The
-    same shape at 100 TB wants a basket-size cap filter first — the
-    degenerate "one basket with a million items" row is the thing to
-    guard, exactly like the LSH hot-bucket cap (operators/dedup.py)."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .persist()
-    )
-    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
-    return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
+    Shape (operators/baskets.py): ONE shuffle on the basket key —
+    collect_set gathers each basket's distinct items, pairs generate
+    scan-local from the array via nested higher-order functions (no
+    self-join: a join formulation either re-shuffles or duplicates the
+    dedup subtree), then the pair-count aggregate. Per-basket work is
+    O(basket²) but ``max_basket_size=64`` drops degenerate baskets whole
+    (no effect on this data, baskets <= ~13 items) — the same
+    skew-over-completeness guard as the LSH hot-bucket cap
+    (operators/dedup.py), pinned by a property test."""
+    from etl_open_source_spark.operators.baskets import cooccurring_pairs
+
+    items = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return cooccurring_pairs(
+        items, "l_orderkey", "l_partkey", min_support=2, max_basket_size=64
     )
 
 

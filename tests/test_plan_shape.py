@@ -427,19 +427,16 @@ def test_winsorize_broadcasts_percentiles(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_pair_cooccurrence_single_distinct_pass(spark, sf_dir):
-    """The deduped (basket, item) list must be computed once and cached —
-    without the persist Spark inlines the distinct into both self-join
-    sides and scans + deduplicates the corpus twice."""
+def test_pair_cooccurrence_single_shuffle_no_join(spark, sf_dir):
+    """collect_set + scan-local pair generation: one scan, two hash
+    exchanges (basket key, then pair counts), and NO join node at all —
+    the self-join formulation either re-shuffles or duplicates the dedup
+    subtree."""
     plan = _formatted_plan(spark, sf_dir, "q_pair_cooccurrence")
-    scans = sum(
-        1
-        for l in plan.splitlines()
-        if l.strip().startswith("(") and "Scan parquet" in l
-    )
-    assert scans == 1, plan
-    assert "InMemoryRelation" in plan
-    assert "CartesianProduct" not in plan
+    lines = [l for l in plan.splitlines() if l.strip().startswith("(")]
+    assert sum("Scan parquet" in l for l in lines) == 1, plan
+    assert sum("Exchange" in l and "Broadcast" not in l for l in lines) == 2, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
 
 
 def test_cohort_retention_one_customer_exchange(spark, sf_dir):

@@ -522,3 +522,31 @@ def test_compact_parquet_size_targeted(spark_prop, tmp_path):
         F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
     ).collect()[0]
     assert agg.n == 5000 and agg.s == sum(3 * i for i in range(5000))
+
+
+# ------------------------------------------- basket pair-mining guard
+
+
+def test_basket_cap_drops_degenerate_keeps_rest(spark_prop):
+    """A degenerate giant basket (the 100 TB skew hazard: O(basket²)
+    pairs) is dropped WHOLE by max_basket_size while every normal
+    basket's pairs and supports are untouched — same
+    skew-over-completeness contract as the LSH hot-bucket cap."""
+    from etl_open_source_spark.operators.baskets import cooccurring_pairs
+
+    spark = spark_prop
+    normal = [(b, i) for b in (1, 2) for i in (10, 20, 30)]  # pairs appear twice
+    giant = [(99, i) for i in range(300)]
+    df = spark.createDataFrame(normal + giant, "basket int, item int")
+
+    capped = cooccurring_pairs(
+        df, "basket", "item", min_support=1, max_basket_size=10
+    ).collect()
+    got = {(r.part_a, r.part_b): r.support for r in capped}
+    assert got == {(10, 20): 2, (10, 30): 2, (20, 30): 2}  # giant gone, rest exact
+
+    uncapped = cooccurring_pairs(df, "basket", "item", min_support=1)
+    # without the guard the giant basket floods the result with C(300,2)
+    # distinct pairs (the three normal pairs are among them — items
+    # 10/20/30 also sit in the giant basket, so they merge, not add)
+    assert uncapped.count() == (300 * 299) // 2
