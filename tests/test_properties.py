@@ -550,3 +550,38 @@ def test_basket_cap_drops_degenerate_keeps_rest(spark_prop):
     # distinct pairs (the three normal pairs are among them — items
     # 10/20/30 also sit in the giant basket, so they merge, not add)
     assert uncapped.count() == (300 * 299) // 2
+
+
+# --------------------------------------------- hot-key sessionization
+
+
+def test_sessionize_single_hot_user(spark_prop):
+    """All events on ONE user — the worst skew a keyed window can see
+    (the whole series lands on one task; correctness must not depend on
+    key spread). Sessions split exactly at >30 min gaps and the
+    numbering is deterministic."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    spark = spark_prop
+    t0 = datetime(2024, 1, 1)
+    # 3 sessions: gaps of 10 min inside, 31+ min between
+    offsets = [0, 10, 20, 55, 65, 120]
+    rows = [(i, t0 + timedelta(minutes=m), 7) for i, m in enumerate(offsets)]
+    df = spark.createDataFrame(rows, "event_id int, ts timestamp, user_id int")
+    # same expression shape as q_ts_sessionize, applied to the hot frame
+    from pyspark.sql import Window
+
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_break = F.lag("ts").over(w_lag).isNull() | (
+        F.col("ts") > F.lag("ts").over(w_lag) + F.expr("INTERVAL 30 MINUTES")
+    )
+    out = df.select(
+        "event_id",
+        F.sum(F.when(is_break, 1).otherwise(0)).over(w_run).alias("session_num"),
+    ).collect()
+    got = {r.event_id: r.session_num for r in out}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 3}
