@@ -51,6 +51,7 @@ class PipelineRunner:
     ):
         self.spark = spark
         self.history_path = history_path
+        self._pending_watermarks: list = []
         # registered named python transforms — the safe version of the
         # reference's arbitrary custom-code step (core/engine.py:155-158)
         self.python_transforms = python_transforms or {}
@@ -78,9 +79,17 @@ class PipelineRunner:
         started = datetime.now(timezone.utc).replace(tzinfo=None)
         self._log(run_id, spec.id, started, None, "running", "")
         data: DataFrame | None = None
+        # (store, key, new_wm) per incremental extract this run; advanced
+        # ONLY after every step (incl. the load) succeeded — advancing on
+        # failure would silently drop the failed delta next run
+        # (at-least-once, plans/incremental.py contract)
+        self._pending_watermarks: list = []
         try:
             for step in spec.ordered_steps():
                 data = self._execute_step(spec, step, data)
+            for store, key, new_wm in self._pending_watermarks:
+                if new_wm is not None:
+                    store.set(key, new_wm)
             finished = datetime.now(timezone.utc).replace(tzinfo=None)
             self._log(run_id, spec.id, started, finished, "success", "")
             return data
@@ -106,6 +115,27 @@ class PipelineRunner:
         raise ValueError(f"unknown step type: {step.step_type}")
 
     def _extract(self, spec: PipelineSpec, step: Step) -> DataFrame:
+        """Full extract, optionally narrowed to the high-watermark delta
+        when the step declares ``watermark_col`` + ``state_path`` — the
+        incremental pattern the reference's full-table re-read can't do
+        (core/extractors/sqlserver.py:52). The watermark predicate is a
+        plain Catalyst filter, so it pushes into the parquet scan / JDBC
+        query and an incremental run touches only new row groups."""
+        df = self._extract_full(spec, step)
+        cfg = step.config
+        if "watermark_col" in cfg:
+            from etl_open_source_spark.plans.incremental import (
+                WatermarkStore,
+                incremental_read,
+            )
+
+            store = WatermarkStore(cfg["state_path"])
+            key = cfg.get("state_key", f"{spec.id}:{step.id}")
+            df, new_wm = incremental_read(df, cfg["watermark_col"], store, key)
+            self._pending_watermarks.append((store, key, new_wm))
+        return df
+
+    def _extract_full(self, spec: PipelineSpec, step: Step) -> DataFrame:
         cfg = step.config
         conn = spec.connection(step.connection_id)
         fmt = (conn.type if conn else cfg.get("format", "parquet")).lower()

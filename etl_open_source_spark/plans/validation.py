@@ -51,6 +51,13 @@ def validate_spec(spec: PipelineSpec) -> list[str]:
                     )
             elif not (cfg.get("query") or cfg.get("table") or cfg.get("path")):
                 issues.append(f"extract step {s.name!r} needs 'query', 'table' or 'path'")
+            if cfg.get("watermark_col") and not cfg.get("state_path"):
+                # incremental extract with nowhere to persist the watermark
+                # would re-read everything every run, silently
+                issues.append(
+                    f"incremental extract step {s.name!r} has 'watermark_col' "
+                    f"but no 'state_path'"
+                )
         if s.step_type == StepType.TRANSFORM:
             kind = cfg.get("type", "sql")
             if kind == "sql" and not cfg.get("sql"):

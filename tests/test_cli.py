@@ -139,3 +139,7 @@ def test_snapshot_diff_example_runs_and_matches_operator(spark, sf_dir):
         got.select(cols).exceptAll(want.select(cols)).count() == 0
         and want.select(cols).exceptAll(got.select(cols)).count() == 0
     )
+
+
+def test_incremental_example_validates():
+    assert main(["validate", "examples/incremental_events.json"]) == 0

@@ -228,3 +228,82 @@ def test_incremental_failed_run_does_not_advance(spark, sf_dir, tmp_path):
     delta_again, wm_again = incremental_read(events, "event_id", store, "events")
     assert delta_again.count() == delta1.count()
     assert wm_again == wm1
+
+
+def _inc_spec(src_dir: str, out_dir: str, state: str, load_format: str = "parquet") -> PipelineSpec:
+    return PipelineSpec(
+        id="inc1",
+        name="incremental_events",
+        cron="*/5 * * * *",
+        connections=[ConnectionConfig(id="src", name="landing", type="parquet")],
+        steps=[
+            Step(
+                id="s1",
+                name="extract_delta",
+                step_type=StepType.EXTRACT,
+                order=1,
+                connection_id="src",
+                config={
+                    "path": src_dir,
+                    "watermark_col": "ts",
+                    "state_path": state,
+                },
+            ),
+            Step(
+                id="s2",
+                name="load_append",
+                step_type=StepType.LOAD,
+                order=2,
+                config={"path": f"{out_dir}/target", "mode": "append", "format": load_format},
+            ),
+        ],
+    )
+
+
+def test_incremental_spec_processes_only_new_rows(spark, tmp_path):
+    """Spec-level high-watermark extraction: run 1 loads everything, run 2
+    loads ONLY rows newer than the stored watermark, and a FAILED run does
+    not advance the watermark (its delta is re-processed after the fix) —
+    the at-least-once contract of plans/incremental.py, now reachable from
+    a declarative spec ('watermark_col' + 'state_path' on the extract)."""
+    import tempfile
+
+    from etl_open_source_spark.plans.runner import PipelineRunner
+    from etl_open_source_spark.plans.validation import validate_spec
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "wm.json")
+
+    def land(rows):
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp"
+        ).write.mode("append").parquet(src)
+
+    land([(1, datetime(2024, 1, 1, 0, 0)), (2, datetime(2024, 1, 1, 1, 0))])
+    runner = PipelineRunner(spark, history_path=str(tmp_path / "hist"))
+    spec = _inc_spec(src, out, state)
+    assert validate_spec(spec) == []
+
+    runner.run(spec)
+    assert spark.read.parquet(f"{out}/target").count() == 2
+
+    # run 2: one new row past the watermark + the old rows still present
+    land([(3, datetime(2024, 1, 1, 2, 0))])
+    runner.run(spec)
+    got = spark.read.parquet(f"{out}/target")
+    assert got.count() == 3  # old rows NOT re-appended
+    assert {r.event_id for r in got.collect()} == {1, 2, 3}
+
+    # run 3 FAILS at the load (unsupported format) → watermark must NOT move
+    land([(4, datetime(2024, 1, 1, 3, 0))])
+    bad = _inc_spec(src, out, state, load_format="bogus")
+    with pytest.raises(ValueError):
+        runner.run(bad)
+    runner.run(spec)  # fixed: the failed delta is re-processed, not dropped
+    assert {r.event_id for r in spark.read.parquet(f"{out}/target").collect()} == {1, 2, 3, 4}
+
+    # validation: watermark without state_path is caught before running
+    nostate = _inc_spec(src, out, state)
+    nostate.steps[0].config.pop("state_path")
+    assert any("state_path" in i for i in validate_spec(nostate))
