@@ -269,3 +269,35 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_scan_merge_schema",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END AS priority
+FROM orders
+""",
+    tags=("scan",),
+)
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet batches written with DIFFERENT
+    schemas (the second grew a 'priority' column) read back as one table
+    via mergeSchema=true — older files' missing column surfaces as NULL.
+    The ingest reality of any long-lived dataset; the alternative
+    (positional or first-file schema) silently drops the new column.
+
+    At scale, footer-merging every file is itself a cost — production
+    tables pin the merged schema in a catalog/table format and read
+    WITHOUT mergeSchema; this query exercises the evolution mechanics."""
+    o = load_table(spark, sf_dir, "orders")
+    path = _tmp(sf_dir, "orders_evolving")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(path)
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", F.col("o_orderpriority").alias("priority")
+    ).write.mode("append").parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path).select(
+        "o_orderkey", "o_totalprice", "priority"
+    )

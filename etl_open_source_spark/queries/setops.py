@@ -161,3 +161,35 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey")
     )
     return c.exceptAll(s)
+
+
+@query(
+    "q_union_by_name",
+    oracle="""
+SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice AS price, NULL AS seg
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT c_custkey, NULL, NULL, c_mktsegment
+FROM customer WHERE c_custkey % 2 = 1
+""",
+    tags=("setop",),
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two frames with DIFFERENT column sets
+    combine by NAME with missing columns null-filled
+    (unionByName(allowMissingColumns=True)) — the append path when a
+    table grows columns over time. Positional UNION would silently
+    misalign; by-name is the only safe semantics for evolving 100 TB
+    datasets."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    return o.unionByName(c, allowMissingColumns=True).select(
+        "id", "status", "price", F.col("seg").cast("string").alias("seg")
+    )
