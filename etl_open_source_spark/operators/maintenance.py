@@ -118,12 +118,24 @@ def compact_parquet(
     if (num_files is None) == (target_file_bytes is None):
         raise ValueError("pass exactly one of num_files / target_file_bytes")
     if num_files is None:
-        total = sum(
-            os.path.getsize(os.path.join(src_dir, f))
-            for f in os.listdir(src_dir)
-            if f.endswith(".parquet")
-        )
+        total = _parquet_bytes(src_dir)
         num_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(src_dir)
     df.repartition(num_files).write.mode("overwrite").parquet(dst_dir)
-    return sum(1 for f in os.listdir(dst_dir) if f.endswith(".parquet"))
+    return _parquet_file_count(dst_dir)
+
+
+def _parquet_bytes(root: str) -> int:
+    """Recursive: hive-partitioned layouts keep files in subdirectories."""
+    return sum(
+        os.path.getsize(os.path.join(d, f))
+        for d, _, files in os.walk(root)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def _parquet_file_count(root: str) -> int:
+    return sum(
+        1 for d, _, files in os.walk(root) for f in files if f.endswith(".parquet")
+    )

@@ -585,3 +585,22 @@ def test_sessionize_single_hot_user(spark_prop):
     ).collect()
     got = {r.event_id: r.session_num for r in out}
     assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 3}
+
+
+def test_compact_parquet_partitioned_source(spark_prop, tmp_path):
+    """Hive-partitioned input (files in subdirectories): size-targeted
+    compaction must see the nested files' bytes (a flat listdir reads 0
+    and silently compacts everything to one file)."""
+    from pyspark.sql import functions as F
+
+    from etl_open_source_spark.operators.maintenance import compact_parquet
+
+    spark = spark_prop
+    src = str(tmp_path / "part_src")
+    dst = str(tmp_path / "part_dst")
+    df = spark.range(0, 4000).withColumn("g", (F.col("id") % 4).cast("int"))
+    df.repartition(4).write.partitionBy("g").parquet(src)
+    # tiny target → multiple output files proves the recursive size walk
+    n = compact_parquet(spark, src, dst, target_file_bytes=4096)
+    assert n >= 2
+    assert spark.read.parquet(dst).count() == 4000
