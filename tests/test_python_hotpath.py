@@ -1,0 +1,68 @@
+"""Registry-wide guard: no Python in the hot path.
+
+"UDFs are the slow path" is a design rule, not a hope — this test scans
+EVERY registered query's analyzed plan for Python-evaluation nodes and
+fails if one appears outside the sanctioned set:
+
+* the four UDF-surface demos (queries/udfs.py) whose PURPOSE is the
+  Python hop (scalar udf, Arrow pandas_udf, grouped pandas UDAF, UDTF);
+* the multimodal family, whose binary decode stages are Arrow-batched
+  ``mapInPandas`` by design (batch-level hop, never per-row — the
+  sanctioned pattern for work Spark's builtins cannot express).
+
+A new query that sneaks in a convenience ``@udf`` — 10-100× slower than
+the equivalent builtin at 100 TB — turns this red immediately.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_open_source_spark.registry import get_registry
+
+REGISTRY = get_registry()
+
+_PY_MARKERS = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "AggregateInPandas",
+    "PythonUDTF",
+)
+
+# name -> markers it is allowed to plan (exact, so an upgrade that also
+# removes the hop forces this list to shrink)
+_SANCTIONED = {
+    "q_udf_scalar": {"BatchEvalPython"},
+    "q_udf_pandas": {"ArrowEvalPython"},
+    "q_udaf_pandas": {"FlatMapGroupsInPandas"},
+    "q_udtf": {"BatchEvalPython", "PythonUDTF"},
+    "q_multimodal_meta": {"MapInPandas"},
+    "q_multimodal_decode": {"MapInPandas"},
+    "q_multimodal_resize": {"MapInPandas"},
+    "q_multimodal_audio_chunks": {"MapInPandas"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_python_in_hot_path(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended")
+    )
+    found = {m for m in _PY_MARKERS if m in plan}
+    allowed = _SANCTIONED.get(name, set())
+    assert found <= allowed, (
+        f"{name} plans Python-eval node(s) {sorted(found - allowed)} — "
+        f"replace with pyspark.sql.functions builtins / higher-order "
+        f"functions, or (for genuinely inexpressible work) an Arrow-batched "
+        f"mapInPandas added to the sanctioned list with justification"
+    )
+    if allowed:
+        # sanctioned queries must still plan their hop — if the hop is
+        # gone, remove the sanction so the guard stays tight
+        assert found == allowed, (
+            f"{name} no longer plans {sorted(allowed - found)}; "
+            f"shrink _SANCTIONED"
+        )
