@@ -5,6 +5,8 @@ distribution is built for pathological key skew.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -136,4 +138,50 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("max_y"),
         )
         .orderBy("z_bucket")
+    )
+
+
+@query(
+    "q_join_bucketed_colocated",
+    oracle="""
+SELECT o.o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+""",
+    tags=("scale", "join"),
+)
+def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join (sources/bucketing.py): both sides are
+    written bucketed+sorted on the join key, so the join plans with ZERO
+    exchange — bucket i of orders meets bucket i of lineitem in the same
+    task (tests/test_bucketing.py pins the no-Exchange plan under a
+    disabled broadcast threshold). At 100 TB this is THE dominant join
+    cost eliminated at write time: the layout is the index.
+
+    The query re-proves the result equals a plain join oracle; the write
+    cost is paid once here per run (table names are sf-scoped so scales
+    don't collide)."""
+    import re as _re
+
+    from etl_open_source_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    tag = _re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    t_orders, t_lineitem = f"bq_orders_{tag}", f"bq_lineitem_{tag}"
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    write_bucketed(o, t_orders, ["o_orderkey"], 8, sort_by=["o_orderkey"])
+    write_bucketed(l, t_lineitem, ["o_orderkey"], 8, sort_by=["o_orderkey"])
+    return (
+        bucketed_join(spark, t_orders, t_lineitem, ["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
     )

@@ -655,3 +655,57 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.col("click_id").isNotNull().alias("attributed"),
     )
+
+
+@query(
+    "q_ts_twap",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value, ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events
+),
+seg AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(18,4))
+           * CAST(DATE_DIFF('second', ts, next_ts) AS BIGINT) AS weighted,
+         CAST(DATE_DIFF('second', ts, next_ts) AS BIGINT) AS dur
+  FROM seq WHERE next_ts IS NOT NULL
+)
+SELECT user_id,
+       CAST(SUM(dur) AS BIGINT) AS total_seconds,
+       CAST(SUM(weighted) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE) AS twap
+FROM seg
+GROUP BY user_id
+""",
+    tags=("timeseries",),
+)
+def q_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation's value is weighted
+    by how long it HELD (until the next observation) — the correct
+    average for irregularly sampled series, where the plain mean
+    over-weights bursts (TimescaleDB's time_weight, kdb's twap).
+
+    One (user)-partitioned window for the lead, then a map-side-
+    combinable aggregate: value×duration products fold through
+    DECIMAL(18,4)·BIGINT (exact, order-independent), one double division
+    at the end. One shuffle total; at 100 TB the window and the
+    aggregate share the user-key exchange."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = e.select(
+        "user_id",
+        "value",
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    ).filter(F.col("next_ts").isNotNull())
+    dur = F.col("next_ts").cast("long") - F.col("ts").cast("long")
+    weighted = F.col("value").cast("decimal(18,4)") * dur.cast("bigint")
+    return (
+        seq.select("user_id", weighted.alias("weighted"), dur.cast("bigint").alias("dur"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("dur").cast("bigint").alias("total_seconds"),
+            (F.sum("weighted").cast("double") / F.sum("dur").cast("double")).alias("twap"),
+        )
+    )
