@@ -25,7 +25,19 @@ def write_bucketed(
     mode: str = "overwrite",
 ) -> None:
     """Persist as a bucketed (optionally sorted) managed table. Sorting
-    within buckets additionally enables merge-join without a sort step."""
+    within buckets additionally enables merge-join without a sort step.
+
+    Overwrite is made restart-safe: a managed-table LOCATION left behind
+    by a previous session (fresh catalog, stale warehouse dir) would fail
+    saveAsTable with LOCATION_ALREADY_EXISTS, so an orphaned location is
+    removed first. (With a persistent metastore / table format the
+    catalog itself owns this lifecycle.)"""
+    spark = df.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(table):
+        import shutil
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)
