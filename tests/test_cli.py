@@ -143,3 +143,13 @@ def test_snapshot_diff_example_runs_and_matches_operator(spark, sf_dir):
 
 def test_incremental_example_validates():
     assert main(["validate", "examples/incremental_events.json"]) == 0
+
+
+@pytest.mark.parametrize(
+    "spec_path",
+    sorted(__import__("glob").glob("examples/*.json")),
+)
+def test_every_shipped_example_validates(spec_path):
+    """Every example spec in the repo must pass validation — a shipped
+    spec that fails validate is documentation that lies."""
+    assert main(["validate", spec_path]) == 0, spec_path
