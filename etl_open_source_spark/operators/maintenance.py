@@ -43,21 +43,28 @@ def snapshot_diff(
     row as insert / update / delete; unchanged rows are dropped. Output:
     keys, ``change_type``, and ``old_<c>`` / ``new_<c>`` for each compared
     column. Null-safe comparison (a NULL→value flip is an update)."""
+    # Explicit presence flags, NOT key-null checks: the join matches NULL
+    # keys via eqNullSafe, so a NULL-key row on one side must still read
+    # as "present" there — key.isNotNull() would misclassify every
+    # NULL-key change as an insert (and emit spurious rows for unchanged
+    # NULL-key rows).
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"old_{c}") for c in compare],
+        F.lit(True).alias("__in_old"),
     )
     n = new.select(
         *[F.col(k).alias(f"__nk_{k}") for k in keys],
         *[F.col(c).alias(f"new_{c}") for c in compare],
+        F.lit(True).alias("__in_new"),
     )
     cond = functools.reduce(
         lambda x, y: x & y,
         [F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}")) for k in keys],
     )
     joined = o.join(n, cond, "full_outer")
-    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
-    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    in_old = F.coalesce(F.col("__in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("__in_new"), F.lit(False))
     differs = functools.reduce(
         lambda x, y: x | y,
         [~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")) for c in compare],

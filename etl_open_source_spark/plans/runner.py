@@ -123,7 +123,9 @@ class PipelineRunner:
         query and an incremental run touches only new row groups."""
         df = self._extract_full(spec, step)
         cfg = step.config
-        if "watermark_col" in cfg:
+        # truthiness, matching validate_spec's predicate — a null/empty
+        # watermark_col must mean "not incremental", not a KeyError mid-run
+        if cfg.get("watermark_col"):
             from etl_open_source_spark.plans.incremental import (
                 WatermarkStore,
                 incremental_read,

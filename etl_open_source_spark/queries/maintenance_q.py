@@ -22,14 +22,8 @@ from etl_open_source_spark.operators.maintenance import (
     snapshot_diff,
 )
 from etl_open_source_spark.operators.sampling import det_hash, sql_det_hash
+from etl_open_source_spark.queries.scans import _tmp  # shared sf-scoped temp dirs
 from etl_open_source_spark.registry import query
-
-_TMP_ROOT = "/tmp/etl_open_source_spark_maint"
-
-
-def _tmp(sf_dir: str, name: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(_TMP_ROOT, tag, name)
 
 
 @query(
@@ -280,7 +274,10 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("sum_dec"),
         )
 
-    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    # NULL order dates fail BOTH comparisons (NULL-falsy) and would drop
+    # from the merge while the full-recompute oracle keeps them — route
+    # them into the base partition explicitly
+    base = partial(o.filter((F.col("o_orderdate") < cutoff) | F.col("o_orderdate").isNull()))
     delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
     merged = (
         base.unionByName(delta)

@@ -509,16 +509,24 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: two small per-key aggregates (exact median needs a sort-based
     agg — Spark's F.median, same interpolating semantics as DuckDB's
     MEDIAN) broadcast back onto the event scan. The per-user median frame
-    is key-cardinality-sized and PERSISTED — without that, Spark inlines
-    the median subtree into both consumers and the corpus is scanned four
-    times; with it, three scans, the minimum for the inherently
-    two-sequential-pass MAD chain plus the final flagging pass. Both
+    is key-cardinality-sized and materialized ONCE via an eager
+    localCheckpoint — without that, Spark inlines the median subtree into
+    both consumers and the corpus is scanned four times; with it, three
+    scans, the minimum for the inherently two-sequential-pass MAD chain
+    plus the final flagging pass. (localCheckpoint, not persist(): cache
+    entries pinned in the session's CacheManager leak across the
+    registry's repeated invocations, while checkpoint blocks are freed by
+    the ContextCleaner on GC — the operators/dedup.py pattern.) Both
     joins broadcast; the corpus itself is never shuffled. At 100 TB with
     high-cardinality keys, swap exact median for approx_percentile(0.5)
     (q_agg_approx_percentile) and the chain collapses to one
     map-side-combinable aggregate."""
     e = load_table(spark, sf_dir, "events")
-    med = e.groupBy("user_id").agg(F.median("value").alias("med")).persist()
+    med = (
+        e.groupBy("user_id")
+        .agg(F.median("value").alias("med"))
+        .localCheckpoint(eager=True)
+    )
     mad = (
         e.join(F.broadcast(med), "user_id")
         .groupBy("user_id")
@@ -610,7 +618,7 @@ LEFT JOIN LATERAL (
   FROM events c
   WHERE c.event_type = 'click' AND c.user_id = p.user_id
     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 7 DAY
-  ORDER BY c.ts DESC LIMIT 1
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
 ) c ON TRUE
 """,
     tags=("timeseries", "join"),
@@ -631,10 +639,14 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").alias("purchase_ts"),
     )
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("ts").alias("click_ts"),
-        F.col("event_id").alias("click_id"),
+    # One click per (user, instant), max event_id wins: equal-timestamp
+    # clicks would otherwise resolve nondeterministically in the as-of
+    # carry (and the oracle's LIMIT 1) — the same tiebreak discipline as
+    # q_event_transitions / q_ts_twap, applied before the join
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_id"))
     )
     from etl_open_source_spark.operators.asof import asof_join
 

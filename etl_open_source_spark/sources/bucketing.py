@@ -34,10 +34,24 @@ def write_bucketed(
     catalog itself owns this lifecycle.)"""
     spark = df.sparkSession
     if mode == "overwrite" and not spark.catalog.tableExists(table):
-        import shutil
-
-        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-        shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
+        # Map the name to its managed location: default DB puts the table
+        # directly under the warehouse; "db.tbl" lives under <db>.db/.
+        # Cleanup goes through the Hadoop FS API so any warehouse scheme
+        # (file:/, hdfs:/, s3a:/) works — a local-only rmtree silently
+        # no-ops elsewhere and LOCATION_ALREADY_EXISTS returns.
+        parts = table.lower().split(".")
+        if len(parts) == 1:
+            rel = parts[0]
+        elif len(parts) == 2:
+            rel = f"{parts[0]}.db/{parts[1]}"
+        else:
+            raise ValueError(f"unsupported table identifier: {table!r}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{rel}")
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)

@@ -86,6 +86,16 @@ def stream_static_enrich(
     return stream.join(broadcast(dim), on, how)
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-agnostic existence probe through the Hadoop FileSystem API —
+    works for file:/, hdfs:/, s3a:/ alike, and (unlike a read attempt)
+    cannot confuse a transient failure with absence."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def foreach_batch_upsert_sink(
     stream: DataFrame,
     target_path: str,
@@ -121,10 +131,12 @@ def foreach_batch_upsert_sink(
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-        try:
-            target = spark.read.parquet(target_path)
-        except Exception:  # first batch: no snapshot yet
-            target = None
+        # Existence-checked, NOT try/except: a transient read failure must
+        # crash the batch (checkpoint retries it), never be mistaken for
+        # "first batch" — that mistake silently resets the whole snapshot.
+        target = (
+            spark.read.parquet(target_path) if _hadoop_path_exists(spark, target_path) else None
+        )
         merged = batch if target is None else merge_upsert(target, batch, keys)
         # materialize before overwriting the path being read
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
@@ -236,10 +248,13 @@ def foreach_batch_incremental_mv(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col(value_col).cast("decimal(18,4)")).alias("sum_dec"),
         )
-        try:
-            standing = spark.read.parquet(target_path)
-        except Exception:  # first batch: no standing view yet
-            standing = None
+        # Existence-checked, NOT try/except: treating ANY read error as
+        # "first batch" would replace the accumulated view with one
+        # batch's state and keep streaming green — total silent data
+        # loss, far worse than the documented double-fold window.
+        standing = (
+            spark.read.parquet(target_path) if _hadoop_path_exists(spark, target_path) else None
+        )
         if standing is not None:
             partial = (
                 standing.unionByName(partial)

@@ -145,11 +145,25 @@ def test_incremental_example_validates():
     assert main(["validate", "examples/incremental_events.json"]) == 0
 
 
-@pytest.mark.parametrize(
-    "spec_path",
-    sorted(__import__("glob").glob("examples/*.json")),
+_EXAMPLES = sorted(
+    __import__("glob").glob(
+        __import__("os").path.join(
+            __import__("os").path.dirname(__import__("os").path.dirname(__file__)),
+            "examples",
+            "*.json",
+        )
+    )
 )
+
+
+@pytest.mark.parametrize("spec_path", _EXAMPLES)
 def test_every_shipped_example_validates(spec_path):
     """Every example spec in the repo must pass validation — a shipped
-    spec that fails validate is documentation that lies."""
+    spec that fails validate is documentation that lies. (Glob anchored
+    to this file, not the cwd — a cwd-relative glob collects ZERO cases
+    when pytest runs from elsewhere and the guard silently vanishes.)"""
     assert main(["validate", spec_path]) == 0, spec_path
+
+
+def test_example_glob_found_specs():
+    assert len(_EXAMPLES) >= 6  # the guard itself must never go empty

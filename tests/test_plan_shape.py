@@ -403,19 +403,19 @@ def test_scd2_lookup_is_equi_join_with_residual(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_ts_anomaly_caches_median_three_scans(spark, sf_dir):
+def test_ts_anomaly_checkpoints_median_three_scans(spark, sf_dir):
     """The MAD chain is two sequential aggregate passes + one flagging
-    pass = exactly 3 corpus scans; the per-user median frame must be
-    cached (without it Spark inlines the median subtree twice → 4 scans)
-    and the stats always broadcast — the corpus is never shuffled."""
+    pass = exactly 3 corpus scans total: the per-user median frame is
+    materialized once via eager localCheckpoint (without it Spark inlines
+    the median subtree into both consumers → 4 scans; with persist() the
+    CacheManager entry leaks across invocations). The returned plan
+    therefore shows 2 parquet scans + 2 checkpoint-RDD scans, and the
+    stats always broadcast — the corpus is never shuffled."""
     plan = _formatted_plan(spark, sf_dir, "q_ts_anomaly")
-    scans = sum(
-        1
-        for l in plan.splitlines()
-        if l.strip().startswith("(") and "Scan parquet" in l
-    )
-    assert scans == 3, plan
-    assert "InMemoryRelation" in plan
+    lines = [l for l in plan.splitlines() if l.strip().startswith("(")]
+    assert sum("Scan parquet" in l for l in lines) == 2, plan
+    assert sum("ExistingRDD" in l for l in lines) == 2, plan
+    assert "InMemoryRelation" not in plan  # no CacheManager pin
     assert "SortMergeJoin" not in plan
 
 

@@ -604,3 +604,28 @@ def test_compact_parquet_partitioned_source(spark_prop, tmp_path):
     n = compact_parquet(spark, src, dst, target_file_bytes=4096)
     assert n >= 2
     assert spark.read.parquet(dst).count() == 4000
+
+
+def test_snapshot_diff_null_keys(spark_prop):
+    """NULL join keys: eqNullSafe matches them across snapshots, so a
+    NULL-key row must classify as update/delete/unchanged exactly like
+    any other key — never as a spurious 'insert' (regression: presence
+    was detected via key.isNotNull(), which reads NULL-key rows as
+    absent on both sides)."""
+    from etl_open_source_spark.operators.maintenance import snapshot_diff
+
+    spark = spark_prop
+    old = spark.createDataFrame([(None, 1), (1, 5)], "k int, v int")
+    new = spark.createDataFrame([(None, 2), (2, 7)], "k int, v int")
+    got = {
+        (r.k, r.change_type): (r.old_v, r.new_v)
+        for r in snapshot_diff(old, new, keys=["k"], compare=["v"]).collect()
+    }
+    assert got == {
+        (None, "update"): (1, 2),
+        (1, "delete"): (5, None),
+        (2, "insert"): (None, 7),
+    }
+    # unchanged NULL-key row: no diff row at all
+    same = spark.createDataFrame([(None, 3)], "k int, v int")
+    assert snapshot_diff(same, same, keys=["k"], compare=["v"]).count() == 0
