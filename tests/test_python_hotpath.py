@@ -12,6 +12,12 @@ fails if one appears outside the sanctioned set:
 
 A new query that sneaks in a convenience ``@udf`` — 10-100× slower than
 the equivalent builtin at 100 TB — turns this red immediately.
+
+Known cost: building a query's DataFrame requires calling ``fn``, and the
+sink/maintenance queries execute their write stage eagerly while doing so
+(at sf0.001 — a few seconds across the registry). Accepted: the plan is
+only materialized per-query here, and the same fns are exercised anyway
+by the parity suite.
 """
 
 from __future__ import annotations
