@@ -189,7 +189,63 @@ class PipelineRunner:
             if fn is None:
                 raise ValueError(f"unknown python transform: {cfg['fn']!r}")
             return data.transform(fn)
+        if kind == "expect":
+            return self._expect(step, data)
         raise ValueError(f"unsupported transform type: {kind}")
+
+    def _expect(self, step: Step, data: DataFrame) -> DataFrame:
+        """Data-quality gate (the dbt-test / expectation-checkpoint step):
+        evaluate declarative checks against the dataset in ONE aggregate
+        scan (operators/quality.py) and fail the run — recorded as error
+        in history — if any check has violations. ``on_fail: "warn"``
+        downgrades to a log line so exploratory pipelines keep flowing.
+        The dataset passes through unchanged."""
+        from pyspark.sql import functions as F
+
+        from etl_open_source_spark.operators.quality import (
+            Check,
+            accepted,
+            in_range,
+            not_null,
+            run_checks,
+            unique,
+        )
+
+        cfg = step.config
+        row_checks = []
+        for c in cfg["checks"]:
+            kind = c["kind"]
+            if kind == "not_null":
+                row_checks.append(not_null(c["col"]))
+            elif kind == "unique":
+                row_checks.append(unique(c["col"]))
+            elif kind == "in_range":
+                row_checks.append(in_range(c["col"], c["lo"], c["hi"]))
+            elif kind == "accepted":
+                row_checks.append(accepted(c["col"], c["values"]))
+            elif kind == "min_rows":
+                n = int(c["n"])
+                shortfall = F.greatest(
+                    F.lit(0).cast("bigint"),
+                    (F.lit(n) - F.count(F.lit(1))).cast("bigint"),
+                )
+                row_checks.append((Check(f"min_rows({n})", "min_rows"), shortfall))
+            else:
+                raise ValueError(f"unknown expect check kind: {kind!r}")
+        failed = [
+            (r.rule, r.violations)
+            for r in run_checks(data, row_checks).collect()
+            if r.violations > 0
+        ]
+        if failed:
+            msg = f"expect step {step.name!r} failed: " + ", ".join(
+                f"{rule} ({v} violations)" for rule, v in failed
+            )
+            if cfg.get("on_fail", "error") == "warn":
+                print(f"WARN: {msg}")
+            else:
+                raise ValueError(msg)
+        return data
 
     def _load(self, spec: PipelineSpec, step: Step, data: DataFrame) -> None:
         cfg = step.config

@@ -64,6 +64,29 @@ def validate_spec(spec: PipelineSpec) -> list[str]:
                 issues.append(f"sql transform step {s.name!r} missing 'sql'")
             if kind == "python" and not cfg.get("fn"):
                 issues.append(f"python transform step {s.name!r} missing 'fn'")
+            if kind == "expect":
+                _REQUIRED = {
+                    "not_null": ("col",),
+                    "unique": ("col",),
+                    "in_range": ("col", "lo", "hi"),
+                    "accepted": ("col", "values"),
+                    "min_rows": ("n",),
+                }
+                checks = cfg.get("checks")
+                if not checks:
+                    issues.append(f"expect step {s.name!r} has no 'checks'")
+                for c in checks or []:
+                    ck = c.get("kind")
+                    if ck not in _REQUIRED:
+                        issues.append(
+                            f"expect step {s.name!r} has unknown check kind {ck!r}"
+                        )
+                    else:
+                        missing = [f for f in _REQUIRED[ck] if f not in c]
+                        if missing:
+                            issues.append(
+                                f"expect step {s.name!r} check {ck!r} missing {missing}"
+                            )
         if s.step_type == StepType.LOAD:
             conn = spec.connection(s.connection_id)
             if conn is not None and (conn.type or "").lower() == "jdbc":

@@ -307,3 +307,61 @@ def test_incremental_spec_processes_only_new_rows(spark, tmp_path):
     nostate = _inc_spec(src, out, state)
     nostate.steps[0].config.pop("state_path")
     assert any("state_path" in i for i in validate_spec(nostate))
+
+
+def test_expect_step_gates_pipeline(spark, tmp_path):
+    """Declarative data-quality gate inside a pipeline: passing checks let
+    the run through untouched; a violated check fails the run (recorded
+    as error in history); on_fail='warn' downgrades to a log line. All
+    row checks fold into ONE aggregate scan (operators/quality.py)."""
+    from etl_open_source_spark.plans.runner import PipelineRunner
+    from etl_open_source_spark.plans.validation import validate_spec
+
+    def spec(checks, on_fail="error"):
+        return PipelineSpec(
+            id="gate1",
+            name="gated",
+            cron="*/5 * * * *",
+            connections=[ConnectionConfig(id="src", name="fx", type="parquet")],
+            steps=[
+                Step(id="s1", name="extract", step_type=StepType.EXTRACT, order=1,
+                     connection_id="src",
+                     config={"table": "/root/testdata/sf0.001/orders.parquet"}),
+                Step(id="s2", name="gate", step_type=StepType.TRANSFORM, order=2,
+                     config={"type": "expect", "checks": checks, "on_fail": on_fail}),
+                Step(id="s3", name="load", step_type=StepType.LOAD, order=3,
+                     config={"path": f"{tmp_path}/out", "mode": "replace"}),
+            ],
+        )
+
+    good = spec([
+        {"kind": "not_null", "col": "o_orderkey"},
+        {"kind": "unique", "col": "o_orderkey"},
+        {"kind": "in_range", "col": "o_totalprice", "lo": 0, "hi": 1e9},
+        {"kind": "accepted", "col": "o_orderstatus", "values": ["F", "O", "P"]},
+        {"kind": "min_rows", "n": 10},
+    ])
+    assert validate_spec(good) == []
+    runner = PipelineRunner(spark, history_path=f"{tmp_path}/hist")
+    runner.run(good)
+    assert spark.read.parquet(f"{tmp_path}/out").count() > 0
+
+    bad = spec([{"kind": "accepted", "col": "o_orderstatus", "values": ["ZZZ"]},
+                {"kind": "min_rows", "n": 10**9}])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expect step .* failed"):
+        runner.run(bad)
+    statuses = [r.status for r in runner.history().collect()]
+    assert "error" in statuses
+
+    # warn mode: same violations, run completes
+    runner.run(spec([{"kind": "min_rows", "n": 10**9}], on_fail="warn"))
+
+    # validation catches malformed checks before running
+    malformed = spec([{"kind": "in_range", "col": "o_totalprice"},
+                      {"kind": "nope"}])
+    issues = validate_spec(malformed)
+    assert any("missing ['lo', 'hi']" in i for i in issues)
+    assert any("unknown check kind" in i for i in issues)
+    assert any("no 'checks'" in i for i in validate_spec(spec([])))
