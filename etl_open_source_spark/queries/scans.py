@@ -301,3 +301,62 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(path).select(
         "o_orderkey", "o_totalprice", "priority"
     )
+
+
+@query(
+    "q_scan_csv_permissive",
+    oracle="""
+SELECT COUNT(CASE WHEN o_orderkey % 50 <> 0 THEN 1 END) AS n_good,
+       COUNT(CASE WHEN o_orderkey % 50 = 0 THEN 1 END) AS n_corrupt,
+       CAST(SUM(CASE WHEN o_orderkey % 50 <> 0
+                     THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_good
+FROM orders
+""",
+    tags=("scan",),
+)
+def q_scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant CSV ingestion: a feed where every 50th record is
+    garbage (non-numeric junk in EVERY field — with CSV column pruning,
+    a bad token in an unreferenced column is never parsed and the row
+    silently passes as good, so a quarantine fixture must corrupt every
+    position) is read in PERMISSIVE mode with columnNameOfCorruptRecord:
+    bad lines land in a quarantine column instead of killing the job
+    (FAILFAST) or vanishing silently (DROPMALFORMED). The result row
+    audits the split: good rows, corrupt rows, exact checksum over the
+    good side.
+
+    This is the ingest posture for 100 TB of third-party data — the
+    corrupt column is scan-local, the quarantined raw lines stay
+    reprocessable, and the feed's health is one aggregate away. (The
+    reference's pandas read_sql path has no analog; a bad row kills the
+    whole extract.)"""
+    o = load_table(spark, sf_dir, "orders")
+    lines = o.select(
+        F.when(
+            F.col("o_orderkey") % 50 == 0,
+            F.concat(F.lit("corrupt_key_"), F.col("o_orderkey").cast("string"),
+                     F.lit(",corrupt_price")),
+        )
+        .otherwise(
+            F.concat_ws(",", F.col("o_orderkey").cast("string"),
+                        F.col("o_totalprice").cast("string"))
+        )
+        .alias("value")
+    )
+    path = _tmp(sf_dir, "orders_feed_csv")
+    lines.coalesce(4).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema("o_orderkey bigint, o_totalprice double, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt").isNull(), F.col("o_totalprice").cast("decimal(18,4)"))
+        )
+        .cast("double")
+        .alias("sum_good"),
+    )
