@@ -78,14 +78,9 @@ def dup_ngram_fraction(
     forced broadcast OOMs the executors where AQE instead degrades
     gracefully to a shuffled semi join on the already-partitioned
     shingle hash."""
-    words = F.split(F.lower(F.col(text_col)), " ")
-    terms = ", ".join(f"__ws[i+{j}]" for j in range(n))
-    sh = F.expr(f"transform(sequence(0, size(__ws) - {n}), i -> xxhash64({terms}))")
-    pos = (
-        df.withColumn("__ws", words)
-        .filter(F.size("__ws") >= n)
-        .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-    )
+    from etl_open_source_spark.operators.dedup import shingle_positions
+
+    pos = shingle_positions(df, id_col, text_col, n, distinct=False)
     freq = (
         pos.select("id", "shingle")
         .distinct()

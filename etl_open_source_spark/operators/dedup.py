@@ -36,6 +36,31 @@ def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
 # ------------------------------------------------------------- shingling
 
 
+def shingle_positions(
+    df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) rows over 64-bit-hashed word n-grams — the ONE
+    shingling transform every n-gram consumer shares (word_shingles for
+    set-semantics Jaccard, curation.dup_ngram_fraction for positional
+    Gopher fractions): a fork of this expression silently diverging is a
+    cross-metric inconsistency, not just duplication.
+
+    ``distinct=True`` dedupes within-doc (set semantics); ``False`` keeps
+    every position."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    # direct ws[i] indexing codegens ~6x faster than slice()-per-shingle
+    # (no sub-array allocation per element); multi-arg xxhash64 chains the
+    # running hash as seed so word boundaries stay unambiguous
+    terms = ", ".join(f"__ws[i+{j}]" for j in range(n))
+    sh = F.expr(f"transform(sequence(0, size(__ws) - {n}), i -> xxhash64({terms}))")
+    arr = F.array_distinct(sh) if distinct else sh
+    return (
+        df.withColumn("__ws", words)
+        .filter(F.size("__ws") >= n)
+        .select(F.col(id_col).alias("id"), F.explode(arr).alias("shingle"))
+    )
+
+
 def word_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, max_doc_freq: int | None = None
 ) -> DataFrame:
@@ -51,17 +76,7 @@ def word_shingles(
     — the skew guard for the inverted-index join (a shingle in 1M docs
     creates 10^12 join rows); pairs sharing ONLY ultra-common shingles are
     then missed, by design."""
-    words = F.split(F.lower(F.col(text_col)), " ")
-    # direct ws[i] indexing codegens ~6x faster than slice()-per-shingle
-    # (no sub-array allocation per element); multi-arg xxhash64 chains the
-    # running hash as seed so word boundaries stay unambiguous
-    terms = ", ".join(f"__ws[i+{j}]" for j in range(n))
-    sh = F.expr(f"transform(sequence(0, size(__ws) - {n}), i -> xxhash64({terms}))")
-    out = (
-        df.withColumn("__ws", words)
-        .filter(F.size("__ws") >= n)
-        .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
-    )
+    out = shingle_positions(df, id_col, text_col, n, distinct=True)
     if max_doc_freq is not None:
         # The hot list is |{shingles with df > cap}| — tiny by construction
         # (bounded by corpus_size/cap) — so broadcast it: the anti-join then

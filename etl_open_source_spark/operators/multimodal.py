@@ -43,6 +43,9 @@ def extract_binary_metadata(df: DataFrame, id_col: str = "id", bin_col: str = "p
         import hashlib
 
         for pdf in batches:
+            # NULL payloads (encode(NULL) upstream) emit no row — same
+            # contract as chunk_audio; map(len) would TypeError on None
+            pdf = pdf[pdf[bin_col].notna()]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
@@ -88,8 +91,14 @@ def decode_image(payload: bytes) -> dict:
                 i += 1
                 continue
             marker = b[i + 1]
-            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD8:
-                i += 2  # padding / standalone markers have no length field
+            if marker == 0xFF:
+                # fill byte: the NEXT byte may itself start the real
+                # marker (FF FF C0 ...) — advancing 2 here would consume
+                # the marker's leading FF and skip SOF entirely
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2  # standalone markers have no length field
                 continue
             seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
             # SOFn carry dimensions (excluding DHT/JPG/DAC pseudo-SOFs)
@@ -125,8 +134,13 @@ def extract_image_features(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf[pdf[bin_col].notna()]  # NULL payload → no row
             feats = [decoder(bytes(b)) for b in pdf[bin_col]]
-            out = pd.DataFrame(feats)
+            # explicit columns: an all-NULL batch yields an EMPTY frame,
+            # which must still carry the declared schema's column names
+            out = pd.DataFrame(
+                feats, columns=["width", "height", "n_frames", "mean_luma"]
+            )
             out.insert(0, "id", pdf[id_col].values)
             yield out
 
@@ -175,6 +189,8 @@ def resize_images(
         for pdf in batches:
             rows = []
             for i, b in zip(pdf[id_col], pdf[bin_col]):
+                if b is None:  # NULL payload → no row (chunk_audio contract)
+                    continue
                 d = decoder(bytes(b))
                 ow, oh = letterbox_dims(d["width"], d["height"], target_w, target_h)
                 fake_resized = f"{i}:{ow}x{oh}".encode()

@@ -114,10 +114,21 @@ def run_checks(
     per check. All ``row_checks`` fold into a single aggregate scan;
     each ``fk_checks`` entry (rule_name, col, dim_df, dim_key) costs one
     broadcast anti-join count."""
-    aggs = [expr.alias(f"v{i}") for i, (_, expr) in enumerate(row_checks)]
-    row = df.agg(*aggs)
-    pairs = ", ".join(f"'{c.name}', v{i}" for i, (c, _) in enumerate(row_checks))
-    out = row.select(F.expr(f"stack({len(row_checks)}, {pairs}) AS (rule, violations)"))
+    if row_checks:
+        aggs = [expr.alias(f"v{i}") for i, (_, expr) in enumerate(row_checks)]
+        row = df.agg(*aggs)
+        # rule names are quoted into the stack() SQL — escape embedded
+        # quotes (a column named "it's" must not break the parse)
+        pairs = ", ".join(
+            f"""'{c.name.replace("'", "''")}', v{i}"""
+            for i, (c, _) in enumerate(row_checks)
+        )
+        out = row.select(
+            F.expr(f"stack({len(row_checks)}, {pairs}) AS (rule, violations)")
+        )
+    else:
+        # FK-only call: stack(0, ...) would be a parse error
+        out = df.sparkSession.createDataFrame([], "rule string, violations bigint")
     for rule_name, col, dim, dim_key in fk_checks:
         orphans = (
             df.filter(F.col(col).isNotNull())

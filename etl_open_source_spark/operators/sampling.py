@@ -64,9 +64,31 @@ def sql_det_hash(*cols: str) -> str:
     return expr
 
 
+_INTEGRAL = {"ByteType", "ShortType", "IntegerType", "LongType"}
+
+
+def _require_integer_keys(df: DataFrame, keys: list[str]) -> None:
+    """det_hash folds keys through CAST(... AS BIGINT): a string key would
+    raise under ANSI mode or — worse — cast to NULL with ANSI off, hashing
+    every row identically and silently destroying the sample (uniform
+    keeps ~0 rows; train_test_split dumps everything in the last split).
+    Fail loudly instead; hash string ids to a numeric surrogate first
+    (e.g. xxhash64 — engine-specific, so the DuckDB mirror no longer
+    applies) or carry a numeric key."""
+    types = {f.name: type(f.dataType).__name__ for f in df.schema.fields}
+    bad = [k for k in keys if types.get(k) not in _INTEGRAL]
+    if bad:
+        raise ValueError(
+            f"deterministic sampling requires integer key columns; got "
+            f"{ {k: types.get(k) for k in bad} } — supply a numeric "
+            f"surrogate (see operators/sampling.py _require_integer_keys)"
+        )
+
+
 def sample_uniform(df: DataFrame, keys: list[str], fraction: float) -> DataFrame:
     """Deterministic Bernoulli sample: keep a row iff its key hashes into
     the first ``fraction`` of 10,000 buckets. Scan-local — no shuffle."""
+    _require_integer_keys(df, keys)
     return df.filter(F.pmod(det_hash(*keys), F.lit(10_000)) < int(fraction * 10_000))
 
 
@@ -74,6 +96,7 @@ def sample_weighted(df: DataFrame, keys: list[str], weight: Column) -> DataFrame
     """Per-row acceptance probability ``weight`` (clamped to [0,1]) — e.g.
     quality-weighted corpus sampling. Deterministic: the coin is the key
     hash mapped to [0,1)."""
+    _require_integer_keys(df, keys)
     coin = F.pmod(det_hash(*keys), F.lit(10_000)) / F.lit(10_000.0)
     return df.filter(coin < F.least(F.lit(1.0), weight))
 
@@ -84,6 +107,7 @@ def sample_stratified(
     """Proportional per-stratum sample: exactly ``ceil(fraction * n_g)``
     rows from each stratum g, chosen by hash order (deterministic). One
     shuffle on the stratum key."""
+    _require_integer_keys(df, keys)
     w = Window.partitionBy(*strata)
     ordered = w.orderBy(det_hash(*keys).asc(), *[F.col(k).asc() for k in keys])
     return (
@@ -104,6 +128,7 @@ def train_test_split(
     key. Scan-local."""
     if not math.isclose(sum(fractions.values()), 1.0, abs_tol=1e-9):
         raise ValueError(f"fractions must sum to 1, got {fractions}")
+    _require_integer_keys(df, keys)
     bucket = F.pmod(det_hash(*keys), F.lit(10_000))
     expr = None
     edge = 0.0

@@ -38,7 +38,16 @@ def scd2_apply(
 ) -> DataFrame:
     """``current`` must carry (keys, attrs, valid_from, valid_to,
     is_current); ``updates`` carries (keys, attrs). Returns the new full
-    dimension table."""
+    dimension table.
+
+    ``updates`` must hold at most ONE row per key — a duplicate-key batch
+    would fan the live version out per duplicate and open several
+    is_current versions at once, breaking the non-overlapping invariant
+    every point-in-time lookup relies on. Checked eagerly (one small job
+    over the batch-sized updates) and rejected loudly."""
+    from etl_open_source_spark.operators.merge import assert_unique_keys
+
+    assert_unique_keys(updates, keys, "scd2_apply")
     eff = F.lit(effective_ts).cast("timestamp")
     eot = F.lit(END_OF_TIME).cast("timestamp")
 

@@ -191,6 +191,7 @@ def embedding_near_dup_pairs(
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, via sign-LSH: 16 pseudo-random
     hyperplane sign bits (derived from xxhash64, no stored model), banded
@@ -203,10 +204,28 @@ def embedding_near_dup_pairs(
     size (e.g. 64 planes × 8 bands → 256-bucket bands for fixtures;
     256 planes × 16 bands → 65k-bucket bands for billions of rows).
     The 16×4 default is fixture-sized. Exact-dedup identical vectors
-    first; they collide in every band by construction."""
-    dim = 64  # fixture embedding dimensionality
+    first; they collide in every band by construction.
+
+    ``dim`` must equal the actual embedding width: the hyperplanes have
+    exactly ``dim`` components, and a mismatch is guarded with a hard
+    runtime error — silently zip-padding would give EVERY vector the
+    all-zero signature, collapsing all rows into one bucket per band and
+    turning the candidate join quadratic (the exact blow-up LSH exists
+    to prevent)."""
     v = corpus.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v")).withColumn(
         "vn", norm(F.col("v"))
+    )
+    v = v.withColumn(
+        "v",
+        F.when(F.size("v") == dim, F.col("v")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"embedding_near_dup_pairs: dim mismatch — expected {dim}, got "),
+                    F.size("v").cast("string"),
+                    F.lit(f" (pass dim=<actual width> for {vec_col!r})"),
+                )
+            )
+        ),
     )
     # plane p component d ∈ [-1,1): deterministic hash-derived pseudo-randoms
     def plane_dot(p: int):
