@@ -56,12 +56,21 @@ def test_connection(spark: SparkSession, conn: ConnectionConfig) -> tuple[bool, 
     try:
         if conn.type == "jdbc" or conn.type in _DIALECT_TYPES:
             opts = jdbc_connection_options(conn)
-            opts.pop("url_query", None)
-            # SELECT 1 probe, same as the reference's test query
+            # Minimal probe, same intent as the reference's test query.
+            # Derby (the engine this repo live-tests against) rejects
+            # SELECT without FROM — probe its dummy table instead (the
+            # DB2-family idiom; Spark wraps the query in a subselect, so
+            # bare VALUES breaks too). Other dialects can override via
+            # params['probe_query'].
+            probe = opts.pop("probe_query", None) or (
+                "SELECT 1 AS ok FROM SYSIBM.SYSDUMMY1"
+                if opts.get("url", "").startswith("jdbc:derby")
+                else "SELECT 1"
+            )
             (
                 spark.read.format("jdbc")
                 .options(**opts)
-                .option("query", "SELECT 1")
+                .option("query", probe)
                 .load()
                 .collect()
             )

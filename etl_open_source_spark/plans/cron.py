@@ -45,9 +45,16 @@ def next_run_from_cron(cron_expr: str, now: datetime) -> datetime:
             nxt += timedelta(hours=1)
         return nxt
 
-    # extension: fixed "M H * * *" daily schedule
+    # extension: fixed "M H * * *" daily schedule. Both fields must be
+    # literal: real cron reads "* H * * *" as every-minute-during-hour-H,
+    # and silently mapping '*' to :00 would fire 1/day instead of 60 —
+    # unsupported forms must raise per the module contract.
+    if minute == "*":
+        raise NotImplementedError(
+            f"unsupported cron (wildcard minute with fixed hour): {cron_expr!r}"
+        )
     h = int(hour)
-    m = int(minute) if minute != "*" else 0
+    m = int(minute)
     if not (0 <= h <= 23 and 0 <= m <= 59):
         raise ValueError(f"invalid time: {cron_expr!r}")
     nxt = base.replace(hour=h, minute=m)

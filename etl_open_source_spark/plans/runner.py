@@ -11,6 +11,7 @@ Spark SQL / DataFrame expressions instead of the reference's stubbed pandas
 
 from __future__ import annotations
 
+import threading
 import traceback
 import uuid
 from collections.abc import Callable
@@ -18,6 +19,10 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_open_source_spark.plans.connections import (
+    _DIALECT_TYPES as _JDBC_DIALECT_TYPES,
+)
+from etl_open_source_spark.plans.connections import jdbc_connection_options
 from etl_open_source_spark.plans.models import PipelineSpec, Step, StepType
 from etl_open_source_spark.plans.sanitize import sanitize_nulls
 from etl_open_source_spark.sources.readers import (
@@ -33,6 +38,12 @@ from etl_open_source_spark.sources.writers import (
     write_json,
     write_parquet,
 )
+
+# createOrReplaceTempView("input") is session-global; overlapping
+# scheduler threads must not swap each other's dataset between view
+# registration and spark.sql() resolving it (the resolved plan is safe
+# once spark.sql returns).
+_INPUT_VIEW_LOCK = threading.Lock()
 
 HISTORY_SCHEMA = (
     "run_id string, task_id string, started_at timestamp, finished_at timestamp, "
@@ -51,7 +62,6 @@ class PipelineRunner:
     ):
         self.spark = spark
         self.history_path = history_path
-        self._pending_watermarks: list = []
         # registered named python transforms — the safe version of the
         # reference's arbitrary custom-code step (core/engine.py:155-158)
         self.python_transforms = python_transforms or {}
@@ -82,12 +92,16 @@ class PipelineRunner:
         # (store, key, new_wm) per incremental extract this run; advanced
         # ONLY after every step (incl. the load) succeeded — advancing on
         # failure would silently drop the failed delta next run
-        # (at-least-once, plans/incremental.py contract)
-        self._pending_watermarks: list = []
+        # (at-least-once, plans/incremental.py contract). A LOCAL list,
+        # threaded through the step calls: the Scheduler fires overlapping
+        # pipelines on one shared runner, and instance state would let run
+        # B wipe A's pending entries and commit its own watermark from A's
+        # success path (premature advance = silent delta loss on failure).
+        pending_watermarks: list = []
         try:
             for step in spec.ordered_steps():
-                data = self._execute_step(spec, step, data)
-            for store, key, new_wm in self._pending_watermarks:
+                data = self._execute_step(spec, step, data, pending_watermarks)
+            for store, key, new_wm in pending_watermarks:
                 if new_wm is not None:
                     store.set(key, new_wm)
             finished = datetime.now(timezone.utc).replace(tzinfo=None)
@@ -100,9 +114,15 @@ class PipelineRunner:
 
     # ------------------------------------------------------------- steps
 
-    def _execute_step(self, spec: PipelineSpec, step: Step, data: DataFrame | None) -> DataFrame:
+    def _execute_step(
+        self,
+        spec: PipelineSpec,
+        step: Step,
+        data: DataFrame | None,
+        pending_watermarks: list | None = None,
+    ) -> DataFrame:
         if step.step_type == StepType.EXTRACT:
-            return self._extract(spec, step)
+            return self._extract(spec, step, pending_watermarks)
         if step.step_type == StepType.TRANSFORM:
             if data is None:
                 raise ValueError(f"transform step {step.name!r} has no input")
@@ -114,7 +134,9 @@ class PipelineRunner:
             return data  # passthrough, steps keep chaining
         raise ValueError(f"unknown step type: {step.step_type}")
 
-    def _extract(self, spec: PipelineSpec, step: Step) -> DataFrame:
+    def _extract(
+        self, spec: PipelineSpec, step: Step, pending_watermarks: list | None = None
+    ) -> DataFrame:
         """Full extract, optionally narrowed to the high-watermark delta
         when the step declares ``watermark_col`` + ``state_path`` — the
         incremental pattern the reference's full-table re-read can't do
@@ -134,20 +156,28 @@ class PipelineRunner:
             store = WatermarkStore(cfg["state_path"])
             key = cfg.get("state_key", f"{spec.id}:{step.id}")
             df, new_wm = incremental_read(df, cfg["watermark_col"], store, key)
-            self._pending_watermarks.append((store, key, new_wm))
+            if pending_watermarks is not None:
+                pending_watermarks.append((store, key, new_wm))
+            else:  # direct _execute_step call outside run(): commit-now
+                if new_wm is not None:
+                    store.set(key, new_wm)
         return df
 
     def _extract_full(self, spec: PipelineSpec, step: Step) -> DataFrame:
         cfg = step.config
         conn = spec.connection(step.connection_id)
         fmt = (conn.type if conn else cfg.get("format", "parquet")).lower()
-        if fmt == "jdbc":
+        if fmt == "jdbc" or fmt in _JDBC_DIALECT_TYPES:
             # The reference's core path: a live DBMS source. "query" pushes
             # arbitrary SQL to the source engine (core/extractors/
             # sqlserver.py:46-55); "table" reads a table, optionally as a
             # partitioned parallel extract. Live-tested against embedded
-            # Derby in tests/test_plans_jdbc.py.
-            opts = dict(conn.params)
+            # Derby in tests/test_plans_jdbc.py. Dialect connection types
+            # (sqlserver/postgres/mysql) resolve to URL+driver through the
+            # same options builder — without this branch a dialect 'query'
+            # would silently run on Spark's local catalog instead of the
+            # remote DBMS.
+            opts = jdbc_connection_options(conn)
             url = opts.pop("url")
             if "query" in cfg:
                 return (
@@ -179,9 +209,12 @@ class PipelineRunner:
         cfg = step.config
         kind = cfg.get("type", "sql")
         if kind == "sql":
-            # dataset addressable as `input` inside the SQL
-            data.createOrReplaceTempView("input")
-            return self.spark.sql(cfg["sql"])
+            # dataset addressable as `input` inside the SQL; lock spans
+            # registration + resolution so concurrent pipelines never read
+            # each other's dataset through the shared view name
+            with _INPUT_VIEW_LOCK:
+                data.createOrReplaceTempView("input")
+                return self.spark.sql(cfg["sql"])
         if kind == "sanitize":
             return sanitize_nulls(data)
         if kind == "python":
@@ -252,11 +285,12 @@ class PipelineRunner:
         conn = spec.connection(step.connection_id)
         fmt = (conn.type if conn else cfg.get("format", "parquet")).lower()
         mode = cfg.get("mode", "append")
-        if fmt == "jdbc":
+        if fmt == "jdbc" or fmt in _JDBC_DIALECT_TYPES:
             # Executor-parallel batched insert with optional auto-DDL —
             # replaces the reference's per-row INSERT loop
-            # (core/loaders/sqlserver.py:282-286).
-            opts = dict(conn.params)
+            # (core/loaders/sqlserver.py:282-286). Dialect types resolve
+            # URL+driver through the shared options builder.
+            opts = jdbc_connection_options(conn)
             write_jdbc(
                 data,
                 url=opts.pop("url"),

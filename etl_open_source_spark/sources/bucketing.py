@@ -41,9 +41,16 @@ def write_bucketed(
         # no-ops elsewhere and LOCATION_ALREADY_EXISTS returns.
         parts = table.lower().split(".")
         if len(parts) == 1:
-            rel = parts[0]
+            # unqualified names resolve against the CURRENT database, not
+            # always default — <warehouse>/<db>.db/<tbl> otherwise
+            db = spark.catalog.currentDatabase()
+            rel = parts[0] if db == "default" else f"{db}.db/{parts[0]}"
         elif len(parts) == 2:
-            rel = f"{parts[0]}.db/{parts[1]}"
+            rel = (
+                parts[1]
+                if parts[0] == "default"
+                else f"{parts[0]}.db/{parts[1]}"
+            )
         else:
             raise ValueError(f"unsupported table identifier: {table!r}")
         warehouse = spark.conf.get("spark.sql.warehouse.dir")

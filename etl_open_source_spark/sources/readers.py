@@ -16,17 +16,39 @@ from pyspark.sql.types import StructType
 def nanos_timestamp_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark's vectorized
     reader rejects those outright, so they need the nanosAsLong escape
-    hatch. Returns [] for directories / unreadable footers (multi-file
-    datasets are assumed µs — pass a part file to probe them)."""
+    hatch. Directories are probed through their first part file (all
+    parts share a schema): without that, a directory of ns-timestamp
+    files read after a single-file read had set the session's
+    nanosAsLong conf would skip the µs conversion and silently surface
+    raw int64 nanos. Returns [] only when no footer is readable."""
+    import os
+
     try:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        schema = pq.read_schema(path)
+        probe = path
+        if os.path.isdir(path):
+            parts = sorted(
+                os.path.join(d, f)
+                for d, _, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+            if not parts:
+                return []
+            probe = parts[0]
+        # The PARQUET logical type, not Arrow's mapping: Spark's default
+        # INT96 timestamps surface as timestamp[ns] in Arrow, which would
+        # false-positive every Spark-written file — only INT64 columns
+        # logically annotated TIMESTAMP(NANOS) need the escape hatch.
+        del pa  # noqa: F841 — arrow-level schema deliberately unused
+        sch = pq.ParquetFile(probe).schema
         return [
-            f.name
-            for f in schema
-            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+            sch.column(i).name
+            for i in range(len(sch))
+            if sch.column(i).physical_type == "INT64"
+            and "timeUnit=nanoseconds" in str(sch.column(i).logical_type)
         ]
     except Exception:
         return []

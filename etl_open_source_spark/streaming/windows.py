@@ -69,21 +69,33 @@ def streaming_dedup(df: DataFrame, keys: list[str], watermark: str = "10 minutes
     """Exact dedup on ``keys`` with bounded state: duplicates arriving
     within the watermark horizon are dropped; state for older keys is
     evicted (duplicates later than the watermark would pass — the standard
-    bounded-state trade)."""
-    return df.withWatermark("ts", watermark).dropDuplicates(keys)
+    bounded-state trade).
+
+    dropDuplicatesWithinWatermark, NOT dropDuplicates: plain
+    dropDuplicates only evicts state when the event-time column is itself
+    part of the key list — with business keys like event_id the watermark
+    is inert and state grows forever (the exact unbounded-state OOM this
+    module exists to prevent)."""
+    return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def stream_static_enrich(
-    stream: DataFrame, dim: DataFrame, on: str, how: str = "left"
+    stream: DataFrame, dim: DataFrame, on: str, how: str = "left",
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Stream-static dimension enrichment: join a streaming fact to a
     batch dimension table. Spark re-plans the static side per micro-batch
-    (so dim refreshes are picked up) and broadcasts it when small — the
-    stream itself never shuffles for the join. The standard production
-    pattern for attaching user/account/catalog attributes to events."""
+    (so dim refreshes are picked up); the stream itself never shuffles
+    for the join. The standard production pattern for attaching
+    user/account/catalog attributes to events.
+
+    ``hint_broadcast`` FORCES the broadcast (right for dimension-sized
+    tables, the common case). It is a mandatory hint that overrides
+    autoBroadcastJoinThreshold — for a dimension too big to ship to every
+    executor, pass False and let the planner choose per micro-batch."""
     from pyspark.sql.functions import broadcast
 
-    return stream.join(broadcast(dim), on, how)
+    return stream.join(broadcast(dim) if hint_broadcast else dim, on, how)
 
 
 def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
@@ -116,28 +128,25 @@ def foreach_batch_upsert_sink(
     one row per key per batch.
 
     Returns the StreamingQuery (caller awaits/stops it)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
     from etl_open_source_spark.operators.merge import merge_upsert
 
     def upsert(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        if dedup_order is not None:
-            # keep the LATEST row per key within the batch
-            w = Window.partitionBy(*keys).orderBy(F.col(dedup_order).desc())
-            batch = (
-                batch.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
         # Existence-checked, NOT try/except: a transient read failure must
         # crash the batch (checkpoint retries it), never be mistaken for
         # "first batch" — that mistake silently resets the whole snapshot.
         target = (
             spark.read.parquet(target_path) if _hadoop_path_exists(spark, target_path) else None
         )
-        merged = batch if target is None else merge_upsert(target, batch, keys)
+        if target is None:
+            # first batch still needs the within-batch dedup / uniqueness
+            # contract merge_upsert would otherwise enforce
+            merged = merge_upsert(batch.limit(0), batch, keys, dedup_order=dedup_order)
+        else:
+            # dedup_order passes straight through — merge_upsert owns the
+            # newest-wins window (or the eager uniqueness check when the
+            # caller promises one row per key)
+            merged = merge_upsert(target, batch, keys, dedup_order=dedup_order)
         # materialize before overwriting the path being read
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
 

@@ -188,3 +188,85 @@ def test_binaryfile_reader(spark, tmp_path):
     assert set(rows) == set(payloads)
     for name, data in payloads.items():
         assert rows[name] == (len(data), data)
+
+
+def test_connection_probe_derby_live(spark):
+    """The probe must succeed against embedded Derby — the engine every
+    JDBC path in this repo is live-tested on. Derby rejects 'SELECT 1'
+    (no FROM-less SELECT), so the probe uses VALUES 1 for derby URLs; a
+    healthy connection reporting failure is the one bug a connectivity
+    probe must not have."""
+    from etl_open_source_spark.plans.models import ConnectionConfig
+
+    ok, msg = probe_connection(
+        spark,
+        ConnectionConfig(
+            id="d", name="derby", type="jdbc",
+            params={"url": "jdbc:derby:memory:probe_db;create=true"},
+        ),
+    )
+    assert ok, msg
+
+
+def test_nanos_probe_handles_directories(spark, tmp_path):
+    """A DIRECTORY of ns-timestamp parquet files must convert to µs
+    timestamps exactly like a single file: previously the probe returned
+    [] for directories, and once an earlier read had set the session's
+    nanosAsLong conf, a directory read surfaced raw int64 nanos
+    silently."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_open_source_spark.sources.readers import (
+        nanos_timestamp_columns,
+        read_parquet,
+    )
+
+    tbl = pa.table(
+        {"id": [1, 2], "ts": pa.array([1_700_000_000_000_000_000,
+                                       1_700_000_001_000_000_000],
+                                      type=pa.timestamp("ns"))}
+    )
+    d = tmp_path / "nsdir"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "part-0.parquet"))
+    pq.write_table(tbl, str(d / "part-1.parquet"))
+    assert nanos_timestamp_columns(str(d)) == ["ts"]
+    df = read_parquet(spark, str(d))
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() == 4
+
+
+def test_runner_dialect_extract_goes_to_jdbc_not_catalog(spark, tmp_path):
+    """A 'postgres'-typed connection with a 'query' must route through the
+    JDBC reader (failing loudly without a server/driver), NEVER silently
+    execute the SQL against Spark's local catalog — that returned
+    same-named catalog tables' data as if it came from the DBMS."""
+    import pytest as _pytest
+
+    from etl_open_source_spark.plans.models import (
+        ConnectionConfig,
+        PipelineSpec,
+        Step,
+        StepType,
+    )
+    from etl_open_source_spark.plans.runner import PipelineRunner
+
+    # a catalog view with the same name the query targets — the bug's
+    # silent path would happily read THIS
+    spark.range(3).createOrReplaceTempView("customers")
+    spec = PipelineSpec(
+        id="pg1", name="pg", cron="*/5 * * * *",
+        connections=[ConnectionConfig(
+            id="pg", name="pg", type="postgres",
+            params={"host": "db.internal", "database": "crm"},
+        )],
+        steps=[
+            Step(id="s1", name="x", step_type=StepType.EXTRACT, order=1,
+                 connection_id="pg", config={"query": "SELECT * FROM customers"}),
+            Step(id="s2", name="l", step_type=StepType.LOAD, order=2,
+                 config={"path": str(tmp_path / "out"), "mode": "replace"}),
+        ],
+    )
+    with _pytest.raises(Exception):  # no driver/server — loud, not silent
+        PipelineRunner(spark).run(spec)
