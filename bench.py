@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -51,7 +52,9 @@ def main() -> None:
     # compile every plan shape once on the sf0.001 fixture so the timed
     # region measures data-proportional work, not one-shot Janino codegen
     # (see module docstring).
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from etl_open_source_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name, qd in sorted(bench_queries.items()):
@@ -64,6 +67,8 @@ def main() -> None:
     # operators that persist() intermediates must pay their materialization
     # every sample (and not accumulate cache across repetitions).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    if reps < 1:
+        raise SystemExit(f"SPARK_GRAFT_BENCH_REPS must be >= 1, got {reps}")
     # 1/5/15-min load averages before and after the timed region: identical
     # code has swung 10.0-14.6 s total round-over-round on this box, and the
     # load context is what separates ambient drift from a real regression.
@@ -79,7 +84,10 @@ def main() -> None:
             df.count()
             samples.append(time.perf_counter() - t0)
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
+        # statistics.median, not samples[n//2]: the upper-middle element
+        # skews even-rep runs toward the slow half (an ambient spike pair
+        # then reads as a regression)
+        timings[name] = round(statistics.median(samples), 3)
         # min/median/max per query so ambient-load rounds (identical code
         # has swung 10.4-13.1 s total on this box) are distinguishable from
         # real plan regressions when comparing BENCH_r{N} files.

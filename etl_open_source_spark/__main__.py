@@ -39,7 +39,14 @@ def main(argv: list[str] | None = None) -> int:
 
     from etl_open_source_spark.plans.models import PipelineSpec
 
-    spec = PipelineSpec.load(args.spec)
+    try:
+        spec = PipelineSpec.load(args.spec)
+    except Exception as ex:  # malformed JSON / missing fields / bad enums
+        # `validate`'s whole job is static checking — a parse failure is an
+        # INVALID verdict, not a traceback (and the other commands want the
+        # same one-line diagnosis before touching Spark)
+        print(f"INVALID: cannot load spec {args.spec!r}: {ex}")
+        return 1
 
     if args.cmd == "validate":
         from etl_open_source_spark.plans.validation import validate_spec
@@ -85,7 +92,6 @@ def main(argv: list[str] | None = None) -> int:
             return 0
     finally:
         spark.stop()
-    return 2
 
 
 if __name__ == "__main__":

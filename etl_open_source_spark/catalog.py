@@ -37,9 +37,6 @@ FK_GRAPH = [
 ]
 
 # Small dimensions that should always be broadcast, never shuffled.
-BROADCAST_DIMS = {"region", "nation", "supplier"}
-
-
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
@@ -94,7 +91,10 @@ def list_tables(spark: SparkSession) -> list[str]:
 
 def list_columns(spark: SparkSession, table: str) -> list[dict]:
     """Catalog: one table's columns with types/nullability (parity with
-    core/extractors/sqlserver.py:60-90,117-150)."""
+    core/extractors/sqlserver.py:60-90,117-150). The catalog QUERIES
+    (queries/catalog_q.py) read the parquet footers instead — schema
+    without registering views — so this helper is the registered-view
+    flavor of the same surface."""
     return [
         {"name": c.name, "type": c.dataType, "nullable": c.nullable}
         for c in spark.catalog.listColumns(table)

@@ -10,7 +10,13 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_open_source_spark.catalog import FK_GRAPH, TABLES, load_table, register_views
+from etl_open_source_spark.catalog import (
+    FK_GRAPH,
+    TABLES,
+    list_tables,
+    load_table,
+    register_views,
+)
 from etl_open_source_spark.functions.numeric import sql_dsum, dsum
 from etl_open_source_spark.plans.sanitize import sanitize_nulls
 from etl_open_source_spark.registry import query
@@ -58,7 +64,7 @@ def q_catalog_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     INFORMATION_SCHEMA.TABLES enumeration (core/extractors/sqlserver.py:95-112),
     against Spark's own catalog after registering the fixture views."""
     register_views(spark, sf_dir)
-    names = sorted(t.name for t in spark.catalog.listTables() if t.name in TABLES)
+    names = [n for n in list_tables(spark) if n in TABLES]
     return spark.createDataFrame([(n,) for n in names], "table_name string")
 
 

@@ -43,7 +43,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(DEFAULT_SHUFFLE_PARTITIONS if shuffle_partitions is None else shuffle_partitions),
+        )
         # Dims up to 64 MiB broadcast instead of shuffling the fact table.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Naive parquet timestamps == naive UTC; matches the DuckDB oracle.

@@ -167,3 +167,13 @@ def test_every_shipped_example_validates(spec_path):
 
 def test_example_glob_found_specs():
     assert len(_EXAMPLES) >= 6  # the guard itself must never go empty
+
+
+def test_validate_malformed_spec_returns_invalid(tmp_path, capsys):
+    """A spec that cannot even be parsed (missing 'id') must yield
+    INVALID + exit 1 — validate's whole job is static checking, so a raw
+    KeyError traceback is a bug, not an answer."""
+    bad = tmp_path / "malformed.json"
+    bad.write_text('{"name": "x"}')
+    assert main(["validate", str(bad)]) == 1
+    assert "INVALID: cannot load spec" in capsys.readouterr().out
