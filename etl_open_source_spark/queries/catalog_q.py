@@ -19,16 +19,11 @@ from etl_open_source_spark.catalog import (
 )
 from etl_open_source_spark.functions.numeric import sql_dsum, dsum
 from etl_open_source_spark.plans.sanitize import sanitize_nulls
+from etl_open_source_spark.queries.scans import _tmp  # shared sf-scoped temp dirs
 from etl_open_source_spark.registry import query
 from etl_open_source_spark.sources.readers import read_parquet
 from etl_open_source_spark.sources.writers import write_parquet
 
-_TMP_ROOT = os.path.join(tempfile.gettempdir(), "etl_open_source_spark_io")
-
-
-def _tmp(sf_dir: str, name: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(_TMP_ROOT, tag, name)
 
 
 # Spark simpleString → ANSI/DuckDB type name (for catalog parity output)

@@ -633,7 +633,13 @@ def q_text_bpe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
-        .filter(F.col("word") != "")
+        # >= 2 chars: 1-char words have NO bigram, but Spark's
+        # sequence(1, 0) DESCENDS to [1, 0] (DuckDB's GENERATE_SERIES is
+        # empty) and would fabricate ('x','x') / ('x','') pairs — the
+        # guard operators/bpe.py _bigram_counts applies and this inline
+        # twin must mirror (fixture-masked: the spurious counts missed
+        # the top-20 cut by 67 at sf0.01)
+        .filter(F.length("word") >= 2)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

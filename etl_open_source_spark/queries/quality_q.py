@@ -208,11 +208,13 @@ def q_quality_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sys.foreign_keys walk, core/extractors/sqlserver.py:155-198): per
     edge, row/key counts and orphan rows whose FK value has no parent.
 
-    Orphans are counted with a broadcast LEFT ANTI join per edge —
-    dimension parents broadcast, the fact side is scanned once per edge
-    and never shuffled. (NOT IN in the oracle is safe here: fixture keys
-    are non-null; the engine uses anti-join semantics which also ignore
-    parent-side NULLs.)"""
+    ONE pass per edge: the distinct parent keys broadcast onto a LEFT
+    join and the row count / distinct-key count / orphan count all fold
+    in the same aggregate — the fact side is scanned once per edge and
+    never shuffled. (A separate anti-join + stats aggregate would scan
+    each fact table twice per edge; NOT IN in the oracle is safe here:
+    fixture keys are non-null, and the null-parent-pk test matches
+    anti-join semantics.)"""
     from pyspark.sql import functions as F
 
     from etl_open_source_spark.catalog import FK_GRAPH
@@ -220,26 +222,24 @@ def q_quality_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for fk in FK_GRAPH:
         child = load_table(spark, sf_dir, fk["table"])
-        parent = load_table(spark, sf_dir, fk["ref_table"]).select(
-            F.col(fk["ref_column"]).alias("__pk")
-        )
-        orphans = (
-            child.join(
-                F.broadcast(parent),
-                child[fk["column"]] == F.col("__pk"),
-                "left_anti",
-            )
-            .agg(F.count(F.lit(1)).alias("n_orphans"))
-        )
-        stats = child.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct(fk["column"]).alias("n_keys"),
+        parent = (
+            load_table(spark, sf_dir, fk["ref_table"])
+            .select(F.col(fk["ref_column"]).alias("__pk"))
+            .distinct()
         )
         edge = f"{fk['table']}.{fk['column']}->{fk['ref_table']}"
         parts.append(
-            stats.crossJoin(orphans).select(
-                F.lit(edge).alias("edge"), "n_rows", "n_keys", "n_orphans"
+            child.join(
+                F.broadcast(parent), child[fk["column"]] == F.col("__pk"), "left"
             )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(fk["column"]).alias("n_keys"),
+                F.count(F.when(F.col("__pk").isNull(), 1))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(F.lit(edge).alias("edge"), "n_rows", "n_keys", "n_orphans")
         )
     out = parts[0]
     for p in parts[1:]:
