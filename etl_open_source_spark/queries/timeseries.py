@@ -721,3 +721,48 @@ def q_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("weighted").cast("double") / F.sum("dur").cast("double")).alias("twap"),
         )
     )
+
+
+@query(
+    "q_ts_mom_change",
+    oracle="""
+WITH monthly AS (
+  SELECT DATE_TRUNC('month', o_orderdate) AS month,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT month,
+       n_orders,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS rev_delta,
+       ROUND(CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE)
+             / CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE) * 100, 4) AS pct_change
+FROM monthly
+""",
+    tags=("timeseries", "window"),
+)
+def q_ts_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month deltas and percent change on the revenue rollup —
+    the standard KPI-trend query every BI layer runs. Exact decimal
+    month sums first (order-independent), then lag over the
+    MONTH-CARDINALITY frame: the window's total order is over ~80 rows,
+    never the corpus, so the single-partition window sort that makes
+    global rank/ntile a scale caveat (q_rfm_segments) is a non-issue
+    here — aggregate first, window the aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev") - prev).cast("double").alias("rev_delta"),
+        F.round(
+            (F.col("rev") - prev).cast("double") / prev.cast("double") * 100, 4
+        ).alias("pct_change"),
+    )
