@@ -1,6 +1,15 @@
 """Text-analysis operators for LLM-corpus pipelines (driver mandate):
 language ID, quality scoring, token counting, document fingerprinting.
 All built-in JVM functions — no Python UDFs.
+
+TOKENIZATION CONTRACT: every word-level operator here (and the n-gram
+shingling in dedup/curation) splits on a SINGLE literal space, mirrored
+exactly by the STRING_SPLIT(..., ' ') expressions in the SQL oracles —
+the two engines must tokenize bit-identically or every downstream hash
+diverges. Consecutive/leading/trailing whitespace therefore yields
+empty-string tokens on BOTH sides consistently; corpora with messy
+whitespace should run :func:`normalize_ws` FIRST (the CCNet-style
+normalization stage), after which the single-space contract is exact.
 """
 
 from __future__ import annotations
@@ -21,6 +30,15 @@ STOPWORDS: dict[str, list[str]] = {
 # BPE-ish tokenizer regex: words, numbers, or single non-space symbols —
 # a public approximation of byte-pair pretokenization (GPT-2 style splits).
 TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def normalize_ws(text_col: str | Column) -> Column:
+    """Whitespace normalization — the pre-tokenization cleanup stage:
+    collapse every whitespace run (spaces, tabs, newlines, NBSP via \s)
+    to one space and strip the ends. Scan-local; run it once at ingest
+    and every single-space tokenizer downstream is exact."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
 
 
 def words_col(text_col: str) -> Column:

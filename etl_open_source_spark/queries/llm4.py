@@ -119,3 +119,54 @@ def q_text_hashvec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@query(
+    "q_text_normalize_ws",
+    oracle="""
+WITH messy AS (
+  SELECT doc_id,
+         '  ' || REPLACE(text, ' the ', '  the' || CHR(9) || ' ') || '
+' AS raw
+  FROM documents
+),
+norm AS (
+  SELECT doc_id, raw,
+         TRIM(REGEXP_REPLACE(raw, '\\s+', ' ', 'g')) AS clean
+  FROM messy
+)
+SELECT doc_id,
+       CAST(LEN(STRING_SPLIT(raw, ' ')) AS BIGINT) AS raw_tokens,
+       CAST(LEN(STRING_SPLIT(clean, ' ')) AS BIGINT) AS clean_tokens,
+       CAST(LENGTH(raw) - LENGTH(clean) AS BIGINT) AS chars_removed,
+       MD5(clean) AS clean_md5
+FROM norm
+""",
+    tags=("llm", "curation"),
+)
+def q_text_normalize_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace normalization (operators/text.py normalize_ws) — the
+    CCNet-style pre-tokenization cleanup every messy corpus needs BEFORE
+    the engine's single-space tokenization contract applies (see the
+    text.py module docstring). The fixture text is deliberately dirtied
+    (leading spaces, doubled spaces, a tab, a trailing newline), then
+    normalized; naive single-space token counts on the raw text overcount
+    (empty-string tokens) while the cleaned text counts true words — the
+    md5 pins the normalized bytes exactly in both engines.
+
+    Scan-local regexp — zero shuffles at any scale; at 100 TB this runs
+    fused into the ingest scan."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("  "),
+        F.regexp_replace("text", " the ", "  the\t "),
+        F.lit("\n"),
+    )
+    clean = F.trim(F.regexp_replace(raw, r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.size(F.split(raw, " ")).cast("bigint").alias("raw_tokens"),
+        F.size(F.split(clean, " ")).cast("bigint").alias("clean_tokens"),
+        (F.length(raw) - F.length(clean)).cast("bigint").alias("chars_removed"),
+        F.md5(clean).alias("clean_md5"),
+    )
