@@ -377,3 +377,47 @@ def test_foreach_batch_incremental_mv(spark, stream_env):
         "click": (1, Decimal("2.2500")),
         "buy": (1, Decimal("7.7500")),
     }
+
+
+def test_foreach_batch_incremental_mv_restart_from_checkpoint(spark, stream_env):
+    """Stop the stream after batch A, start a NEW query on the SAME
+    checkpoint, land batch B: the standing view must fold both batches
+    exactly once — the checkpoint replays nothing and drops nothing
+    across the restart (the continuity contract every production
+    streaming job leans on)."""
+    import os
+    import tempfile
+    from decimal import Decimal
+
+    from etl_open_source_spark.streaming.windows import (
+        file_event_stream,
+        foreach_batch_incremental_mv,
+    )
+
+    src, _, spark = stream_env
+    root = tempfile.mkdtemp(prefix="inc_mv_restart_")
+    target = os.path.join(root, "mv")
+    ckpt = os.path.join(root, "ckpt")
+
+    def start():
+        stream = file_event_stream(spark, src).select("event_type", "value")
+        return foreach_batch_incremental_mv(
+            stream, target, keys=["event_type"], value_col="value", checkpoint=ckpt
+        )
+
+    q1 = start()
+    _write_events(src, [_ev(1, "2024-01-01 00:00:00", etype="view", value=2.5)], "a.json")
+    q1.processAllAvailable()
+    q1.stop()
+
+    q2 = start()  # fresh query object, same checkpoint
+    _write_events(src, [_ev(2, "2024-01-01 01:00:00", etype="view", value=4.0),
+                        _ev(3, "2024-01-01 01:01:00", etype="buy", value=1.25)], "b.json")
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {r.event_type: (r.n, r.sum_dec) for r in spark.read.parquet(target).collect()}
+    assert got == {
+        "view": (2, Decimal("6.5000")),  # batch A survived the restart, B folded once
+        "buy": (1, Decimal("1.2500")),
+    }
