@@ -629,3 +629,45 @@ def test_snapshot_diff_null_keys(spark_prop):
     # unchanged NULL-key row: no diff row at all
     same = spark.createDataFrame([(None, 3)], "k int, v int")
     assert snapshot_diff(same, same, keys=["k"], compare=["v"]).count() == 0
+
+
+# ---------------------------------------------- bucketed range join
+
+
+@given(
+    pts=st.lists(st.integers(0, 300), min_size=1, max_size=10),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 300), st.integers(0, 100)),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_range_join_bucketed_matches_naive(spark_prop, pts, ivs):
+    """The bucket-equi-join + residual-filter rewrite must equal the
+    naive theta join (point in [start, end)) on arbitrary interval
+    layouts: zero-length and bucket-straddling intervals, duplicate
+    points, empty match sets."""
+    from datetime import datetime, timedelta
+
+    from etl_open_source_spark.operators.rangejoin import range_join_bucketed
+
+    base = datetime(2024, 1, 1)
+    pt_rows = [(i, base + timedelta(hours=h)) for i, h in enumerate(pts)]
+    iv_rows = [
+        (j, base + timedelta(hours=s), base + timedelta(hours=s + d))
+        for j, (s, d) in enumerate(ivs)
+    ]
+    pdf = spark_prop.createDataFrame(pt_rows, "pid int, ts timestamp")
+    idf = spark_prop.createDataFrame(iv_rows, "iid int, s timestamp, e timestamp")
+    got = {
+        (r.pid, r.iid)
+        for r in range_join_bucketed(pdf, idf, "ts", "s", "e").collect()
+    }
+    want = {
+        (i, j)
+        for i, t in pt_rows
+        for j, s, e in iv_rows
+        if s <= t < e
+    }
+    assert got == want
