@@ -671,3 +671,59 @@ def test_range_join_bucketed_matches_naive(spark_prop, pts, ivs):
         if s <= t < e
     }
     assert got == want
+
+
+# -------------------------------------------------- EWMA closed form
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_ewma_closed_form_matches_recurrence(spark_prop, values):
+    """q_ts_ewma's closed form — ewma_i = (1-a)^i (x_0 + a (S_i - x_0))
+    with S_i = sum x_j/(1-a)^j — must match the naive pandas-adjust=False
+    recurrence ewma_i = a·x_i + (1-a)·ewma_{i-1} to rounding precision
+    over random series (the whole point of the rewrite is that it runs
+    in one window pass without changing the math)."""
+    import pytest
+
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = spark_prop
+    a = 0.2
+    base = datetime(2024, 1, 1)
+    rows = [(i, 1, base + timedelta(seconds=i), float(v)) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "event_id int, user_id int, ts timestamp, value double")
+
+    # engine: same closed-form expression as q_ts_ewma
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    basef = df.select(
+        "event_id", "value",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.first("value").over(w).alias("x0"),
+    )
+    wcum = (
+        Window.partitionBy()
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = F.sum(F.col("value") * F.pow(F.lit(1.0 / (1 - a)), F.col("rn"))).over(wcum)
+    ewma = F.pow(F.lit(1 - a), F.col("rn")) * (F.col("x0") + F.lit(a) * (s - F.col("x0")))
+    got = {r.event_id: r.e for r in basef.select("event_id", ewma.alias("e")).collect()}
+
+    # naive recurrence
+    expect = {}
+    acc = None
+    for i, v in enumerate(values):
+        acc = float(v) if acc is None else a * float(v) + (1 - a) * acc
+        expect[i] = acc
+    for i in expect:
+        assert got[i] == pytest.approx(expect[i], rel=1e-9, abs=1e-9)
