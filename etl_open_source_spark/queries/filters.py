@@ -115,6 +115,8 @@ WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
     tags=("filter",),
 )
 def q_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list membership filter — pushes to the scan as an In predicate
+    (PushedFilters), zero shuffles."""
     o = load_table(spark, sf_dir, "orders")
     return o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
         "o_orderkey", "o_orderpriority"
@@ -167,6 +169,8 @@ WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-
     tags=("filter",),
 )
 def q_filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate (BETWEEN) — inclusive bounds push to the parquet
+    scan as paired comparisons; scan-local."""
     l = load_table(spark, sf_dir, "lineitem")
     return l.filter(
         F.col("l_shipdate").between(

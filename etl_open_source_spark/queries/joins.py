@@ -62,6 +62,9 @@ FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
     tags=("join",),
 )
 def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join: every right row survives, unmatched left side
+    null-padded — planner mirrors it to a left join on the swapped build
+    side at scale."""
     o, c = load_tables(spark, sf_dir, "orders", "customer")
     return o.join(c, o.o_custkey == c.c_custkey, "right").select(
         "o_orderkey", "o_totalprice", "c_custkey", "c_name"

@@ -33,6 +33,8 @@ FROM part
     tags=("fn",),
 )
 def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core string-function pack (upper/lower/length/substr/concat/trim
+    family) — all codegen'd JVM builtins, scan-local."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -65,6 +67,8 @@ FROM orders
     tags=("fn",),
 )
 def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core date/time pack (trunc, extract, add/diff) — codegen'd
+    builtins over the timestamp column; scan-local."""
     o = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
     return o.select(
@@ -101,6 +105,9 @@ FROM lineitem
     tags=("fn",),
 )
 def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic/rounding pack (abs/ceil/floor/round/pow/mod) —
+    codegen'd builtins; decimal casts where cross-engine exactness
+    matters."""
     l = load_table(spark, sf_dir, "lineitem")
     return l.select(
         "l_orderkey",
@@ -133,6 +140,8 @@ FROM orders
     tags=("fn",),
 )
 def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional pack (CASE WHEN / coalesce / nullif / least /
+    greatest) — branch-free codegen expressions, scan-local."""
     o = load_table(spark, sf_dir, "orders")
     tp = F.col("o_totalprice")
     return o.select(

@@ -28,6 +28,9 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
     tags=("window",),
 )
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number over a partitioned order — one
+    shuffle on the partition key; the order carries a unique tiebreak so
+    row_number is deterministic."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
@@ -55,6 +58,8 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     tags=("window",),
 )
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead neighbor access over a partitioned order — one shuffle;
+    unique tiebreak keeps neighbors deterministic at equal timestamps."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
