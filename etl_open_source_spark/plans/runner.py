@@ -301,6 +301,12 @@ class PipelineRunner:
             )
             return
         path = cfg["path"]
+        # optional output-layout control: "repartition": N sizes the output
+        # to N even files (round-robin) — the spec-level answer to the
+        # small-files problem (cf. operators/maintenance.compact_parquet)
+        n_files = cfg.get("repartition")
+        if n_files:
+            data = data.repartition(int(n_files))
         if fmt == "parquet":
             write_parquet(data, path, mode=mode, partition_by=cfg.get("partition_by"))
         elif fmt == "csv":

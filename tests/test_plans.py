@@ -365,3 +365,29 @@ def test_expect_step_gates_pipeline(spark, tmp_path):
     assert any("missing ['lo', 'hi']" in i for i in issues)
     assert any("unknown check kind" in i for i in issues)
     assert any("no 'checks'" in i for i in validate_spec(spec([])))
+
+
+def test_load_step_repartition_controls_file_count(spark, tmp_path):
+    """A load step's 'repartition' config must size the output layout:
+    N even round-robin files instead of one file per upstream partition
+    — the declarative answer to micro-batch small-files."""
+    import os
+
+    from etl_open_source_spark.plans.runner import PipelineRunner
+
+    spec = PipelineSpec(
+        id="layout1", name="layout", cron="*/5 * * * *",
+        connections=[ConnectionConfig(id="src", name="fx", type="parquet")],
+        steps=[
+            Step(id="s1", name="x", step_type=StepType.EXTRACT, order=1,
+                 connection_id="src",
+                 config={"table": "/root/testdata/sf0.001/orders.parquet"}),
+            Step(id="s2", name="l", step_type=StepType.LOAD, order=2,
+                 config={"path": f"{tmp_path}/out", "mode": "replace",
+                         "repartition": 3}),
+        ],
+    )
+    PipelineRunner(spark).run(spec)
+    n = sum(1 for f in os.listdir(f"{tmp_path}/out") if f.endswith(".parquet"))
+    assert n == 3
+    assert spark.read.parquet(f"{tmp_path}/out").count() == 1500
