@@ -7,6 +7,7 @@ The headless replacement for the reference's PySide6 GUI (ui/main_window.py
     python -m etl_open_source_spark run spec.json [--history DIR]
     python -m etl_open_source_spark next-run spec.json
     python -m etl_open_source_spark test-connection spec.json CONN_ID
+    python -m etl_open_source_spark list-queries [--tag TAG]
 """
 
 from __future__ import annotations
@@ -35,7 +36,27 @@ def main(argv: list[str] | None = None) -> int:
     p_conn.add_argument("spec")
     p_conn.add_argument("conn_id")
 
+    p_list = sub.add_parser(
+        "list-queries", help="list the registered operator/query surface"
+    )
+    p_list.add_argument("--tag", default=None, help="filter by tag (e.g. llm, join)")
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "list-queries":
+        # registry introspection needs no spec and no SparkSession
+        from etl_open_source_spark.registry import get_registry
+
+        reg = get_registry()
+        rows = [
+            (n, ",".join(q.tags), "exact-oracle" if q.oracle else "rows-only")
+            for n, q in sorted(reg.items())
+            if args.tag is None or args.tag in q.tags
+        ]
+        for n, tags, kind in rows:
+            print(f"{n:32s} {kind:12s} {tags}")
+        print(f"-- {len(rows)} queries" + (f" tagged {args.tag!r}" if args.tag else ""))
+        return 0
 
     from etl_open_source_spark.plans.models import PipelineSpec
 

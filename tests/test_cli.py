@@ -177,3 +177,16 @@ def test_validate_malformed_spec_returns_invalid(tmp_path, capsys):
     bad.write_text('{"name": "x"}')
     assert main(["validate", str(bad)]) == 1
     assert "INVALID: cannot load spec" in capsys.readouterr().out
+
+
+def test_list_queries_surface(capsys):
+    """list-queries prints the registered operator surface (no spec, no
+    SparkSession) and filters by tag — the discoverability a user
+    switching from the reference needs to find their operator."""
+    assert main(["list-queries"]) == 0
+    out = capsys.readouterr().out
+    assert "q_agg_groupby" in out and "exact-oracle" in out and "rows-only" in out
+
+    assert main(["list-queries", "--tag", "maintenance"]) == 0
+    out = capsys.readouterr().out
+    assert "q_snapshot_diff" in out and "q_agg_groupby" not in out
