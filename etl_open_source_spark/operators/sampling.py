@@ -118,6 +118,28 @@ def sample_stratified(
     )
 
 
+def sample_fixed_k(
+    df: DataFrame, strata: list[str], keys: list[str], k: int
+) -> DataFrame:
+    """Reservoir-style fixed-k per-stratum sample: exactly ``min(k, n_g)``
+    rows from each stratum g, chosen by hash order. The deterministic
+    twin of single-pass reservoir sampling — ordering by a uniform hash
+    and keeping the first k IS a uniform k-subset, but (unlike a seeded
+    reservoir) the same rows win on every run, engine, and partitioning.
+    One shuffle on the stratum key; the window is top-k-limited
+    (WindowGroupLimit pushes rank<=k into the sort), so no stratum ever
+    materializes beyond k rows after the shuffle."""
+    _require_integer_keys(df, keys)
+    ordered = Window.partitionBy(*strata).orderBy(
+        det_hash(*keys).asc(), *[F.col(c).asc() for c in keys]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(ordered))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def train_test_split(
     df: DataFrame, keys: list[str], fractions: dict[str, float]
 ) -> DataFrame:

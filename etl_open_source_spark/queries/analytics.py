@@ -194,3 +194,36 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_degenerate"),
         )
     )
+
+
+@query(
+    "q_skyline_pareto",
+    oracle="""
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+ORDER BY p.p_partkey
+""",
+    tags=("analytics", "dominance"),
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of part on (minimize p_retailprice,
+    maximize p_size): the multi-objective shortlist no single ORDER BY can
+    produce. Oracle = the textbook O(n²) NOT EXISTS dominance self-join;
+    engine = the two-phase partition-prune-merge skyline in
+    operators/dominance.py — one balanced shuffle over the input, then
+    dimension-table-sized work, no quadratic candidate join at any scale."""
+    p = load_table(spark, sf_dir, "part")
+    from etl_open_source_spark.operators.dominance import skyline_2d
+
+    return skyline_2d(
+        p.select("p_partkey", "p_retailprice", "p_size"),
+        minimize="p_retailprice",
+        maximize="p_size",
+        keys=["p_partkey"],
+    ).orderBy("p_partkey")

@@ -114,3 +114,33 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).orderBy("split")
     )
+
+
+@query(
+    "q_sample_reservoir",
+    oracle=f"""
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY h ASC, o_orderkey ASC) AS rn
+  FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, ({_H_ORD}) AS h
+        FROM orders)
+) t
+WHERE rn <= 20
+""",
+    tags=("sampling", "llm"),
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k (k=20) uniform sample per order priority — the bounded-
+    output reservoir twin of q_sample_stratified's proportional quota.
+    Hash-order top-k per stratum: deterministic across runs, engines and
+    partitionings, and the rank<=k predicate pushes into the window sort
+    (WindowGroupLimit) so post-shuffle state is capped at k per stratum
+    regardless of input scale."""
+    o = load_table(spark, sf_dir, "orders")
+    from etl_open_source_spark.operators.sampling import sample_fixed_k
+
+    return sample_fixed_k(
+        o, ["o_orderpriority"], ["o_orderkey"], 20
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice")

@@ -727,3 +727,95 @@ def test_ewma_closed_form_matches_recurrence(spark_prop, values):
         expect[i] = acc
     for i in expect:
         assert got[i] == pytest.approx(expect[i], rel=1e-9, abs=1e-9)
+
+
+# ------------------------------------------------- skyline / pagerank / reservoir
+
+
+def _naive_skyline(points):
+    out = []
+    for i, (x, y) in enumerate(points):
+        dominated = any(
+            (qx <= x and qy >= y and (qx < x or qy > y)) for qx, qy in points
+        )
+        if not dominated:
+            out.append((i, x, y))
+    return sorted(out)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_skyline_matches_naive(spark_prop, pts):
+    """Two-phase bucketed skyline == O(n²) dominance scan, including ties:
+    duplicate frontier points must ALL survive, dominated rows never."""
+    from etl_open_source_spark.operators.dominance import skyline_2d
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark_prop.createDataFrame(rows, "id int, x int, y int")
+    got = sorted(
+        (r.id, r.x, r.y)
+        for r in skyline_2d(df, minimize="x", maximize="y", keys=["id"], n_buckets=4).collect()
+    )
+    assert got == _naive_skyline(pts)
+
+
+def _naive_pagerank(nodes, edges, iters, scale):
+    n = len(nodes)
+    base = (15 * scale) // (100 * n)
+    wout = {}
+    for s, d, w in edges:
+        wout[s] = wout.get(s, 0) + w
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        contrib = {}
+        for s, d, w in edges:
+            contrib[d] = contrib.get(d, 0) + (r[s] * w) // wout[s]
+        r = {v: base + (85 * contrib.get(v, 0)) // 100 for v in nodes}
+    return r
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5), st.integers(1, 9)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda e: (e[0], e[1]),
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pagerank_matches_naive(spark_prop, edges):
+    """Scaled-integer PageRank == a dict-based reference implementation,
+    bit-exact — including dangling nodes (mass leak) and isolated nodes
+    (rank = base only). Integer arithmetic means NO tolerance needed."""
+    from etl_open_source_spark.operators.graph import pagerank_integer
+
+    nodes = list(range(6))
+    ndf = spark_prop.createDataFrame([(v,) for v in nodes], "v bigint")
+    edf = spark_prop.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+    got = {r.v: r.r for r in pagerank_integer(ndf, edf, iters=3, scale=10**9).collect()}
+    want = _naive_pagerank(nodes, edges, iters=3, scale=10**9)
+    assert got == want
+
+
+def test_sample_fixed_k_bounds_and_stability(spark_prop):
+    """Reservoir sample: exactly min(k, n_g) per stratum, and the SAME
+    rows win under a different input partitioning (determinism is the
+    contract that seeded reservoirs break)."""
+    from etl_open_source_spark.operators.sampling import sample_fixed_k
+
+    rows = [(i, i % 3) for i in range(100)] + [(1000, 9)]  # stratum 9 has 1 row
+    df = spark_prop.createDataFrame(rows, "id bigint, g int")
+    out = sample_fixed_k(df, ["g"], ["id"], k=5).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, set()).add(r.id)
+    assert {g: len(s) for g, s in by_g.items()} == {0: 5, 1: 5, 2: 5, 9: 1}
+    out2 = sample_fixed_k(df.repartition(7, "id"), ["g"], ["id"], k=5).collect()
+    by_g2 = {}
+    for r in out2:
+        by_g2.setdefault(r.g, set()).add(r.id)
+    assert by_g == by_g2
