@@ -421,3 +421,56 @@ def test_foreach_batch_incremental_mv_restart_from_checkpoint(spark, stream_env)
         "view": (2, Decimal("6.5000")),  # batch A survived the restart, B folded once
         "buy": (1, Decimal("1.2500")),
     }
+
+
+def test_transform_with_state_totals(spark, stream_env):
+    """Spark-4 transformWithStateInPandas running totals. The API's state
+    channel needs google.protobuf; in this container (no protobuf wheel,
+    installs barred) the operator must fail loudly with the documented
+    guard — on a standard image this test runs the real engine path and
+    must match applyInPandasWithState's totals."""
+    from etl_open_source_spark.streaming.stateful import (
+        _protobuf_available,
+        transform_with_state_totals,
+    )
+    from etl_open_source_spark.streaming.windows import file_event_stream
+
+    src, start, _ = stream_env
+    if not _protobuf_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            transform_with_state_totals(file_event_stream(spark, src))
+        return
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _write_events(
+            src,
+            [
+                _ev(1, "2024-01-01 00:00:00", user=1, value=10.0),
+                _ev(2, "2024-01-01 00:01:00", user=1, value=5.0),
+                _ev(3, "2024-01-01 00:02:00", user=2, value=1.0),
+            ],
+            "a.json",
+        )
+        q = start(
+            transform_with_state_totals(file_event_stream(spark, src)),
+            "update",
+            "tws_totals_out",
+        )
+        q.processAllAvailable()
+        _write_events(src, [_ev(4, "2024-01-01 00:03:00", user=1, value=2.0)], "b.json")
+        q.processAllAvailable()
+        q.stop()
+        finals = {}
+        for r in spark.sql("SELECT * FROM tws_totals_out").collect():
+            finals[r.user_id] = (r.cnt, r.total)
+        assert finals[1] == (3, 17.0)
+        assert finals[2] == (1, 1.0)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
