@@ -509,3 +509,52 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select(cand.id_a, cand.id_b, "hamming")
     )
+
+
+# ------------------------------------------------ n-gram containment
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Directed partial-duplicate pairs by n-gram CONTAINMENT:
+    C(src→dst) = |shingles(src) ∩ shingles(dst)| / |shingles(src)| —
+    the asymmetric cousin of Jaccard resemblance. A short document quoted
+    wholesale inside a long one scores C ≈ 1 while its Jaccard stays near
+    |src|/|dst| ≈ 0, so resemblance dedup never sees it; containment is
+    the quote/boilerplate/subset detector (Broder's original distinction).
+
+    Same plan as :func:`ngram_jaccard_pairs` — ONE inverted-index
+    self-join computes each unordered intersection once (id_a < id_b),
+    then both directed rows are emitted by a cheap union and divided by
+    their source size. ``max_doc_freq`` bounds the posting lists exactly
+    as in the Jaccard path; the persisted shingle set is shared by the
+    join and the size aggregate."""
+    sh = word_shingles(df, id_col, text_col, n, max_doc_freq).persist()
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    directed = inter.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "inter"
+    ).unionAll(
+        inter.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "inter"
+        )
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        directed.join(sizes.withColumnRenamed("id", "src"), "src")
+        .withColumn("containment", F.col("inter") / F.col("n"))
+        .filter(F.col("containment") >= threshold)
+        .select("src", "dst", "containment")
+    )

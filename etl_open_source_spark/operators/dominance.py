@@ -19,7 +19,17 @@ Two-phase distributed shape (the classic partition-prune-merge skyline):
 
 At 100 TB the heavy input is touched by exactly one shuffle (the bucket
 window) and everything after phase 1 is dimension-table sized; there is
-no quadratic candidate join anywhere. The sort-based local kernel:
+no quadratic candidate join anywhere.
+
+Honest adversarial bound: phase 2 sorts the SURVIVOR union in one
+partition, so its cost is O(S log S) single-node for skyline size S.
+For independent-ish dimensions S ≈ O(log² n) (tiny); the worst case is
+an anti-chain (perfect price/size anti-correlation) where S = n and
+phase 1 prunes nothing — then this operator degenerates to a global
+sort, exactly like any exact skyline must (the answer itself is O(n)).
+Correctness is unaffected (pinned by the anti-chain property test);
+at that shape the downstream consumer, not the operator, is the
+problem. The sort-based local kernel:
 after collapsing to one row per (bucket, x) with the per-x max of y,
 a row survives iff its y equals its x-group max AND strictly-cheaper
 groups never reached y (running max over preceding groups < y). Ties on

@@ -661,3 +661,48 @@ def q_text_bpe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "left_sym", "right_sym")
         .limit(20)
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM w CROSS JOIN GENERATE_SERIES(1, 128) AS t(i)
+  WHERE i <= LEN(ws) - 2
+),
+sh AS (
+  SELECT * FROM sh0
+  WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 100)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+directed AS (
+  SELECT id_a AS src, id_b AS dst, i FROM inter
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst, i FROM inter
+)
+SELECT d.src, d.dst, CAST(d.i AS DOUBLE) / ss.n AS containment
+FROM directed d JOIN sizes ss ON d.src = ss.doc_id
+WHERE CAST(d.i AS DOUBLE) / ss.n >= 0.6
+ORDER BY src, dst
+""",
+    tags=("llm", "dedup"),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed partial-duplicate pairs by word-3-gram CONTAINMENT
+    (|A∩B|/|A| >= 0.6) — the asymmetric quote/subset detector Jaccard
+    resemblance structurally misses (a short doc quoted inside a long one
+    has C ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0). Same single inverted-index
+    self-join as q_dedup_ngram (each unordered intersection computed
+    once, both directions emitted by a cheap union), same max_doc_freq
+    posting cap; exact values, so the oracle matches bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=100
+    ).orderBy("src", "dst")

@@ -760,3 +760,26 @@ def test_cluster_safe_split_never_straddles(spark):
     ).toPandas()
     merged = got.merge(want, on="doc_id")
     assert ((merged.split == "train") == merged.is_train).all()
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """Planted asymmetry: doc 2 is a verbatim quote of doc 1's first 10
+    words inside 90 words of unrelated text. Containment(quote→host) ≈ 1
+    must fire; Jaccard at the same threshold must NOT (≈10/100) — the
+    exact gap the directed operator exists to close. An unrelated doc 3
+    must pair with nothing in either direction."""
+    quote = " ".join(f"tok{i}" for i in range(10))
+    host = quote + " " + " ".join(f"pad{i}" for i in range(90))
+    other = " ".join(f"zzz{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, host), (2, quote), (3, other)], "doc_id bigint, text string"
+    )
+    cont = {
+        (r.src, r.dst): r.containment
+        for r in D.ngram_containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.6
+        ).collect()
+    }
+    assert cont == {(2, 1): 1.0}  # quote fully contained in host, one direction
+    jac = D.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.6).collect()
+    assert jac == []  # resemblance blind to the quote at the same threshold

@@ -449,3 +449,28 @@ def test_cohort_retention_one_customer_exchange(spark, sf_dir):
     exchanges = sum("Exchange" in l and "Broadcast" not in l for l in lines)
     assert scans == 1, plan
     assert exchanges == 2, plan
+
+
+def test_skyline_no_sort_merge_join(spark, sf_dir):
+    """Skyline's join-backs attach bucket-survivor groups (tiny) to rows:
+    they must broadcast, never SortMergeJoin — the only wide exchange is
+    the bucket window over the input."""
+    plan = _formatted_plan(spark, sf_dir, "q_skyline_pareto")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pagerank_caches_edges_once(spark, sf_dir):
+    """The 4-way fact join that builds the edge list is persisted: all 5
+    iterations must read the InMemory edge relation, so the plan carries
+    cache scans and the lineitem parquet subtree appears only inside the
+    cached build, not once per iteration."""
+    plan = _formatted_plan(spark, sf_dir, "q_graph_pagerank")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_reservoir_pushes_window_group_limit(spark, sf_dir):
+    """rank<=k must push below the stratum shuffle as a WindowGroupLimit
+    (partial mode) so no stratum materializes beyond k rows post-shuffle."""
+    plan = _formatted_plan(spark, sf_dir, "q_sample_reservoir")
+    assert "WindowGroupLimit" in plan

@@ -819,3 +819,23 @@ def test_sample_fixed_k_bounds_and_stability(spark_prop):
     for r in out2:
         by_g2.setdefault(r.g, set()).add(r.id)
     assert by_g == by_g2
+
+
+def test_skyline_antichain_worst_case(spark_prop):
+    """Adversarial shape: perfect anti-correlation (every point on the
+    frontier). Local pruning removes nothing — the operator must still
+    return ALL n points exactly (the documented O(S)=O(n) worst case),
+    plus one dominated point to prove filtering still works."""
+    from etl_open_source_spark.operators.dominance import skyline_2d
+
+    n = 500
+    # For (minimize x, maximize y) the anti-chain is x and y RISING
+    # together: no point is <= on x while >= on y of another.
+    rows = [(i, i, i) for i in range(n)]
+    rows.append((n, 3, 1))  # dominated by (3, 3)
+    df = spark_prop.createDataFrame(rows, "id int, x int, y int")
+    got = sorted(
+        r.id
+        for r in skyline_2d(df, minimize="x", maximize="y", keys=["id"], n_buckets=8).collect()
+    )
+    assert got == list(range(n))
