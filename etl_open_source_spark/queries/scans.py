@@ -360,3 +360,53 @@ def q_scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_good"),
     )
+
+
+@query(
+    "q_sink_xml_roundtrip",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS cnt,
+       MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key,
+       CAST(SUM(c_nationkey) AS BIGINT) AS sum_nation
+FROM customer
+WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("sink",),
+)
+def q_sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink round-trip — Spark 4 merged spark-xml into core
+    (SPARK-44265), so the sink matrix (parquet/csv/json/orc/text) gains
+    XML with zero extra jars: filter customers, write row-per-element
+    XML, re-read with an EXPLICIT schema (XML inference is a full StAX
+    parse pass — never at scale), aggregate. Integer/string columns only,
+    so the trip is lossless and the oracle aggregates the original
+    table."""
+    from etl_open_source_spark.sources.readers import read_xml
+    from etl_open_source_spark.sources.writers import write_xml
+
+    src = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+    )
+    path = _tmp(sf_dir, "customer_xml_sink")
+    write_xml(src, path, mode="replace", row_tag="customer")
+    back = read_xml(
+        spark,
+        path,
+        schema="c_custkey bigint, c_nationkey int, c_mktsegment string",
+        row_tag="customer",
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+            F.sum("c_nationkey").cast("bigint").alias("sum_nation"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -105,6 +105,20 @@ def read_json(spark: SparkSession, path: str, schema: StructType | str | None = 
     return reader.json(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    row_tag: str = "row",
+) -> DataFrame:
+    """XML scan (Spark-4 built-in). Explicit schema in production — XML
+    inference is an extra full parse pass, worse than JSON's."""
+    reader = spark.read.option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format("xml").load(path)
+
+
 def jdbc_read_options(
     url: str,
     table: str,

@@ -56,6 +56,20 @@ def write_orc(
     writer.orc(path)
 
 
+def write_xml(df: DataFrame, path: str, mode: str = "replace", row_tag: str = "row") -> None:
+    """XML sink — built into Spark core since 4.0 (SPARK-44265 merged the
+    external spark-xml connector), so no extra jar. Row-per-element;
+    splittable on read via the StAX record reader."""
+    if mode not in VALID_MODES:
+        raise ValueError(f"mode must be one of {VALID_MODES}, got {mode!r}")
+    (
+        df.write.mode("overwrite" if mode == "replace" else "append")
+        .option("rowTag", row_tag)
+        .format("xml")
+        .save(path)
+    )
+
+
 def jdbc_write_options(
     url: str,
     table: str,

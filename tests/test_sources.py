@@ -270,3 +270,22 @@ def test_runner_dialect_extract_goes_to_jdbc_not_catalog(spark, tmp_path):
     )
     with _pytest.raises(Exception):  # no driver/server — loud, not silent
         PipelineRunner(spark).run(spec)
+
+
+def test_xml_write_read_append(spark, tmp_path):
+    """Spark-4 built-in XML source: replace then append, explicit-schema
+    re-read sees both batches; bad mode fails loudly."""
+    import pytest as _pytest
+
+    from etl_open_source_spark.sources.readers import read_xml
+    from etl_open_source_spark.sources.writers import write_xml
+
+    p = str(tmp_path / "xml_sink")
+    df1 = spark.createDataFrame([(1, "a")], "id bigint, s string")
+    df2 = spark.createDataFrame([(2, "b")], "id bigint, s string")
+    write_xml(df1, p, mode="replace", row_tag="r")
+    write_xml(df2, p, mode="append", row_tag="r")
+    back = read_xml(spark, p, schema="id bigint, s string", row_tag="r")
+    assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a"), (2, "b")]
+    with _pytest.raises(ValueError):
+        write_xml(df1, p, mode="truncate")
