@@ -224,6 +224,13 @@ class PipelineRunner:
             return data.transform(fn)
         if kind == "expect":
             return self._expect(step, data)
+        if kind == "operator":
+            # curated first-class operators (deterministic sampling, exact
+            # dedup, splits, skyline, …) addressable from a JSON spec —
+            # see plans/operator_steps.py
+            from etl_open_source_spark.plans.operator_steps import run_operator_step
+
+            return run_operator_step(data, cfg)
         raise ValueError(f"unsupported transform type: {kind}")
 
     def _expect(self, step: Step, data: DataFrame) -> DataFrame:

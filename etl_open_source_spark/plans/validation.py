@@ -64,6 +64,22 @@ def validate_spec(spec: PipelineSpec) -> list[str]:
                 issues.append(f"sql transform step {s.name!r} missing 'sql'")
             if kind == "python" and not cfg.get("fn"):
                 issues.append(f"python transform step {s.name!r} missing 'fn'")
+            if kind == "operator":
+                from etl_open_source_spark.plans.operator_steps import OPERATOR_STEPS
+
+                op = OPERATOR_STEPS.get(cfg.get("name"))
+                if op is None:
+                    issues.append(
+                        f"operator step {s.name!r} has unknown operator "
+                        f"{cfg.get('name')!r} (available: {sorted(OPERATOR_STEPS)})"
+                    )
+                else:
+                    missing = [k for k in op.required if k not in cfg]
+                    if missing:
+                        issues.append(
+                            f"operator step {s.name!r} ({cfg['name']}) missing "
+                            f"config keys {missing}"
+                        )
             if kind == "expect":
                 _REQUIRED = {
                     "not_null": ("col",),

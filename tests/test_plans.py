@@ -391,3 +391,64 @@ def test_load_step_repartition_controls_file_count(spark, tmp_path):
     n = sum(1 for f in os.listdir(f"{tmp_path}/out") if f.endswith(".parquet"))
     assert n == 3
     assert spark.read.parquet(f"{tmp_path}/out").count() == 1500
+
+
+# ------------------------------------------------------- operator steps
+
+
+def test_operator_step_pipeline_matches_direct_calls(spark):
+    """The shipped corpus_curate.json (operator transform steps) must
+    produce exactly the rows of the equivalent direct operator chain —
+    the spec layer is routing, never reimplementation."""
+    from etl_open_source_spark.operators.dedup import exact_dedup
+    from etl_open_source_spark.operators.sampling import (
+        sample_uniform,
+        train_test_split,
+    )
+    from etl_open_source_spark.operators.text import normalize_ws
+    from pyspark.sql import functions as F
+
+    spec = PipelineSpec.load("examples/corpus_curate.json")
+    out = tempfile.mkdtemp(prefix="opstep_")
+    runner = PipelineRunner(spark, history_path=f"{out}/history")
+    runner.run(spec)
+    got = spark.read.parquet("/tmp/etl_cli_demo/corpus_curated")
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = d.withColumn("text", normalize_ws(F.col("text")))
+    want = exact_dedup(want, ["text"], "doc_id")
+    want = train_test_split(want, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    want = sample_uniform(want, ["doc_id"], 0.5)
+    assert got.count() == want.count() > 0
+    cols = got.columns
+    assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+
+
+def test_operator_step_validation_errors():
+    """Unknown operator name and missing required config keys are caught
+    at validate time, not as a KeyError mid-run."""
+    from etl_open_source_spark.plans.validation import validate_spec
+
+    def _spec(cfg):
+        return PipelineSpec(
+            id="p", name="p", cron="* * * * *", enabled=True,
+            connections=[ConnectionConfig(id="c", name="c", type="parquet",
+                                          params={"path": "/tmp/x"})],
+            steps=[
+                Step(id="s1", name="e", step_type=StepType.EXTRACT, order=1,
+                     connection_id="c", config={"path": "/tmp/x"}),
+                Step(id="s2", name="t", step_type=StepType.TRANSFORM, order=2,
+                     config=cfg),
+                Step(id="s3", name="l", step_type=StepType.LOAD, order=3,
+                     config={"path": "/tmp/y"}),
+            ],
+        )
+
+    bad_name = validate_spec(_spec({"type": "operator", "name": "nope"}))
+    assert any("unknown operator" in i for i in bad_name)
+    missing = validate_spec(_spec({"type": "operator", "name": "sample_uniform",
+                                   "keys": ["id"]}))
+    assert any("missing" in i and "fraction" in i for i in missing)
+    ok = validate_spec(_spec({"type": "operator", "name": "sample_uniform",
+                              "keys": ["id"], "fraction": 0.5}))
+    assert not [i for i in ok if "operator" in i]
