@@ -67,3 +67,82 @@ def pagerank_integer(
             .alias("r"),
         )
     return ranks
+
+
+def orient_by_degree(edges: DataFrame) -> DataFrame:
+    """Orient undirected edges (a, b) from the lower-degree endpoint to the
+    higher-degree one (ties broken by id): after orientation every
+    vertex's out-degree is O(√m), so wedge enumeration — the quadratic
+    heart of triangle counting — is bounded per vertex no matter how
+    skewed the raw degree distribution is (the hub that ruins the naive
+    a<b<c join has huge IN-degree but tiny out-degree here). Standard
+    MPC/vertex-ordering trick (Suri & Vassilvitskii's MR triangle
+    counting). Input: one row per undirected edge with a < b."""
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        edges.join(deg.withColumnsRenamed({"v": "a", "deg": "deg_a"}), "a")
+        .join(deg.withColumnsRenamed({"v": "b", "deg": "deg_b"}), "b")
+    )
+    keep_ab = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    return e.select(
+        F.when(keep_ab, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(keep_ab, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census over an undirected edge list (a < b, one row
+    per edge): nodes, edges, wedges (= Σ C(deg,2)), triangles, and the
+    global clustering coefficient 3·tri/wedges.
+
+    Count = wedge-close on the DEGREE-ORIENTED graph: enumerate wedges
+    (src→x, src→y) off each oriented vertex — bounded O(√m) fan-out by
+    construction — and close them against the oriented edge set. Each
+    triangle has exactly one vertex whose two oriented out-edges form
+    the wedge, so no triangle is double-counted and no /6 fixup is
+    needed. Two shuffles (wedge build, close join); nothing quadratic in
+    a hub's raw degree."""
+    edges = edges.persist()
+    oriented = orient_by_degree(edges).persist()
+    w1 = oriented.select(F.col("src"), F.col("dst").alias("x"))
+    w2 = oriented.select(F.col("src"), F.col("dst").alias("y"))
+    wedges = w1.join(w2, "src").filter(F.col("x") < F.col("y"))
+    # close the wedge: (x, y) must be an edge in EITHER orientation
+    closing = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    ).unionAll(oriented.select(F.col("dst").alias("x"), F.col("src").alias("y")))
+    tri = wedges.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("bigint").alias("n_wedges"),
+    )
+    return stats.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        # wedge-free graphs (isolated edges) have no closable paths:
+        # coefficient is 0 by convention, and ANSI mode would otherwise
+        # throw DIVIDE_BY_ZERO
+        F.when(F.col("n_wedges") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6)
+        )
+        .alias("clustering_coeff"),
+    )

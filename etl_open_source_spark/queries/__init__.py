@@ -71,7 +71,7 @@ _VERIFY_FIRST = [
     "q_scan_merge_schema", "q_ts_twap", "q_join_bucketed_colocated",
     "q_scan_csv_permissive", "q_ts_mom_change", "q_text_normalize_ws",
     "q_skyline_pareto", "q_graph_pagerank", "q_sample_reservoir",
-    "q_dedup_containment", "q_sink_xml_roundtrip",
+    "q_dedup_containment", "q_sink_xml_roundtrip", "q_graph_triangles",
     # --- the 3 hash-red rows fixed this round (oracle BIGINT cast;
     #     array outputs CSV-joined for the driver hasher)
     "q_quality_fk", "q_fn_lambda", "q_embedding_quantize",
@@ -84,8 +84,7 @@ _VERIFY_FIRST = [
     "q_agg_approx_distinct", "q_agg_collect", "q_agg_cube",
     "q_agg_distinct", "q_agg_global", "q_agg_groupby",
     "q_agg_groupingsets", "q_agg_having", "q_agg_pivot", "q_agg_rollup",
-    "q_except",
-    # (q_filter_between, q_filter_compound, q_filter_like, q_filter_null, q_join_broadcast, q_fn_array, q_fn_cast, q_fn_cond, q_fn_date, q_fn_hash, q_fn_json, q_fn_math, q_fn_string,
+    # (q_except, q_filter_between, q_filter_compound, q_filter_like, q_filter_null, q_join_broadcast, q_fn_array, q_fn_cast, q_fn_cond, q_fn_date, q_fn_hash, q_fn_json, q_fn_math, q_fn_string,
     #  q_intersect, q_join_anti, q_join_cross, q_join_full,
     #  q_join_multikey, q_join_semi, q_join_theta, q_limit, q_sort_multi,
     #  q_union_all, q_union_distinct, q_window_lag_lead, q_window_rank and

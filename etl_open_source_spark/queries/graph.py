@@ -100,3 +100,63 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name", F.col("r").alias("pagerank"))
         .orderBy(F.desc("pagerank"), "n_nationkey")
     )
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+deg AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+  ) GROUP BY v
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       CAST(t.n_triangles AS BIGINT) AS n_triangles,
+       CASE WHEN (SELECT SUM(deg * (deg - 1) // 2) FROM deg) = 0 THEN 0.0
+            ELSE ROUND(3.0 * t.n_triangles /
+                       (SELECT SUM(deg * (deg - 1) // 2) FROM deg), 6) END
+         AS clustering_coeff
+FROM tri t
+""",
+    tags=("graph",),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the co-purchase
+    graph (parts co-occurring in >= 2 orders). Oracle = the textbook
+    a<b<c three-way edge join; engine = wedge-close on the
+    DEGREE-ORIENTED graph (operators/graph.py::triangle_stats) — after
+    orientation every vertex's fan-out is O(√m), so one hub part in
+    every basket cannot make the wedge build quadratic in its raw
+    degree. Identical counts (each triangle has exactly one wedge apex
+    in the orientation's total order)."""
+    from etl_open_source_spark.operators.graph import triangle_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.withColumnsRenamed({"l_partkey": "a"})
+    b = items.withColumnsRenamed({"l_partkey": "b"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("a", "b")
+    )
+    return triangle_stats(edges)

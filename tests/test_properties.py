@@ -839,3 +839,42 @@ def test_skyline_antichain_worst_case(spark_prop):
         for r in skyline_2d(df, minimize="x", maximize="y", keys=["id"], n_buckets=8).collect()
     )
     assert got == list(range(n))
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_triangle_stats_match_brute_force(spark_prop, pairs):
+    """Degree-oriented wedge-close triangle census == brute-force
+    itertools enumeration, on arbitrary graphs incl. hubs and
+    disconnected vertices. Self-loops are filtered out by the a<b
+    canonicalization."""
+    from itertools import combinations
+
+    from etl_open_source_spark.operators.graph import triangle_stats
+
+    edges = sorted({(min(u, v), max(u, v)) for u, v in pairs if u != v})
+    if not edges:
+        return
+    nodes = sorted({v for e in edges for v in e})
+    es = set(edges)
+    want_tri = sum(
+        1
+        for u, v, w in combinations(nodes, 3)
+        if (u, v) in es and (v, w) in es and (u, w) in es
+    )
+    deg = {v: sum(1 for e in edges if v in e) for v in nodes}
+    want_wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    df = spark_prop.createDataFrame(edges, "a bigint, b bigint")
+    row = triangle_stats(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        len(nodes),
+        len(edges),
+        want_wedges,
+        want_tri,
+    )
