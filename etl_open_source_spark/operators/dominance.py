@@ -73,7 +73,15 @@ def skyline_2d(
 ) -> DataFrame:
     """Exact 2-D skyline: rows with no other row that is <= on ``minimize``
     and >= on ``maximize`` with at least one strict inequality. Duplicate
-    (minimize, maximize) pairs on the frontier are all returned."""
+    (minimize, maximize) pairs on the frontier are all returned.
+
+    Rows with NULL in either dimension are EXCLUDED up front — dominance
+    is undefined for them, and leaving them in silently diverges from a
+    SQL NOT-EXISTS oracle (NULL comparisons make the subquery empty, so
+    SQL would return every NULL row as 'non-dominated' while the window
+    kernel drops them; the fixtures have no NULLs, which is exactly the
+    fixture-masked class this guard exists for)."""
+    df = df.where(F.col(minimize).isNotNull() & F.col(maximize).isNotNull())
     bucketed = df.withColumn(
         _BUCKET, F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
     )

@@ -878,3 +878,19 @@ def test_triangle_stats_match_brute_force(spark_prop, pairs):
         want_wedges,
         want_tri,
     )
+
+
+def test_skyline_null_dimensions_excluded(spark_prop):
+    """NULL in either dimension drops the row (documented semantic) —
+    without the guard a NULL row silently diverges from the NOT EXISTS
+    oracle, which returns NULL rows as trivially non-dominated."""
+    from etl_open_source_spark.operators.dominance import skyline_2d
+
+    df = spark_prop.createDataFrame(
+        [(1, 1, 5), (2, None, 9), (3, 2, None), (4, 0, 9)],
+        "id int, x int, y int",
+    )
+    got = sorted(
+        r.id for r in skyline_2d(df, minimize="x", maximize="y", keys=["id"]).collect()
+    )
+    assert got == [4]  # (0,9) dominates (1,5); NULL rows excluded
