@@ -46,3 +46,68 @@ def cooccurring_pairs(
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= min_support)
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Directed association rules (antecedent → consequent) from pair
+    co-occurrence: support(a,b), confidence = support(a,b)/support(a),
+    lift = confidence / (support(b)/n_baskets).
+
+    Shape: the single-shuffle pair mine from :func:`cooccurring_pairs`
+    plus one item-support aggregate; the 1-row basket count broadcasts
+    onto the rule set and item supports join on the item key (shuffle
+    bounded by |items|, not |baskets|). Each unordered pair emits both
+    rule directions. Rates round to 6 places for cross-engine parity.
+    """
+    items = df.select(basket_col, item_col).distinct()
+    n_baskets = items.select(basket_col).distinct().agg(
+        F.count(F.lit(1)).alias("__n_baskets")
+    )
+    item_supp = items.groupBy(F.col(item_col).alias("__item")).agg(
+        F.count(F.lit(1)).alias("__item_supp")
+    )
+    pairs = cooccurring_pairs(
+        df, basket_col, item_col, min_support=min_support,
+        max_basket_size=max_basket_size,
+    )
+    rules = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "support",
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "support",
+        )
+    )
+    conf = F.col("support") / F.col("__supp_a")
+    lift = conf * F.col("__n_baskets") / F.col("__supp_b")
+    return (
+        rules.join(
+            item_supp.withColumnsRenamed(
+                {"__item": "antecedent", "__item_supp": "__supp_a"}
+            ),
+            "antecedent",
+        )
+        .join(
+            item_supp.withColumnsRenamed(
+                {"__item": "consequent", "__item_supp": "__supp_b"}
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.round(conf, 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+    )

@@ -146,3 +146,68 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         )
         .alias("clustering_coeff"),
     )
+
+
+def link_prediction_jaccard(
+    edges: DataFrame,
+    max_degree: int | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Neighbor-set Jaccard link prediction: for every non-adjacent node
+    pair at distance 2, score = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|.
+
+    Input: undirected edges as canonical ``(src < dst)`` rows. Candidate
+    pairs generate from the common-neighbor join (adjacency self-joined on
+    the shared neighbor), so only distance-2 pairs are ever materialized —
+    never the |V|² cross product. ``max_degree`` is the hub guard: a node
+    adjacent to k others contributes O(k²) candidate pairs through the
+    common-neighbor join, so hubs above the cap are excluded as *pivots*
+    (they still count inside each endpoint's degree and in the existing-
+    edge anti-join) — same skew-over-completeness stance as the LSH
+    hot-bucket cap (operators/dedup.py) and the basket guard
+    (operators/baskets.py).
+
+    Shuffles: adjacency build (one), degree aggregate (reuses the same
+    key), common-neighbor join keyed on the pivot node, pair-count
+    aggregate, degree join-back, existing-edge anti-join. All keys are
+    node ids — co-partitionable end to end.
+    """
+    adj = edges.selectExpr("src AS v", "dst AS nbr").unionAll(
+        edges.selectExpr("dst AS v", "src AS nbr")
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    pivots = adj
+    if max_degree is not None:
+        small = deg.filter(F.col("deg") <= max_degree).select("v")
+        pivots = adj.join(
+            F.broadcast(small).withColumnRenamed("v", "nbr"), "nbr"
+        )
+    common = (
+        pivots.alias("a")
+        .join(pivots.alias("b"), "nbr")
+        .filter(F.col("a.v") < F.col("b.v"))
+        .groupBy(
+            F.col("a.v").alias("id_a"), F.col("b.v").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    non_edges = common.join(
+        edges.selectExpr("src AS id_a", "dst AS id_b"),
+        ["id_a", "id_b"],
+        "left_anti",
+    )
+    scored = (
+        non_edges.join(deg.withColumnsRenamed({"v": "id_a", "deg": "deg_a"}), "id_a")
+        .join(deg.withColumnsRenamed({"v": "id_b", "deg": "deg_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold)

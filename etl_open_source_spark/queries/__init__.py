@@ -51,6 +51,8 @@ _MODULES = [
     "maintenance_q",
     "analytics",
     "graph",
+    "mining",
+    "analytics2",
 ]
 
 # Round-6 rotation. Every registered query has now been driver-checked at

@@ -1,0 +1,181 @@
+"""Second analytics pack: CUSUM changepoint scan, rolling-window distinct
+counts, and join-key skew diagnostics.
+
+[EXT] per SURVEY.md §2 — monitoring/diagnostic passes over the events and
+orders tables. The CUSUM statistic is kept in scaled integer form
+(n_days * prefix_sum - day_index * total, all through DECIMAL) so both
+engines agree bit-for-bit with no float recurrence anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_open_source_spark.catalog import load_table
+from etl_open_source_spark.registry import query
+
+
+@query(
+    "q_ts_cusum",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+         SUM(CAST(value AS DECIMAL(18,4))) AS x
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, day, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS d_idx,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+         SUM(x) OVER (PARTITION BY event_type) AS total,
+         SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+  FROM daily
+),
+s AS (
+  SELECT event_type, day,
+         CAST(n_days * prefix - d_idx * total AS DECIMAL(38,4)) AS s_scaled
+  FROM cum
+)
+SELECT event_type, day,
+       CAST(s_scaled AS DOUBLE) AS cusum_scaled,
+       s_scaled = MAX(s_scaled) OVER (PARTITION BY event_type)
+         OR s_scaled = MIN(s_scaled) OVER (PARTITION BY event_type)
+         AS is_extreme
+FROM s
+""",
+    tags=("timeseries", "quality"),
+)
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan per event-type series: cumulative sum of
+    daily deviations from the series mean, with the extreme day flagged —
+    the day where |S| peaks is the classic single-changepoint estimate.
+
+    The statistic is scaled through integers: S'_d = n_days * prefix_d -
+    d * total (DECIMAL end to end, = n_days² times the textbook
+    mean-deviation CUSUM), so there is no division and no float
+    recurrence — both engines agree exactly. Shape: one daily aggregate
+    (map-side combinable), then event_type-partitioned windows over the
+    day-count-sized frame; the corpus shuffles once."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("x"))
+    )
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("day")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wo).alias("d_idx"),
+        F.count(F.lit(1)).over(wp).alias("n_days"),
+        F.sum("x").over(wp).alias("total"),
+        F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("prefix"),
+    )
+    s_scaled = (
+        F.col("n_days") * F.col("prefix") - F.col("d_idx") * F.col("total")
+    ).cast("decimal(38,4)")
+    s = cum.select("event_type", "day", s_scaled.alias("s_scaled"))
+    return s.select(
+        "event_type",
+        "day",
+        F.col("s_scaled").cast("double").alias("cusum_scaled"),
+        (
+            (F.col("s_scaled") == F.max("s_scaled").over(wp))
+            | (F.col("s_scaled") == F.min("s_scaled").over(wp))
+        ).alias("is_extreme"),
+    )
+
+
+@query(
+    "q_window_distinct_rolling",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT DATE_TRUNC('day', ts) AS day FROM events
+)
+SELECT STRFTIME(d.day, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT e.user_id) AS n_users_7d,
+       COUNT(*) AS n_events_7d
+FROM days d
+JOIN events e
+  ON DATE_TRUNC('day', e.ts) BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day
+""",
+    tags=("timeseries", "window"),
+)
+def q_window_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day: for each calendar day with
+    events, the distinct user count and event count over that day and the
+    six before it — the DAU/WAU-style rolling-distinct no plain window
+    frame can produce (COUNT(DISTINCT) OVER a range frame isn't
+    decomposable).
+
+    Shape: the day dimension (distinct days — tiny) broadcast onto a
+    range-condition join against the event scan, then one aggregate. The
+    fan-out is bounded by the window length (each event lands in at most
+    7 day-groups) — the standard rolling-distinct expansion; at 100 TB
+    the alternative is per-day HLL sketch union (q_agg_hll_merge shows
+    the mergeable path) when exactness can be traded."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("eday"), "user_id"
+    )
+    days = e.select(F.col("eday").alias("day")).distinct()
+    return (
+        F.broadcast(days)
+        .join(
+            e,
+            (F.col("eday") >= F.date_sub(F.col("day"), 6))
+            & (F.col("eday") <= F.col("day")),
+        )
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users_7d"),
+            F.count(F.lit(1)).alias("n_events_7d"),
+        )
+    )
+
+
+@query(
+    "q_skew_key_stats",
+    oracle="""
+WITH cnts AS (
+  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+)
+SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_keys,
+       CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+       ROUND(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 6) AS avg_per_key,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top1_share,
+       CAST(MEDIAN(cnt) AS DOUBLE) AS p50_cnt,
+       CAST(QUANTILE_CONT(cnt, 0.99) AS DOUBLE) AS p99_cnt
+FROM cnts
+""",
+    tags=("quality", "scale"),
+)
+def q_skew_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic for orders.o_custkey: total rows, distinct
+    keys, heaviest key's count and share, and the p50/p99 of the per-key
+    count distribution — the numbers that decide salting / AQE-skew-join
+    settings before a big join ships (q_join_skew_salted is the remedy
+    this diagnostic motivates).
+
+    Shape: one per-key count (map-side combinable) then a single global
+    aggregate over |keys| rows. Exact percentiles over the key-count
+    distribution are fine at any scale: the aggregate input is one row
+    per key, not per fact row."""
+    o = load_table(spark, sf_dir, "orders")
+    cnts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return cnts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.round(F.sum("cnt") / F.count(F.lit(1)), 6).alias("avg_per_key"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top1_share"),
+        F.expr("percentile(cnt, 0.5)").cast("double").alias("p50_cnt"),
+        F.expr("percentile(cnt, 0.99)").cast("double").alias("p99_cnt"),
+    )

@@ -474,3 +474,50 @@ def test_reservoir_pushes_window_group_limit(spark, sf_dir):
     (partial mode) so no stratum materializes beyond k rows post-shuffle."""
     plan = _formatted_plan(spark, sf_dir, "q_sample_reservoir")
     assert "WindowGroupLimit" in plan
+
+
+def test_sorted_neighborhood_one_exchange_no_join(spark, sf_dir):
+    # SNM's selling point is predictable cost: ONE shuffle (the per-block
+    # window sort), pair generation scan-local via lead() — any join node
+    # here means the operator regressed to a self-join formulation.
+    plan = _formatted_plan(spark, sf_dir, "q_dedup_sorted_neighborhood")
+    assert sum(1 for l in plan.splitlines()
+               if l.strip().startswith("(") and "Exchange" in l) == 1
+    assert "Join" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_link_prediction_no_cartesian_and_hub_guard_broadcast(spark, sf_dir):
+    # Candidates must come from the common-neighbor equi-join (keyed on
+    # the pivot), never a cross product; the small-degree pivot filter
+    # rides a broadcast join.
+    plan = _formatted_plan(spark, sf_dir, "q_graph_link_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_assoc_rules_single_pair_mine_basket_count_broadcast(spark, sf_dir):
+    # The 1-row basket count must broadcast (a nested-loop join against
+    # one row is fine; a shuffle for it is not), and the pair mine stays
+    # the no-self-join explode shape (no join on l_orderkey).
+    plan = _formatted_plan(spark, sf_dir, "q_assoc_rules")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_rolling_distinct_day_dimension_broadcasts(spark, sf_dir):
+    # The day dimension is tiny and must broadcast onto the event scan;
+    # the range join must not shuffle the fact side by range buckets.
+    plan = _formatted_plan(spark, sf_dir, "q_window_distinct_rolling")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_single_corpus_shuffle(spark, sf_dir):
+    # Daily aggregate (partial/final) then event_type-partitioned windows:
+    # the corpus crosses the wire once on event_type+day, then once more
+    # only for the per-type window repartition — no join anywhere.
+    plan = _formatted_plan(spark, sf_dir, "q_ts_cusum")
+    assert "Join" not in plan
+    assert "Python" not in plan

@@ -894,3 +894,128 @@ def test_skyline_null_dimensions_excluded(spark_prop):
         r.id for r in skyline_2d(df, minimize="x", maximize="y", keys=["id"]).collect()
     )
     assert got == [4]  # (0,9) dominates (1,5); NULL rows excluded
+
+
+# ------------------------------------------- sorted-neighborhood dedup
+
+
+def test_sorted_neighborhood_bound_and_recall(spark_prop):
+    """The SNM candidate set must stay <= n*(window-1) pairs no matter the
+    data (its cost-predictability claim), and a planted near-dup pair
+    that shares its sort prefix must always surface."""
+    from etl_open_source_spark.operators.neighborhood import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = []
+    # 40 distinct docs spread over blocks, plus 5 planted prefix-sharing
+    # near-dup pairs (identical except one trailing token)
+    for i in range(40):
+        rows.append((i, f"doc{chr(97 + i % 7)} body token{i} filler alpha beta"))
+    for p in range(5):
+        base = f"planted{chr(97 + p)} common prefix words here tail"
+        rows.append((100 + 2 * p, base + " one"))
+        rows.append((101 + 2 * p, base + " two"))
+    df = spark_prop.createDataFrame(rows, ["doc_id", "text"])
+
+    window = 4
+    everything = sorted_neighborhood_pairs(
+        df, "doc_id", "text", key_len=16, block_len=2, window=window,
+        threshold=0.0,
+    ).toPandas()
+    n = len(rows)
+    assert len(everything) <= n * (window - 1)
+
+    hits = sorted_neighborhood_pairs(
+        df, "doc_id", "text", key_len=16, block_len=2, window=window,
+        threshold=0.5,
+    ).toPandas()
+    for p in range(5):
+        a, b = 100 + 2 * p, 101 + 2 * p
+        assert ((hits.id_a == a) & (hits.id_b == b)).any(), (a, b)
+
+
+# ------------------------------------------------- association rules
+
+
+def test_association_rules_match_naive(spark_prop):
+    """Rules must agree with an exhaustive per-pair computation of
+    support/confidence/lift on a small basket set."""
+    import itertools
+
+    from etl_open_source_spark.operators.baskets import association_rules
+
+    baskets = {
+        1: {"a", "b", "c"},
+        2: {"a", "b"},
+        3: {"b", "c", "d"},
+        4: {"a", "c"},
+        5: {"a", "b", "d"},
+    }
+    rows = [(bk, it) for bk, items in baskets.items() for it in items]
+    df = spark_prop.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r.antecedent, r.consequent): r
+        for r in association_rules(
+            df, "basket", "item", min_support=1
+        ).collect()
+    }
+
+    supp = {}
+    for items in baskets.values():
+        for it in items:
+            supp[it] = supp.get(it, 0) + 1
+    n = len(baskets)
+    pair_supp = {}
+    for items in baskets.values():
+        for x, y in itertools.combinations(sorted(items), 2):
+            pair_supp[(x, y)] = pair_supp.get((x, y), 0) + 1
+    expected = {}
+    for (x, y), s in pair_supp.items():
+        for a, c in ((x, y), (y, x)):
+            conf = s / supp[a]
+            expected[(a, c)] = (s, round(conf, 6), round(conf * n / supp[c], 6))
+    assert set(got) == set(expected)
+    for key, (s, conf, lift) in expected.items():
+        r = got[key]
+        assert (r.support, r.confidence, r.lift) == (s, conf, lift), key
+        # sanity: confidence is a probability; support bounded by parts
+        assert 0 < r.confidence <= 1
+        assert r.support <= min(supp[key[0]], supp[key[1]])
+
+
+# ---------------------------------------------------- link prediction
+
+
+def test_link_prediction_matches_naive(spark_prop):
+    """Scores must equal the brute-force neighbor-set Jaccard over every
+    non-adjacent distance-2 pair, and never include an existing edge."""
+    import itertools
+
+    from etl_open_source_spark.operators.graph import link_prediction_jaccard
+
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 5), (4, 5), (5, 6), (1, 7)]
+    df = spark_prop.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r.id_a, r.id_b): (r.common, r.jaccard)
+        for r in link_prediction_jaccard(df, max_degree=None).collect()
+    }
+
+    nbrs: dict[int, set[int]] = {}
+    for s, d in edges:
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+    eset = {tuple(sorted(e)) for e in edges}
+    expected = {}
+    for u, v in itertools.combinations(sorted(nbrs), 2):
+        if (u, v) in eset:
+            continue
+        inter = len(nbrs[u] & nbrs[v])
+        if inter == 0:
+            continue
+        expected[(u, v)] = (
+            inter,
+            round(inter / len(nbrs[u] | nbrs[v]), 6),
+        )
+    assert got == expected
+    assert not (set(got) & eset)
