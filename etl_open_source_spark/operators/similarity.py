@@ -259,3 +259,166 @@ def embedding_near_dup_pairs(
         .distinct()
         .filter(F.col("sim") >= threshold)
     )
+
+
+# ------------------------------------------------ product quantization
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: the vector is split into
+    ``m`` contiguous subspaces and each gets its own ``k``-code k-means||
+    codebook (fit on unit-normalized vectors so ADC's L2 ranking matches
+    cosine ranking downstream). Returns ``codebooks[s][c]`` as a plain
+    nested list — m*k*(dim/m) floats, model-sized (a few KB), which ships
+    to executors as a literal expression, never a shuffle.
+
+    At 10^9+ vectors, fit on a sample (``sample_fraction``) — codebook
+    quality saturates at a few million training points; the encode pass
+    downstream still sees every vector."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = corpus.select(as_double(vec_col).alias("v"))
+    if sample_fraction is not None:
+        v = v.sample(fraction=sample_fraction, seed=seed)
+    nv = F.transform("v", lambda x: x / norm(F.col("v")))
+    v = v.select(nv.alias("v")).persist()
+    dim = len(v.first()["v"])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        ds = v.select(
+            array_to_vector(F.slice("v", s * dsub + 1, dsub)).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + s, maxIter=max_iter, initMode="k-means||").fit(ds)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    v.unpersist()
+    return books
+
+
+def _codebook_lit(codebook: list[list[float]]) -> Column:
+    """One subspace's codebook as a literal array<array<double>>."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in codebook]
+    )
+
+
+def _l2sq(a, b) -> Column:
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its m nearest-code ids → (id, codes
+    array<int>). Entirely scan-local: the codebooks ride along as literal
+    expressions and the per-subspace argmin is an array fold — zero
+    exchanges, zero Python. Ties break to the lowest code id
+    (array_position returns the first minimum)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+    nv = F.transform("v", lambda x: x / norm(F.col("v")))
+    v = v.select(id_col, nv.alias("v"))
+    codes = []
+    for s in range(m):
+        sub = F.slice("v", s * dsub + 1, dsub)
+        dists = F.transform(_codebook_lit(codebooks[s]), lambda c: _l2sq(sub, c))
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return v.select(id_col, F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_decimals: int | None = 6,
+    rerank: int | None = None,
+) -> DataFrame:
+    """ANN top-k by asymmetric distance (ADC): corpus vectors live only as
+    their m-byte codes; each query scores a code by summing exact
+    query-subvector-to-centroid distances. The 8x-32x memory compression
+    is the point at scale — the candidate scan touches codes, never raw
+    vectors.
+
+    ``rerank=N`` enables the standard two-stage search: ADC shortlists N
+    candidates per query (vectors inside one quantization cell tie on
+    adist — a coarse codebook cannot order them), then ONLY the shortlist
+    joins back to raw vectors for exact cosine ranking. At scale that is
+    the whole point of PQ: the full scan reads m-byte codes; raw floats
+    are fetched for |Q|·N rows, not |C|.
+
+    Shape mirrors brute_force_topk: queries broadcast onto the encoded
+    corpus, per-pair distance is an m-term sum of literal-codebook
+    lookups (scan-local, codegen), then the per-query top-k window
+    (WindowGroupLimit). Returns (query_id, neighbor_id, adist, rank) —
+    rank ascending by approximate distance (or exact cosine descending
+    when re-ranking), neighbor id tiebreak."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    enc = pq_encode(corpus, codebooks, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    qn = F.transform("qv", lambda x: x / norm(F.col("qv")))
+    q = q.select("query_id", qn.alias("qv"))
+    terms = []
+    for s in range(m):
+        qsub = F.slice("qv", s * dsub + 1, dsub)
+        centroid = F.element_at(
+            _codebook_lit(codebooks[s]), F.element_at("codes", s + 1) + 1
+        )
+        terms.append(_l2sq(qsub, centroid))
+    adist = sum(terms[1:], terms[0])
+    if dist_decimals is not None:
+        adist = F.round(adist, dist_decimals)
+    scored = (
+        enc.crossJoin(broadcast(q.select("query_id", "qv")))
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), adist.alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id"))
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+        )
+    assert rerank >= k, "rerank shortlist must be at least k"
+    shortlist = (
+        scored.withColumn("__srn", F.row_number().over(w))
+        .filter(F.col("__srn") <= rerank)
+        .select("query_id", "neighbor_id", "adist")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    sim = dot(F.col("qv"), F.col("cv")) / F.col("cn")  # qv is unit-norm
+    rescored = (
+        shortlist.join(cv, "neighbor_id")
+        .join(broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", "adist", F.round(sim, 6).alias("__sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .drop("__sim")
+    )

@@ -170,3 +170,25 @@ def q_text_normalize_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length(raw) - F.length(clean)).cast("bigint").alias("chars_removed"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+@query("q_sim_pq", oracle=None, tags=("llm", "similarity", "approx"))
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-5 (m=8 subspaces x 16 codes): corpus
+    vectors live as 8-code signatures (vs 64 floats — 32x compression)
+    and queries score them by asymmetric distance (exact query subvector
+    vs centroid, summed from literal-codebook lookups). Completes the ANN
+    portfolio: brute force (q_sim_topk, exactness baseline), IVF
+    (q_sim_ann, bucket pruning), sign-LSH (q_dedup_embedding, pair
+    mining) — PQ is the memory-compression axis the others lack.
+
+    Rows-only (k-means training is iterative, not SQL-expressible);
+    recall@5 vs the exact baseline and encode determinism are pinned in
+    tests/test_llm_ops.py. Scan-local encode/score: the only exchange is
+    the per-query top-k window."""
+    from etl_open_source_spark.operators import similarity as S2
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = S2.pq_train(e, m=8, k=16, seed=42)
+    queries = e.filter(F.col("vec_id") < 50)
+    return S2.pq_topk(queries, e, books, k=5, rerank=50).withColumnRenamed("rank", "rnk")

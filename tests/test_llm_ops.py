@@ -783,3 +783,62 @@ def test_containment_catches_quote_jaccard_misses(spark):
     assert cont == {(2, 1): 1.0}  # quote fully contained in host, one direction
     jac = D.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.6).collect()
     assert jac == []  # resemblance blind to the quote at the same threshold
+
+
+def test_pq_recall_floor_and_encode_properties(spark, sf_dir):
+    """PQ ADC (m=8, k=16) recall@5 vs exact cosine top-5 must clear a
+    floor on the fixture corpus, the encode must be deterministic across
+    runs, and codes must stay in [0, k)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(e.vec_id < 20)
+    books = S.pq_train(e, m=8, k=16, seed=42)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(q, e, k=5).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in S.pq_topk(q, e, books, k=5, rerank=50).collect()
+    }
+    recall = len(brute & ann) / len(brute)
+    # ADC shortlist of 50 (5%% of corpus) + exact re-rank: the production
+    # two-stage shape; the floor pins mechanics, not tuned quality
+    assert recall >= 0.6, f"PQ recall collapsed: {recall}"
+
+    enc1 = {r.vec_id: list(r.codes) for r in S.pq_encode(e, books).collect()}
+    enc2 = {r.vec_id: list(r.codes) for r in S.pq_encode(e, books).collect()}
+    assert enc1 == enc2
+    assert all(
+        len(c) == 8 and all(0 <= x < 16 for x in c) for c in enc1.values()
+    )
+
+
+def test_pq_planted_cluster_recall(spark):
+    """On a corpus with real cluster structure (where quantization cells
+    align with data), PQ must reach high recall — the analog of the
+    k-means IVF planted test."""
+    import random
+
+    rng = random.Random(7)
+    dim, rows = 64, 400
+    data = []
+    for i in range(rows):
+        center = [(1.0 if (i % 8) == (d // 8) else -1.0) for d in range(dim)]
+        data.append(
+            (i, [center[d] + rng.uniform(-0.05, 0.05) for d in range(dim)])
+        )
+    e = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    q = e.filter(e.vec_id < 16)
+    books = S.pq_train(e, m=4, k=16, seed=1)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(q, e, k=5).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in S.pq_topk(q, e, books, k=5, rerank=50).collect()
+    }
+    recall = len(brute & ann) / len(brute)
+    assert recall >= 0.9, f"PQ missed planted structure: {recall}"
