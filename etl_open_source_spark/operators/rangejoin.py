@@ -52,3 +52,55 @@ def range_join_bucketed(
         .filter((F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col)))
         .drop("__bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Interval-to-interval overlap join (closed intervals:
+    ``l_start <= r_end AND r_start <= l_end``) — the two-sided sibling of
+    :func:`range_join_bucketed`, for which a theta join is O(|L|·|R|).
+
+    Both sides replicate into every bucket they span and equi-join on the
+    bucket id; the exact overlap predicate runs as a residual. A pair
+    sharing k buckets would match k times, so the join keeps only the
+    FIRST shared bucket (``max(bucket(l_start), bucket(r_start))``) —
+    exact dedup with arithmetic, no ``distinct`` shuffle.
+
+    Pick ``bucket_seconds`` near the typical interval length: replication
+    factor is len/bucket + 1 per row, residual fan-in is interval density
+    per bucket. Output = left columns ++ right columns (must not clash).
+    """
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(f"column collision between sides: {sorted(clash)} — rename first")
+
+    def bucket_of(c: str) -> Column:
+        return F.floor(F.unix_timestamp(F.col(c)) / bucket_seconds)
+
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(F.sequence(bucket_of(l_start), bucket_of(l_end))),
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(F.sequence(bucket_of(r_start), bucket_of(r_end))),
+    )
+    return (
+        lb.join(rb, "__bucket")
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (
+                F.col("__bucket")
+                == F.greatest(bucket_of(l_start), bucket_of(r_start))
+            )
+        )
+        .drop("__bucket")
+    )

@@ -179,3 +179,50 @@ def q_skew_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(cnt, 0.5)").cast("double").alias("p50_cnt"),
         F.expr("percentile(cnt, 0.99)").cast("double").alias("p99_cnt"),
     )
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle="""
+WITH e AS (
+  SELECT event_id AS err_id, ts AS es,
+         ts + CAST(FLOOR(value) AS BIGINT) * INTERVAL 1 MINUTE AS ee
+  FROM events WHERE event_type = 'error'
+),
+p AS (
+  SELECT event_id AS buy_id, ts AS ps,
+         ts + CAST(FLOOR(value) AS BIGINT) * INTERVAL 1 MINUTE AS pe
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT err_id, buy_id,
+       EPOCH_MS(LEAST(ee, pe)) - EPOCH_MS(GREATEST(es, ps)) AS overlap_ms
+FROM e JOIN p ON es <= pe AND ps <= ee
+""",
+    tags=("join", "timeseries"),
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: error windows x purchase windows (each event
+    opens a window of floor(value) minutes) — 'which purchases ran while
+    an error condition was live'. The oracle is the naive theta join; the
+    engine is the bucketed decomposition (operators/rangejoin.py::
+    interval_overlap_join): both sides explode over spanned 1-hour
+    buckets, equi-join on the bucket id, exact predicate as residual,
+    first-shared-bucket arithmetic dedup (no distinct shuffle). A theta
+    join is O(|L|*|R|) at any scale; this is one equi-shuffle on a dense
+    key."""
+    from etl_open_source_spark.operators.rangejoin import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    win = F.expr("ts + make_dt_interval(0, 0, floor(value), 0)")
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("ts").alias("es"), win.alias("ee")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"), F.col("ts").alias("ps"), win.alias("pe")
+    )
+    joined = interval_overlap_join(e, p, "es", "ee", "ps", "pe", bucket_seconds=3600)
+    overlap_ms = (
+        F.unix_millis(F.least("ee", "pe"))
+        - F.unix_millis(F.greatest("es", "ps"))
+    ).cast("bigint")
+    return joined.select("err_id", "buy_id", overlap_ms.alias("overlap_ms"))

@@ -521,3 +521,13 @@ def test_cusum_single_corpus_shuffle(spark, sf_dir):
     plan = _formatted_plan(spark, sf_dir, "q_ts_cusum")
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_interval_overlap_equi_join_not_cartesian(spark, sf_dir):
+    # The whole point of the bucketed decomposition: the overlap theta
+    # predicate must ride an equi-join on the bucket id, never a
+    # nested-loop/cartesian.
+    plan = _formatted_plan(spark, sf_dir, "q_join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

@@ -1019,3 +1019,59 @@ def test_link_prediction_matches_naive(spark_prop):
         )
     assert got == expected
     assert not (set(got) & eset)
+
+
+# --------------------------------------------- interval overlap join
+
+
+@given(
+    li=st.lists(
+        st.tuples(st.integers(0, 500_000), st.integers(0, 400_000)),
+        min_size=1, max_size=12,
+    ),
+    ri=st.lists(
+        st.tuples(st.integers(0, 500_000), st.integers(0, 400_000)),
+        min_size=1, max_size=12,
+    ),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_interval_overlap_matches_naive(spark_prop, li, ri):
+    """Bucketed interval-overlap join must equal the naive theta join —
+    including intervals spanning many buckets, zero-length intervals, and
+    exactly-touching endpoints — and emit each pair exactly once."""
+    from datetime import datetime, timedelta, timezone
+
+    from etl_open_source_spark.operators.rangejoin import interval_overlap_join
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    def mk(rows, pre):
+        return [
+            (i, base + timedelta(seconds=s), base + timedelta(seconds=s + d))
+            for i, (s, d) in enumerate(rows)
+        ]
+
+    left = spark_prop.createDataFrame(
+        mk(li, "l"), "l_id long, ls timestamp, le timestamp"
+    )
+    right = spark_prop.createDataFrame(
+        mk(ri, "r"), "r_id long, rs timestamp, re timestamp"
+    )
+    got = {
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_seconds=86_400
+        ).collect()
+    }
+    expected = set()
+    for i, (s1, d1) in enumerate(li):
+        for j, (s2, d2) in enumerate(ri):
+            if s1 <= s2 + d2 and s2 <= s1 + d1:
+                expected.add((i, j))
+    assert got == expected
+    # exactly-once: re-collect as a list and check no duplicates
+    rows = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_seconds=86_400
+    ).collect()
+    assert len(rows) == len(expected)
