@@ -226,3 +226,135 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.unix_millis(F.greatest("es", "ps"))
     ).cast("bigint")
     return joined.select("err_id", "buy_id", overlap_ms.alias("overlap_ms"))
+
+
+@query(
+    "q_quality_psi",
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day, value FROM events
+),
+bounds AS (
+  SELECT event_type,
+         MIN(day) + CAST(DATE_DIFF('day', MIN(day), MAX(day)) // 2 AS BIGINT)
+           * INTERVAL 1 DAY AS split_day
+  FROM e GROUP BY event_type
+),
+tagged AS (
+  SELECT e.event_type, e.value,
+         CASE WHEN e.day <= b.split_day THEN 'ref' ELSE 'cur' END AS period
+  FROM e JOIN bounds b ON e.event_type = b.event_type
+),
+stats AS (
+  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+  FROM tagged WHERE period = 'ref' GROUP BY event_type
+),
+binned AS (
+  SELECT t.event_type, t.period,
+         CASE WHEN s.mx > s.mn
+              THEN LEAST(9, GREATEST(0,
+                   CAST(FLOOR((t.value - s.mn) / ((s.mx - s.mn) / 10.0)) AS BIGINT)))
+              ELSE 0 END AS bin
+  FROM tagged t JOIN stats s ON t.event_type = s.event_type
+),
+cells AS (
+  SELECT event_type, bin,
+         CAST(SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         CAST(SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+  FROM binned GROUP BY event_type, bin
+),
+tot AS (
+  SELECT event_type, SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur
+  FROM cells GROUP BY event_type
+)
+SELECT c.event_type,
+       CAST(t.n_ref AS BIGINT) AS n_ref,
+       CAST(t.n_cur AS BIGINT) AS n_cur,
+       CAST(SUM(CASE WHEN c.c_ref > 0 AND c.c_cur > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bins_used,
+       CAST(SUM(CASE WHEN c.c_ref > 0 AND c.c_cur > 0 THEN CAST(ROUND(
+           (CAST(c.c_cur AS DOUBLE) / t.n_cur - CAST(c.c_ref AS DOUBLE) / t.n_ref)
+           * LN((CAST(c.c_cur AS DOUBLE) / t.n_cur)
+                / (CAST(c.c_ref AS DOUBLE) / t.n_ref)), 8) AS DECIMAL(18,8))
+           ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE) AS psi
+FROM cells c JOIN tot t ON c.event_type = t.event_type
+GROUP BY c.event_type, t.n_ref, t.n_cur
+""",
+    tags=("quality", "analytics"),
+)
+def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: per event type, split the
+    timeline in half, decile-bin the value distribution on the REFERENCE
+    half's range, and compute PSI = sum (q-p)*ln(q/p) of the current half
+    against it — the standard 'did the feature distribution move' gate
+    (>0.2 = investigate) run before a model retrain consumes new data.
+
+    Parity design: per-bin PSI contributions round to 8 places and SUM as
+    DECIMAL(18,8) — float summation order can never drift between
+    engines. Bins with either side empty are excluded (reported via
+    n_bins_used). Shape: two broadcast-sized aggregates (split day,
+    ref-range per type) joined back onto one corpus scan, then a
+    type x bin cell aggregate — the corpus shuffles once."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "value",
+    )
+    bounds = e.groupBy("event_type").agg(
+        F.date_add(
+            F.min("day"),
+            F.floor(F.datediff(F.max("day"), F.min("day")) / 2).cast("int"),
+        ).alias("split_day")
+    )
+    tagged = e.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "value",
+        F.when(F.col("day") <= F.col("split_day"), "ref").otherwise("cur").alias("period"),
+    )
+    stats = (
+        tagged.filter(F.col("period") == "ref")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    )
+    bin_col = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.floor((F.col("value") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10.0)),
+            ),
+        ),
+    ).otherwise(0)
+    cells = (
+        tagged.join(F.broadcast(stats), "event_type")
+        .select("event_type", "period", bin_col.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).cast("bigint").alias("c_ref"),
+            F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).cast("bigint").alias("c_cur"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    with_tot = cells.select(
+        "event_type",
+        "bin",
+        "c_ref",
+        "c_cur",
+        F.sum("c_ref").over(wt).alias("n_ref"),
+        F.sum("c_cur").over(wt).alias("n_cur"),
+    )
+    p = F.col("c_ref").cast("double") / F.col("n_ref")
+    q = F.col("c_cur").cast("double") / F.col("n_cur")
+    used = (F.col("c_ref") > 0) & (F.col("c_cur") > 0)
+    contrib = F.when(
+        used, F.round((q - p) * F.log(q / p), 8).cast("decimal(18,8)")
+    ).otherwise(F.lit(0).cast("decimal(18,8)"))
+    return (
+        with_tot.groupBy("event_type", "n_ref", "n_cur")
+        .agg(
+            F.sum(F.when(used, 1).otherwise(0)).cast("bigint").alias("n_bins_used"),
+            F.sum(contrib).cast("double").alias("psi"),
+        )
+        .select("event_type", "n_ref", "n_cur", "n_bins_used", "psi")
+    )
