@@ -145,3 +145,51 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
     doubled = e.unionByName(e)
     return doubled.dropDuplicates(["event_id"])
+
+
+@query(
+    "q_stream_interval_join",
+    oracle="""
+SELECT p.event_id AS buy_id, c.event_id AS click_id,
+       EPOCH_MS(p.ts) - EPOCH_MS(c.ts) AS gap_ms
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+""",
+    tags=("stream", "join"),
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-attribution interval join, batch-equivalent form: each
+    purchase matched to every click by the same user in the preceding 30
+    minutes. The IDENTICAL join condition runs on two readStream sources
+    in streaming/windows.py::stream_stream_interval_join (where the time
+    bound is what lets Structured Streaming evict join state past
+    watermark + interval — engine-tested in tests/test_streaming.py);
+    this batch twin is the value-verifiable face the driver can hash.
+
+    Shape: equi-join on user_id with the time bound as a residual — the
+    corpus shuffles once per side on the join key; no theta join."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"), "user_id", F.col("ts").alias("pts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    return (
+        p.join(
+            c,
+            ["user_id"],
+        )
+        .filter(
+            (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 MINUTES"))
+        )
+        .select(
+            "buy_id",
+            "click_id",
+            (F.unix_millis("pts") - F.unix_millis("cts")).alias("gap_ms"),
+        )
+    )
