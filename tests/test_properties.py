@@ -1075,3 +1075,48 @@ def test_interval_overlap_matches_naive(spark_prop, li, ri):
         left, right, "ls", "le", "rs", "re", bucket_seconds=86_400
     ).collect()
     assert len(rows) == len(expected)
+
+
+def test_link_prediction_hub_guard_bounds_candidates(spark_prop):
+    """A star hub must not explode the common-neighbor join: with
+    ``max_degree`` below the hub's degree, no candidate pair may be
+    generated THROUGH the hub, while predictions pivoting on small-degree
+    nodes survive untouched."""
+    from etl_open_source_spark.operators.graph import link_prediction_jaccard
+
+    hub = [(0, i) for i in range(1, 101)]  # hub 0 with 100 leaves
+    # separate path a-b-c: b is a small pivot, (a,c) is a real candidate
+    path = [(200, 201), (201, 202)]
+    df = spark_prop.createDataFrame(hub + path, ["src", "dst"])
+
+    uncapped = link_prediction_jaccard(df, max_degree=None).toPandas()
+    capped = link_prediction_jaccard(df, max_degree=10).toPandas()
+    # uncapped: C(100,2) leaf pairs through the hub + (200,202)
+    assert len(uncapped) == 100 * 99 // 2 + 1
+    # capped: hub excluded as pivot -> only the path prediction remains,
+    # and its score still uses the TRUE degrees
+    assert len(capped) == 1
+    r = capped.iloc[0]
+    assert (r.id_a, r.id_b, r.common) == (200, 202, 1)
+    assert r.jaccard == 1.0  # N(200)=N(202)={201}: identical neighbor sets
+
+
+def test_sorted_neighborhood_degenerate_block_stays_linear(spark_prop):
+    """Worst case for blocked SNM: every record lands in ONE block (same
+    prefix). The candidate count must still be <= n*(window-1) — the
+    window, not the block size, bounds the work. (Contrast: a blocking
+    scheme that pairs all-with-all inside a block would go quadratic
+    here.)"""
+    from etl_open_source_spark.operators.neighborhood import (
+        sorted_neighborhood_pairs,
+    )
+
+    n, window = 300, 4
+    rows = [(i, f"zz shared prefix block tail{i} unique{i}") for i in range(n)]
+    df = spark_prop.createDataFrame(rows, ["doc_id", "text"])
+    pairs = sorted_neighborhood_pairs(
+        df, "doc_id", "text", key_len=16, block_len=2, window=window,
+        threshold=0.0,
+    ).count()
+    assert pairs <= n * (window - 1)
+    assert pairs >= n - (window - 1)  # adjacent records do pair up
