@@ -45,6 +45,29 @@ def words_col(text_col: str) -> Column:
     return F.split(F.lower(F.col(text_col)), " ")
 
 
+# PII patterns shared by q_pii_redact and the `pii_redact` spec step —
+# deliberately simple, high-recall surface patterns (the production norm
+# is regex first, NER second; only the regex tier is dependency-free).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d[\d-]{7,}\d"
+
+
+def redact_pii(text_col: str | Column) -> Column:
+    """Replace emails, IPv4 addresses, and phone numbers with typed
+    placeholder tokens. Pure regexp_replace chain: scan-local, JVM-side,
+    zero shuffles — runs at scan speed as a map stage at any corpus
+    size."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, EMAIL_RE, "[EMAIL]"), IPV4_RE, "[IP]"
+        ),
+        PHONE_RE,
+        "[PHONE]",
+    )
+
+
 def stopword_hits(text_col: str, lang: str) -> Column:
     """Count of tokens that are stopwords of ``lang`` (JVM lambda filter)."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])

@@ -70,6 +70,20 @@ def _normalize_ws(df: DataFrame, cfg: dict) -> DataFrame:
     return df.withColumn(col, normalize_ws(F.col(col)))
 
 
+def _pii_redact(df: DataFrame, cfg: dict) -> DataFrame:
+    from etl_open_source_spark.operators.text import redact_pii
+
+    col = cfg["col"]
+    return df.withColumn(col, redact_pii(F.col(col)))
+
+
+def _normalize_url(df: DataFrame, cfg: dict) -> DataFrame:
+    from etl_open_source_spark.operators.curation import normalize_url
+
+    col = cfg["col"]
+    return df.withColumn(col, normalize_url(F.col(col)))
+
+
 def _skyline(df: DataFrame, cfg: dict) -> DataFrame:
     from etl_open_source_spark.operators.dominance import skyline_2d
 
@@ -91,6 +105,8 @@ OPERATOR_STEPS: dict[str, OperatorStep] = {
     "train_test_split": OperatorStep(_train_test_split, ("keys", "fractions")),
     "dedup_exact": OperatorStep(_dedup_exact, ("cols", "keep_by")),
     "normalize_ws": OperatorStep(_normalize_ws, ("col",)),
+    "pii_redact": OperatorStep(_pii_redact, ("col",)),
+    "normalize_url": OperatorStep(_normalize_url, ("col",)),
     "skyline_2d": OperatorStep(_skyline, ("minimize", "maximize", "keys")),
 }
 

@@ -81,18 +81,22 @@ _VERIFY_FIRST = [
     #     guard reshaped (collect_list pass), frequent-shingle broadcast
     #     hint dropped, chunk_audio empty-payload behavior
     "q_dedup_near", "q_text_dup_ngram_frac", "q_multimodal_audio_chunks",
-    # --- re-checks: round-1 evidence, untouched since — oldest first
-    #     (registration order within the family blocks)
-    "q_agg_approx_distinct", "q_agg_collect", "q_agg_cube",
-    "q_agg_distinct", "q_agg_global", "q_agg_groupby",
-    "q_agg_groupingsets", "q_agg_having", "q_agg_pivot", "q_agg_rollup",
-    # (q_except, q_filter_between, q_filter_compound, q_filter_like, q_filter_null, q_join_broadcast, q_fn_array, q_fn_cast, q_fn_cond, q_fn_date, q_fn_hash, q_fn_json, q_fn_math, q_fn_string,
-    #  q_intersect, q_join_anti, q_join_cross, q_join_full,
-    #  q_join_multikey, q_join_semi, q_join_theta, q_limit, q_sort_multi,
-    #  q_union_all, q_union_distinct, q_window_lag_lead, q_window_rank and
-    #  the round-2 rows rotated out to make room for the 28 round-6
-    #  first-timers — first-timers outrank oldest-evidence re-checks per
-    #  the policy above)
+    # --- late-round-6 first-timers (mining / diagnostics / ANN packs —
+    #     never driver-checked; first-timers outrank re-checks, so these
+    #     displace the 10 round-1-evidence agg re-checks that briefly
+    #     held the window tail)
+    "q_assoc_rules", "q_dedup_sorted_neighborhood", "q_graph_link_jaccard",
+    "q_ts_cusum", "q_window_distinct_rolling", "q_skew_key_stats",
+    "q_sim_pq", "q_join_interval_overlap", "q_quality_psi",
+    "q_stream_interval_join",
+    # (q_agg_* round-1 re-checks, q_except, q_filter_between,
+    #  q_filter_compound, q_filter_like, q_filter_null, q_join_broadcast,
+    #  q_fn_array, q_fn_cast, q_fn_cond, q_fn_date, q_fn_hash, q_fn_json,
+    #  q_fn_math, q_fn_string, q_intersect, q_join_anti, q_join_cross,
+    #  q_join_full, q_join_multikey, q_join_semi, q_join_theta, q_limit,
+    #  q_sort_multi, q_union_all, q_union_distinct, q_window_lag_lead,
+    #  q_window_rank and the round-2 rows remain rotated out — the oldest
+    #  evidence queues for round 7 per the policy above)
 ]
 
 _loaded = False

@@ -123,9 +123,12 @@ def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # PII patterns restricted to syntax both regex engines (Java util.regex,
 # DuckDB RE2) treat identically: character classes, bounded repetition, \d.
-_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-_PHONE = r"\+\d[\d-]{7,}\d"
+from etl_open_source_spark.operators.text import (  # noqa: E402
+    EMAIL_RE as _EMAIL,
+    IPV4_RE as _IPV4,
+    PHONE_RE as _PHONE,
+    redact_pii as _redact_pii,
+)
 
 
 @query(
@@ -164,14 +167,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 256).cast("string"),
         F.lit(".7 call +1-555-000-1234"),
     )
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(planted, _EMAIL, "[EMAIL]"), _IPV4, "[IP]"
-        ),
-        _PHONE,
-        "[PHONE]",
-    )
-    return d.select("doc_id", redacted.alias("redacted_text"))
+    return d.select("doc_id", _redact_pii(planted).alias("redacted_text"))
 
 
 @query(

@@ -452,3 +452,32 @@ def test_operator_step_validation_errors():
     ok = validate_spec(_spec({"type": "operator", "name": "sample_uniform",
                               "keys": ["id"], "fraction": 0.5}))
     assert not [i for i in ok if "operator" in i]
+
+
+def test_pii_and_url_operator_steps(spark):
+    """The pii_redact / normalize_url spec steps must route to the shared
+    operators — identical output to calling them directly."""
+    from etl_open_source_spark.operators.curation import normalize_url
+    from etl_open_source_spark.operators.text import redact_pii
+    from etl_open_source_spark.plans.operator_steps import run_operator_step
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b@x.co.uk or 10.1.2.3", "HTTPS://X.com/a/?utm_source=t&q=1"),
+            (2, "call +1-555-123-4567 now", "http://y.org/p#frag"),
+        ],
+        ["id", "text", "url"],
+    )
+    got = run_operator_step(df, {"name": "pii_redact", "col": "text"})
+    want = df.withColumn("text", redact_pii(F.col("text")))
+    assert [r.text for r in got.orderBy("id").collect()] == [
+        r.text for r in want.orderBy("id").collect()
+    ]
+    assert "[EMAIL]" in got.orderBy("id").collect()[0].text
+
+    got_u = run_operator_step(df, {"name": "normalize_url", "col": "url"})
+    want_u = df.withColumn("url", normalize_url(F.col("url")))
+    assert [r.url for r in got_u.orderBy("id").collect()] == [
+        r.url for r in want_u.orderBy("id").collect()
+    ]
