@@ -10,13 +10,16 @@ Policy, in priority order: (1) queries never yet inside a driver window,
 last green row, (4) re-checks of the oldest evidence. Every rotation is
 pre-verified locally against DuckDB at sf0.01 before the round ends
 (round 6: all 50 green at sf0.01 — 48 exact, 2 rows-only by design:
-q_agg_approx_distinct's HLL sketch and q_dedup_near's hash-seeded LSH.
-Evidence: one full-registry parity run at sf0.01 mid-round plus
-individual sf0.01 parity + driver-contract drives for every query added
-after it. The round-5 window recorded 3 driver ERR/FAIL rows despite a
-green local pre-verify because the local compare of that round did not
-model the driver hasher's array-cell and HUGEINT sensitivities — both
-are now pinned registry-wide by tests/test_oracle_contract.py).
+q_dedup_near's hash-seeded LSH and q_sim_pq's k-means-trained PQ.
+Evidence: full-registry sf0.01 parity runs at several checkpoints this
+round — the closing sweep covered all 227 registered queries: 215
+exact, 10 rows-only, plus 2 mapInPandas queries that fail only when the
+harness runs outside the repo cwd (worker import path — both re-verified
+green from /root/repo, where the driver runs). The round-5 window
+recorded 3 driver ERR/FAIL rows despite a green local pre-verify because
+the local compare of that round did not model the driver hasher's
+array-cell and HUGEINT sensitivities — both are now pinned registry-wide
+by tests/test_oracle_contract.py).
 """
 
 from __future__ import annotations
