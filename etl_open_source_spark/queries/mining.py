@@ -91,6 +91,7 @@ SELECT id_a, id_b, jaccard FROM (
   FROM pairs
 ) WHERE jaccard >= 0.3
 """,
+    bench=True,
     tags=("mining", "llm", "dedup"),
 )
 def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
