@@ -76,6 +76,12 @@ def interval_overlap_join(
     Pick ``bucket_seconds`` near the typical interval length: replication
     factor is len/bucket + 1 per row, residual fan-in is interval density
     per bucket. Output = left columns ++ right columns (must not clash).
+
+    Malformed rows (end < start — an empty interval) are DROPPED on both
+    sides before the explode: Spark's ``sequence(a, b)`` DESCENDS when
+    a > b (it does not return an empty array), which would replicate the
+    row across reversed buckets and make the result depend on bucket
+    geometry instead of interval semantics.
     """
     clash = set(left.columns) & set(right.columns)
     if clash:
@@ -84,6 +90,8 @@ def interval_overlap_join(
     def bucket_of(c: str) -> Column:
         return F.floor(F.unix_timestamp(F.col(c)) / bucket_seconds)
 
+    left = left.filter(F.col(l_end) >= F.col(l_start))
+    right = right.filter(F.col(r_end) >= F.col(r_start))
     lb = left.withColumn(
         "__bucket",
         F.explode(F.sequence(bucket_of(l_start), bucket_of(l_end))),

@@ -1120,3 +1120,25 @@ def test_sorted_neighborhood_degenerate_block_stays_linear(spark_prop):
     ).count()
     assert pairs <= n * (window - 1)
     assert pairs >= n - (window - 1)  # adjacent records do pair up
+
+
+def test_interval_overlap_drops_malformed_intervals(spark_prop):
+    """end < start rows must be dropped, not exploded through Spark's
+    DESCENDING sequence(a, b) — a malformed row exploding across reversed
+    buckets would make results depend on bucket geometry."""
+    from datetime import datetime, timezone
+
+    from etl_open_source_spark.operators.rangejoin import interval_overlap_join
+
+    t = lambda h: datetime(2024, 1, 1, h, tzinfo=timezone.utc)  # noqa: E731
+    left = spark_prop.createDataFrame(
+        [(1, t(5), t(3)), (2, t(1), t(2))],  # row 1 malformed
+        "l_id long, ls timestamp, le timestamp",
+    )
+    right = spark_prop.createDataFrame(
+        [(10, t(0), t(23))], "r_id long, rs timestamp, re timestamp"
+    )
+    got = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_seconds=3600
+    ).collect()
+    assert {(r.l_id, r.r_id) for r in got} == {(2, 10)}

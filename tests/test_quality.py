@@ -84,3 +84,52 @@ def test_row_checks_single_scan(spark, sf_dir):
         .toString()
     )
     assert plan.count("Scan parquet") == 1
+
+
+def test_psi_hand_computed_and_single_sided_type(spark):
+    """PSI on a hand-built two-type corpus: one type with a known shift
+    (hand-computed PSI), one type whose data lives entirely in the
+    reference half (psi must be 0 with n_bins_used 0, not NaN/Inf)."""
+    import math
+    from datetime import datetime
+
+    from etl_open_source_spark.registry import get_registry
+    import tempfile, os
+
+    # build a tiny parquet fixture dir with only the events table
+    tmp = tempfile.mkdtemp(prefix="psi_fix_")
+    rows = []
+    # type 'a': days 1..4 (ref = days 1..2, cur = days 3..4 — split at
+    # min + (3//2)=1 day -> ref is day<=2). ref values in [0,10), cur
+    # shifted into the top bin.
+    eid = 0
+    for day, vals in [(1, [0.0, 1.0]), (2, [2.0, 9.0]),
+                      (3, [9.5, 9.5]), (4, [9.9, 0.5])]:
+        for v in vals:
+            rows.append((eid, datetime(2024, 1, day, 12, 0), 1, "a", v, "{}"))
+            eid += 1
+    # type 'b': a single day -> split_day = that day -> everything 'ref'
+    for v in [1.0, 2.0]:
+        rows.append((eid, datetime(2024, 1, 1, 12, 0), 2, "b", v, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+
+    out = {
+        r.event_type: r
+        for r in get_registry()["q_quality_psi"].fn(spark, tmp).collect()
+    }
+    b = out["b"]
+    assert (b.n_ref, b.n_cur, b.n_bins_used) == (2, 0, 0)
+    assert b.psi == 0.0
+
+    a = out["a"]
+    assert (a.n_ref, a.n_cur) == (4, 4)
+    # ref range [0, 9]; bin width 0.9; ref bins: 0,1,2,9 -> one per bin
+    # cur bins: 9.5->9(capped), 9.5->9, 9.9->9, 0.5->0
+    # used bins: bin0 (p=1/4, q=1/4, contrib 0), bin9 (p=1/4, q=3/4)
+    expected = round((0.75 - 0.25) * math.log(0.75 / 0.25), 8)
+    assert a.n_bins_used == 2
+    assert abs(a.psi - expected) < 1e-9, (a.psi, expected)
