@@ -1142,3 +1142,30 @@ def test_interval_overlap_drops_malformed_intervals(spark_prop):
         left, right, "ls", "le", "rs", "re", bucket_seconds=3600
     ).collect()
     assert {(r.l_id, r.r_id) for r in got} == {(2, 10)}
+
+
+def test_sorted_neighborhood_edge_inputs(spark_prop):
+    """The recurring fixture-masked classes — empty text, whitespace-only
+    text, 1-char words — must flow through SNM without crashing, emit no
+    NULL jaccards, and two empty docs (identical token sets) must pair at
+    jaccard 1.0."""
+    from etl_open_source_spark.operators.neighborhood import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, ""),
+        (2, ""),
+        (3, "   "),
+        (4, "a b c d"),
+        (5, "a b c e"),
+        (6, "x"),
+    ]
+    df = spark_prop.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted_neighborhood_pairs(
+        df, "doc_id", "text", key_len=16, block_len=2, window=4, threshold=0.0
+    ).toPandas()
+    assert not out.jaccard.isna().any()
+    assert ((out.id_a == 1) & (out.id_b == 2) & (out.jaccard == 1.0)).any()
+    hit = out[(out.id_a == 4) & (out.id_b == 5)]
+    assert len(hit) == 1 and abs(hit.jaccard.iloc[0] - 0.6) < 1e-9
