@@ -178,10 +178,14 @@ def link_prediction_jaccard(
     deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
     pivots = adj
     if max_degree is not None:
-        small = deg.filter(F.col("deg") <= max_degree).select("v")
-        pivots = adj.join(
-            F.broadcast(small).withColumnRenamed("v", "nbr"), "nbr"
+        # Broadcast the HUB list and anti-join: hubs above the cap are few
+        # by definition (that is what makes them hubs), so the broadcast
+        # stays model-sized at any graph scale — broadcasting the
+        # small-degree complement would ship nearly every node.
+        hubs = deg.filter(F.col("deg") > max_degree).select(
+            F.col("v").alias("nbr")
         )
+        pivots = adj.join(F.broadcast(hubs), "nbr", "left_anti")
     common = (
         pivots.alias("a")
         .join(pivots.alias("b"), "nbr")
