@@ -165,9 +165,12 @@ def q_skew_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     this diagnostic motivates).
 
     Shape: one per-key count (map-side combinable) then a single global
-    aggregate over |keys| rows. Exact percentiles over the key-count
-    distribution are fine at any scale: the aggregate input is one row
-    per key, not per fact row."""
+    aggregate over |keys| rows — per-key, not per-fact, so the reduction
+    input shrinks by the average key multiplicity. Caveat: exact
+    ``percentile`` buffers all |keys| counts on one reducer; beyond
+    ~10^8 distinct keys swap in ``approx_percentile`` (same call shape,
+    sketch-sized state) — the exact form is kept here for oracle
+    parity."""
     o = load_table(spark, sf_dir, "orders")
     cnts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
     return cnts.agg(
