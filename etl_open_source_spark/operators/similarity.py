@@ -422,3 +422,88 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .drop("__sim")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN top-k — the standard billion-scale composition: the IVF
+    coarse quantizer prunes the corpus to ``nprobe`` probed buckets per
+    query, PQ codes stand in for raw vectors inside those buckets (ADC
+    scoring over m-byte codes), and only the per-query shortlist of
+    ``rerank`` candidates touches raw floats for the exact cosine
+    ranking.
+
+    Cost per query: O(n_centroids) probe scoring + O(|C|·nprobe/n_buckets)
+    ADC lookups + O(rerank·d) exact math — vs O(|C|·d) for brute force.
+    Every stage is JVM-side: centroids and codebooks ride as broadcast /
+    literal expressions, the bucket restriction is an equi-join on the
+    bucket id, and the two rankings are per-query windows
+    (WindowGroupLimit)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    nv = F.transform("v", lambda x: x / F.col("vn"))
+    codes = []
+    for s in range(m):
+        sub = F.slice(nv, s * dsub + 1, dsub)
+        dists = F.transform(_codebook_lit(codebooks[s]), lambda c: _l2sq(sub, c))
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    enc = assigned.select(
+        F.col(id_col), "v", "vn", "bucket", F.array(*codes).alias("codes")
+    )
+
+    cen = centroids.select(
+        F.col("centroid_id"), as_double("centroid").alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv0")
+    )
+    q = q.select("query_id", F.transform("qv0", lambda x: x / norm(F.col("qv0"))).alias("qv"))
+    qsim = dot(F.col("qv"), F.col("cv")) / F.col("cn")
+    wq = Window.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("centroid_id"))
+    probes = (
+        q.crossJoin(broadcast(cen))
+        .select("query_id", "qv", "centroid_id", qsim.alias("qsim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", F.col("centroid_id").alias("bucket"))
+    )
+
+    terms = []
+    for s in range(m):
+        qsub = F.slice("qv", s * dsub + 1, dsub)
+        centroid = F.element_at(
+            _codebook_lit(codebooks[s]), F.element_at("codes", s + 1) + 1
+        )
+        terms.append(_l2sq(qsub, centroid))
+    adist = F.round(sum(terms[1:], terms[0]), 6)
+    scored = (
+        probes.join(enc, "bucket")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id", "qv", F.col(id_col).alias("neighbor_id"),
+            "v", "vn", adist.alias("adist"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id"))
+    shortlist = (
+        scored.withColumn("__srn", F.row_number().over(ws))
+        .filter(F.col("__srn") <= max(rerank, k))
+    )
+    sim = F.round(dot(F.col("qv"), F.col("v")) / F.col("vn"), 6)  # qv unit-norm
+    w2 = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
+    return (
+        shortlist.select("query_id", "neighbor_id", "adist", sim.alias("__sim"))
+        .withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .drop("__sim")
+    )

@@ -192,3 +192,27 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = S2.pq_train(e, m=8, k=16, seed=42)
     queries = e.filter(F.col("vec_id") < 50)
     return S2.pq_topk(queries, e, books, k=5, rerank=50).withColumnRenamed("rank", "rnk")
+
+
+@query("q_sim_ivfpq", oracle=None, tags=("llm", "similarity", "approx"))
+def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-5 — the standard billion-scale composition, stacked
+    from this repo's own pieces: k-means|| coarse centroids prune to 4 of
+    16 buckets per query, PQ codes (m=8 x 16) stand in for raw vectors
+    inside the probed buckets (ADC over codes), and only the 50-candidate
+    shortlist touches raw floats for the exact cosine re-rank. Per-query
+    cost: 16 probe scores + ~|C|/4 ADC lookups + 50 exact dots — vs |C|
+    exact dots for q_sim_topk.
+
+    Rows-only (two trained quantizers); recall floor and the
+    bucket-pruning evidence are pinned in tests/test_llm_ops.py."""
+    from etl_open_source_spark.operators import similarity as S2
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = S2.kmeans_centroids(e, n=16, seed=42)
+    books = S2.pq_train(e, m=8, k=16, seed=42)
+    queries = e.filter(F.col("vec_id") < 50)
+    return S2.ivfpq_topk(
+        queries, e, centroids, books,
+        k=5, nprobe=4, rerank=50,
+    ).withColumnRenamed("rank", "rnk")

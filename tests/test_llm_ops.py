@@ -842,3 +842,47 @@ def test_pq_planted_cluster_recall(spark):
     }
     recall = len(brute & ann) / len(brute)
     assert recall >= 0.9, f"PQ missed planted structure: {recall}"
+
+
+def test_ivfpq_recall_and_pruning(spark, sf_dir):
+    """IVF-PQ (16 buckets, probe 4, m=8 PQ, 50-candidate re-rank) must
+    clear a recall floor vs brute force AND actually prune: every
+    returned neighbor must come from one of the query's 4 probed
+    buckets."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(e.vec_id < 20)
+    cents = S.kmeans_centroids(e, n=16, seed=42)
+    books = S.pq_train(e, m=8, k=16, seed=42)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(q, e, k=5).collect()
+    }
+    ann_rows = S.ivfpq_topk(q, e, cents, books, k=5, nprobe=4, rerank=50).collect()
+    ann = {(r.query_id, r.neighbor_id) for r in ann_rows}
+    recall = len(brute & ann) / len(brute)
+    # probing 4/16 buckets of a uniform corpus bounds recall; the floor
+    # pins mechanics (bucketing + ADC + re-rank all composing correctly)
+    assert recall >= 0.25, f"IVF-PQ recall collapsed: {recall}"
+    assert all(len({r.query_id for r in ann_rows if r.query_id == qid}) == 1
+               for qid in {r.query_id for r in ann_rows})
+
+    # pruning evidence: neighbors must lie in the probed buckets
+    assigned = {r[0]: r.bucket for r in S.ivf_assign(e, cents).collect()}
+    cen = cents.collect()
+    import math
+    evec = {r.vec_id: [float(x) for x in r.embedding] for r in e.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    for r in ann_rows:
+        sims = sorted(
+            ((cos(evec[r.query_id], [float(x) for x in c.centroid]), c.centroid_id)
+             for c in cen),
+            key=lambda t: (-t[0], t[1]),
+        )
+        probed = {cid for _, cid in sims[:4]}
+        assert assigned[r.neighbor_id] in probed, (r.query_id, r.neighbor_id)
