@@ -31,6 +31,7 @@ def sorted_neighborhood_pairs(
     block_len: int = 2,
     window: int = 4,
     threshold: float = 0.3,
+    key: Column | None = None,
 ) -> DataFrame:
     """Candidate pairs from a sorted-neighborhood pass, verified by exact
     token-set Jaccard.
@@ -47,7 +48,9 @@ def sorted_neighborhood_pairs(
     ``id_a < id_b`` canonical, ``jaccard`` rounded to 6 places.
     """
     toks = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
-    sk = F.substring(F.lower(F.col(text_col)), 1, key_len)
+    sk = F.substring(
+        F.lower(F.col(text_col)) if key is None else key, 1, key_len
+    )
     base = df.select(
         F.col(id_col).alias("__id"), sk.alias("__sk"), toks.alias("__toks")
     )

@@ -173,3 +173,70 @@ def q_graph_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         items, "l_orderkey", "l_partkey", min_support=2
     ).selectExpr("part_a AS src", "part_b AS dst")
     return link_prediction_jaccard(edges, max_degree=64, threshold=0.2)
+
+
+@query(
+    "q_dedup_snm_multikey",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS id,
+         LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' ')) AS toks,
+         SUBSTR(LOWER(text), 1, 16) AS sk1,
+         SUBSTR(REVERSE(LOWER(text)), 1, 16) AS sk2
+  FROM documents
+),
+r1 AS (
+  SELECT id, toks, SUBSTR(sk1, 1, 2) AS blk,
+         ROW_NUMBER() OVER (PARTITION BY SUBSTR(sk1, 1, 2) ORDER BY sk1, id) AS rn
+  FROM base
+),
+r2 AS (
+  SELECT id, toks, SUBSTR(sk2, 1, 2) AS blk,
+         ROW_NUMBER() OVER (PARTITION BY SUBSTR(sk2, 1, 2) ORDER BY sk2, id) AS rn
+  FROM base
+),
+p1 AS (
+  SELECT a.id AS ia, b.id AS ib, a.toks AS ta, b.toks AS tb
+  FROM r1 a JOIN r1 b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3
+),
+p2 AS (
+  SELECT a.id AS ia, b.id AS ib, a.toks AS ta, b.toks AS tb
+  FROM r2 a JOIN r2 b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3
+),
+scored AS (
+  SELECT LEAST(ia, ib) AS id_a, GREATEST(ia, ib) AS id_b,
+         ROUND(CAST(LEN(LIST_INTERSECT(ta, tb)) AS DOUBLE)
+               / (LEN(ta) + LEN(tb) - LEN(LIST_INTERSECT(ta, tb))), 6) AS jaccard
+  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+)
+SELECT DISTINCT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.3
+""",
+    tags=("mining", "llm", "dedup"),
+)
+def q_dedup_snm_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood dedup: the documented remedy for
+    blocked SNM's cross-block misses — run the window once on the prefix
+    key and once on the REVERSED-text prefix (docs differing only at the
+    start sort far apart on pass 1 but adjacent on pass 2), then union
+    the verified pairs. The multi-key union is to SNM what multi-band
+    hashing is to LSH: each extra pass trades one more O(n·w) sweep for
+    recall.
+
+    Shape: two single-exchange window passes + a distinct on the pair
+    key (jaccard is pair-determined, so the distinct never merges
+    conflicting scores)."""
+    from pyspark.sql import functions as F
+
+    from etl_open_source_spark.operators.neighborhood import (
+        sorted_neighborhood_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    common = dict(key_len=16, block_len=2, window=4, threshold=0.3)
+    p1 = sorted_neighborhood_pairs(d, "doc_id", "text", **common)
+    p2 = sorted_neighborhood_pairs(
+        d, "doc_id", "text",
+        key=F.reverse(F.lower(F.col("text"))),
+        **common,
+    )
+    return p1.unionAll(p2).distinct()

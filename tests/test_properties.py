@@ -1169,3 +1169,30 @@ def test_sorted_neighborhood_edge_inputs(spark_prop):
     assert ((out.id_a == 1) & (out.id_b == 2) & (out.jaccard == 1.0)).any()
     hit = out[(out.id_a == 4) & (out.id_b == 5)]
     assert len(hit) == 1 and abs(hit.jaccard.iloc[0] - 0.6) < 1e-9
+
+
+def test_snm_multikey_second_pass_catches_prefix_divergent_dups(spark_prop):
+    """A near-dup pair that differs only in its FIRST token sorts far
+    apart on the prefix key (pass 1 misses it) but adjacent on the
+    reversed-text key — the multi-key union must catch it."""
+    from pyspark.sql import functions as F
+
+    from etl_open_source_spark.operators.neighborhood import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"{chr(97 + i)}filler word salad number{i} end") for i in range(20)]
+    # planted: identical except the first token -> prefix keys 'aaa...'
+    # vs 'zzz...' (far apart), reversed keys identical
+    rows.append((100, "aaa shared middle body tail ending"))
+    rows.append((101, "zzz shared middle body tail ending"))
+    df = spark_prop.createDataFrame(rows, ["doc_id", "text"])
+    common = dict(key_len=16, block_len=2, window=4, threshold=0.5)
+
+    p1 = sorted_neighborhood_pairs(df, "doc_id", "text", **common).toPandas()
+    assert not ((p1.id_a == 100) & (p1.id_b == 101)).any()
+
+    p2 = sorted_neighborhood_pairs(
+        df, "doc_id", "text", key=F.reverse(F.lower(F.col("text"))), **common
+    ).toPandas()
+    assert ((p2.id_a == 100) & (p2.id_b == 101)).any()
