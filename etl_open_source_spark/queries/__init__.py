@@ -12,10 +12,13 @@ pre-verified locally against DuckDB at sf0.01 before the round ends
 (round 6: all 50 green at sf0.01 — 48 exact, 2 rows-only by design:
 q_dedup_near's hash-seeded LSH and q_sim_pq's k-means-trained PQ.
 Evidence: full-registry sf0.01 parity runs at several checkpoints this
-round — the closing sweep covered all 227 registered queries: 215
-exact, 10 rows-only, plus 2 mapInPandas queries that fail only when the
-harness runs outside the repo cwd (worker import path — both re-verified
-green from /root/repo, where the driver runs). The round-5 window
+round — the closing sweep (run from /root/repo, as the driver does)
+covered all 227 then-registered queries: 217 exact, 10 rows-only, 0
+failures; the two queries registered after it (q_sim_ivfpq,
+q_dedup_snm_multikey) were individually sf0.01-verified. An earlier
+sweep launched from outside the repo cwd false-failed the two
+mapInPandas queries (executor worker import path) — harness artifact,
+not code. The round-5 window
 recorded 3 driver ERR/FAIL rows despite a green local pre-verify because
 the local compare of that round did not model the driver hasher's
 array-cell and HUGEINT sensitivities — both are now pinned registry-wide
