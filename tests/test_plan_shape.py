@@ -531,3 +531,25 @@ def test_interval_overlap_equi_join_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_no_python_and_bucket_equi_join(spark, sf_dir):
+    # Codebooks/centroids ride as literals/broadcasts; the corpus-side
+    # bucket restriction must be an equi-join on the bucket id and the
+    # whole pipeline stays JVM-side.
+    plan = _formatted_plan(spark, sf_dir, "q_sim_ivfpq")
+    # the 16-row centroid table scans as applySchemaToPythonRDD (a
+    # driver-local list, not a Python eval stage) — assert on the actual
+    # Python execution nodes instead of the bare substring
+    for node in ("BatchEvalPython", "ArrowEval", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in plan, node
+    assert "CartesianProduct" not in plan
+
+
+def test_snm_multikey_two_window_passes_no_join(spark, sf_dir):
+    # Two single-exchange window passes + a distinct; any Join node means
+    # a pass regressed to a self-join formulation.
+    plan = _formatted_plan(spark, sf_dir, "q_dedup_snm_multikey")
+    assert "Join" not in plan
+    assert "Python" not in plan
