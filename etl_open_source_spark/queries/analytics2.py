@@ -361,3 +361,140 @@ def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n_ref", "n_cur", "n_bins_used", "psi")
     )
+
+
+@query(
+    "q_ts_stl_decompose",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+         CAST(DAYOFWEEK(DATE_TRUNC('day', ts)) AS BIGINT) AS dow,
+         SUM(CAST(value AS DECIMAL(18,4))) AS x
+  FROM events GROUP BY 1, 2, 3
+),
+tr AS (
+  SELECT event_type, day, dow, x,
+         CASE WHEN COUNT(*) OVER w7 = 7
+              THEN CAST(SUM(x) OVER w7 AS DOUBLE) / 7 END AS trend
+  FROM daily
+  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT *, CAST(ROUND(CAST(x AS DOUBLE) - trend, 6) AS DECIMAL(18,6)) AS detr
+  FROM tr
+),
+seas AS (
+  SELECT event_type, dow,
+         ROUND(CAST(SUM(detr) AS DOUBLE) / COUNT(detr), 6) AS seasonal
+  FROM det WHERE detr IS NOT NULL GROUP BY 1, 2
+)
+SELECT d.event_type, d.day,
+       CAST(d.x AS DOUBLE) AS x,
+       ROUND(d.trend, 6) AS trend,
+       s.seasonal,
+       ROUND(CAST(d.detr AS DOUBLE) - s.seasonal, 6) AS resid
+FROM det d JOIN seas s ON d.event_type = s.event_type AND d.dow = s.dow
+""",
+    tags=("timeseries",),
+)
+def q_ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition per event-type series: trend =
+    centered 7-day moving average (null at the edges where the window is
+    short), seasonal = day-of-week mean of the detrended series,
+    residual = the rest — the classic seasonality/anomaly split.
+
+    Parity design: the daily aggregate folds through DECIMAL; the trend
+    is ONE double division of an exact decimal sum; detrended values
+    round to 6 places and re-enter DECIMAL so the seasonal mean's
+    summation order cannot drift between engines. Shape: one corpus
+    shuffle (daily aggregate), one per-type window pass, one
+    dow-cardinality aggregate joined back."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.dayofweek(F.date_trunc("day", "ts")).cast("bigint").alias("dow"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("x"))
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    trend = F.when(
+        F.count("x").over(w7) == 7, F.sum("x").over(w7).cast("double") / 7
+    )
+    tr = daily.select("event_type", "day", "dow", "x", trend.alias("trend"))
+    det = tr.withColumn(
+        "detr",
+        F.round(F.col("x").cast("double") - F.col("trend"), 6).cast("decimal(18,6)"),
+    )
+    seas = (
+        det.filter(F.col("detr").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(
+            F.round(
+                F.sum("detr").cast("double") / F.count("detr"), 6
+            ).alias("seasonal")
+        )
+    )
+    return det.join(seas, ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        F.col("x").cast("double").alias("x"),
+        F.round("trend", 6).alias("trend"),
+        "seasonal",
+        F.round(F.col("detr").cast("double") - F.col("seasonal"), 6).alias("resid"),
+    )
+
+
+@query(
+    "q_quality_benford",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+tot AS (SELECT COUNT(*) AS n FROM digits)
+SELECT d AS digit,
+       COUNT(*) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / tot.n, 6) AS share,
+       ROUND(LOG10(1 + 1.0 / d), 6) AS benford_expected,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / tot.n - LOG10(1 + 1.0 / d), 6) AS deviation
+FROM digits CROSS JOIN tot
+GROUP BY d, tot.n
+""",
+    tags=("quality", "analytics"),
+)
+def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed
+    first-significant-digit shares vs the log10(1 + 1/d) expectation —
+    the classic fabricated-data / unit-mixing smoke test for financial
+    columns.
+
+    The first digit is taken through FLOOR -> BIGINT -> string (never
+    float formatting, whose shortest-round-trip text differs between
+    engines). One scan + a 9-row aggregate; the 1-row total broadcasts."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).cast("bigint").alias("d")
+    )
+    tot = digits.agg(F.count(F.lit(1)).alias("n"))
+    share = F.count(F.lit(1)) / F.first("n")
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("d").alias("digit"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.count(F.lit(1)) / F.first("n"), 6).alias("share"),
+            F.round(F.log10(1 + 1.0 / F.col("digit").cast("double")), 6).alias(
+                "benford_expected"
+            ),
+            F.round(
+                F.count(F.lit(1)) / F.first("n")
+                - F.log10(1 + 1.0 / F.col("digit").cast("double")),
+                6,
+            ).alias("deviation"),
+        )
+    )
