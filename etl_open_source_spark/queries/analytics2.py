@@ -498,3 +498,59 @@ def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("deviation"),
         )
     )
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT c.click_id, c.user_id, c.cts, MAX(p.pts) AS pts
+  FROM c LEFT JOIN p
+    ON p.user_id = c.user_id
+   AND p.pts <= c.cts
+   AND p.pts >= c.cts - INTERVAL 2 HOUR
+  GROUP BY c.click_id, c.user_id, c.cts
+)
+SELECT click_id, user_id, pts AS last_purchase_ts,
+       EPOCH_MS(cts) - EPOCH_MS(pts) AS gap_ms
+FROM m
+""",
+    tags=("join", "timeseries"),
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join: each click annotated with the same
+    user's most recent purchase, but only if it happened within the last
+    2 hours — the 'recent context' lookup where an unbounded as-of would
+    attach stale state. Exercises the operator's ``tolerance`` bound
+    (operators/asof.py), which q_join_asof/q_join_asof_forward leave
+    open.
+
+    Same ONE union + (user)-partitioned window as every as-of direction;
+    the tolerance is a post-carry validity predicate, not an extra
+    join."""
+    from etl_open_source_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    joined = asof_join(
+        clicks, buys, by=["user_id"], left_on="cts", right_on="pts",
+        tolerance="2 hours", direction="backward",
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.col("pts").alias("last_purchase_ts"),
+        (F.unix_millis("cts") - F.unix_millis("pts")).alias("gap_ms"),
+    )
