@@ -14,8 +14,10 @@ q_dedup_near's hash-seeded LSH and q_sim_pq's k-means-trained PQ.
 Evidence: full-registry sf0.01 parity runs at several checkpoints this
 round — the closing sweep (run from /root/repo, as the driver does)
 covered all 227 then-registered queries: 217 exact, 10 rows-only, 0
-failures; the two queries registered after it (q_sim_ivfpq,
-q_dedup_snm_multikey) were individually sf0.01-verified. An earlier
+failures; every query registered after it (q_sim_ivfpq,
+q_dedup_snm_multikey, q_ts_stl_decompose, q_quality_benford,
+q_join_asof_tolerance, q_ts_autocorr) was individually
+sf0.01-verified. An earlier
 sweep launched from outside the repo cwd false-failed the two
 mapInPandas queries (executor worker import path) — harness artifact,
 not code. The round-5 window

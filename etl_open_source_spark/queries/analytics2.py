@@ -554,3 +554,56 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pts").alias("last_purchase_ts"),
         (F.unix_millis("cts") - F.unix_millis("pts")).alias("gap_ms"),
     )
+
+
+@query(
+    "q_ts_autocorr",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, x,
+         LAG(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+         LAG(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS x7
+  FROM daily
+)
+SELECT event_type,
+       CAST(COUNT(x1) AS BIGINT) AS n_lag1,
+       ROUND(CORR(x, x1), 6) AS acf_lag1,
+       ROUND(CORR(x, x7), 6) AS acf_lag7
+FROM lagged
+GROUP BY event_type
+""",
+    tags=("timeseries", "agg"),
+)
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of each event-type's daily series —
+    the seasonality/persistence fingerprint (a strong lag-7 ACF is the
+    weekly cycle q_ts_stl_decompose then extracts). Daily sums fold
+    through DECIMAL; the Pearson correlations round to 6 places (CORR's
+    merge order can differ between engines in the last ulps — same
+    contract as q_agg_corr, hash-green since r5).
+
+    Shape: one daily aggregate, one per-type window for the lags, one
+    type-cardinality aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("x1").cast("bigint").alias("n_lag1"),
+        F.round(F.corr("x", "x1"), 6).alias("acf_lag1"),
+        F.round(F.corr("x", "x7"), 6).alias("acf_lag7"),
+    )
