@@ -410,3 +410,44 @@ def q_sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q_scan_binary_files",
+    oracle="""
+SELECT * FROM (VALUES
+  ('a.bin', CAST(16 AS BIGINT), '1ac1ef01e96caf1be0d329331a4fc2a8'),
+  ('b.bin', CAST(19 AS BIGINT), 'f509674f5ad67b6a377b716d5c1ba31c'),
+  ('c.bin', CAST(64 AS BIGINT), 'aabd2b2a451504e119a243d8e775fdad')
+) AS t(name, n_bytes, md5)
+""",
+    tags=("scan", "multimodal"),
+)
+def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingestion via Spark's ``binaryFile`` source — the
+    entry point for raw media corpora (images/audio on a shared
+    filesystem or object store) before the multimodal stages
+    (operators/multimodal.py) take over. Emits per-file name, byte
+    length, and content MD5; the query writes a deterministic 3-file
+    fixture first, so the oracle is a constant table of precomputed
+    hashes — the scan's content bytes are value-verified end to end.
+
+    At scale the source parallelizes per file and supports
+    ``pathGlobFilter``/``recursiveFileLookup``; files stream through as
+    binary columns, never driver-collected."""
+    d = os.path.join(tempfile.gettempdir(), "etl_scan_binary_demo")
+    os.makedirs(d, exist_ok=True)
+    payloads = {
+        "a.bin": bytes(range(16)),
+        "b.bin": b"spark-binary-source",
+        "c.bin": bytes([255] * 64),
+    }
+    for name, blob in payloads.items():
+        with open(os.path.join(d, name), "wb") as fh:
+            fh.write(blob)
+    df = spark.read.format("binaryFile").load(d)
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("md5"),
+    )
