@@ -289,3 +289,30 @@ def test_xml_write_read_append(spark, tmp_path):
     assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a"), (2, "b")]
     with _pytest.raises(ValueError):
         write_xml(df1, p, mode="truncate")
+
+
+def test_binary_file_source_glob_and_recursive(spark, tmp_path):
+    """binaryFile's scale knobs actually work: pathGlobFilter restricts by
+    extension and recursiveFileLookup walks nested shards — the layout a
+    raw media corpus lands in (shard dirs of .jpg/.bin blobs)."""
+    from pyspark.sql import functions as F
+
+    root = tmp_path / "media"
+    (root / "shard=0").mkdir(parents=True)
+    (root / "shard=1").mkdir(parents=True)
+    (root / "shard=0" / "x.bin").write_bytes(b"\x01\x02")
+    (root / "shard=0" / "skip.txt").write_bytes(b"nope")
+    (root / "shard=1" / "y.bin").write_bytes(b"\x03\x04\x05")
+
+    got = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .option("recursiveFileLookup", "true")
+        .load(str(root))
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("name"),
+            F.col("length").cast("long").alias("n"),
+        )
+        .collect()
+    )
+    assert {(r.name, r.n) for r in got} == {("x.bin", 2), ("y.bin", 3)}

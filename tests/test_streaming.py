@@ -474,3 +474,60 @@ def test_transform_with_state_totals(spark, stream_env):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_binary_ingest_through_multimodal_stage(spark, tmp_path):
+    """Raw-media streaming ingest end to end: readStream over a
+    binaryFile directory feeds the Arrow-batched metadata stage
+    (operators/multimodal.py) and lands per-file rows in a memory sink —
+    the continuous version of q_scan_binary_files + q_multimodal_meta."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+    )
+
+    from etl_open_source_spark.operators.multimodal import (
+        extract_binary_metadata,
+    )
+
+    d = tmp_path / "stream_media"
+    d.mkdir()
+    (d / "a.bin").write_bytes(bytes(range(8)))
+    (d / "b.bin").write_bytes(b"\x89PNG\r\n\x1a\n" + b"0" * 16)
+
+    schema = StructType([
+        StructField("path", StringType()),
+        StructField("length", LongType()),
+        StructField("content", BinaryType()),
+    ])
+    src = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            spark.read.format("binaryFile").load(str(d)).schema
+        )
+        .load(str(d))
+        .select(
+            F.xxhash64("path").alias("id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    meta = extract_binary_metadata(src, id_col="id", bin_col="payload")
+    q = (
+        meta.writeStream.format("memory")
+        .queryName("bin_meta_sink")
+        .outputMode("append")
+        .start()
+    )
+    import hashlib
+
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM bin_meta_sink").collect()
+    finally:
+        q.stop()
+    got = {(r.n_bytes, r.content_md5) for r in rows}
+    want = {
+        (8, hashlib.md5(bytes(range(8))).hexdigest()),
+        (24, hashlib.md5(b"\x89PNG\r\n\x1a\n" + b"0" * 16).hexdigest()),
+    }
+    assert got == want
