@@ -115,23 +115,28 @@ def q_window_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame can produce (COUNT(DISTINCT) OVER a range frame isn't
     decomposable).
 
-    Shape: the day dimension (distinct days — tiny) broadcast onto a
-    range-condition join against the event scan, then one aggregate. The
-    fan-out is bounded by the window length (each event lands in at most
-    7 day-groups) — the standard rolling-distinct expansion; at 100 TB
-    the alternative is per-day HLL sketch union (q_agg_hll_merge shows
-    the mergeable path) when exactness can be traded."""
+    Shape: each event EXPLODES into the 7 window days it serves
+    (bounded 7x fan-out, scan-local), a broadcast semi-join against the
+    distinct-day dimension drops target days with no events of their
+    own, and one equi-shuffle on the day aggregates. (A range-condition
+    join of the day dimension against the event scan would be a
+    broadcast nested loop — |days| x |events| comparisons, wrong at
+    10^12 events; the explode formulation is the standard
+    rolling-distinct expansion.) At 100 TB the exactness-trading
+    alternative is per-day HLL sketch union (q_agg_hll_merge shows the
+    mergeable path)."""
     e = load_table(spark, sf_dir, "events").select(
         F.date_trunc("day", "ts").cast("date").alias("eday"), "user_id"
     )
     days = e.select(F.col("eday").alias("day")).distinct()
+    exploded = e.select(
+        F.explode(
+            F.sequence(F.col("eday"), F.date_add(F.col("eday"), 6))
+        ).alias("day"),
+        "user_id",
+    )
     return (
-        F.broadcast(days)
-        .join(
-            e,
-            (F.col("eday") >= F.date_sub(F.col("day"), 6))
-            & (F.col("eday") <= F.col("day")),
-        )
+        exploded.join(F.broadcast(days), "day", "semi")
         .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
         .agg(
             F.countDistinct("user_id").alias("n_users_7d"),

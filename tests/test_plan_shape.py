@@ -506,12 +506,15 @@ def test_assoc_rules_single_pair_mine_basket_count_broadcast(spark, sf_dir):
     assert "Generate explode" in plan or "Generate" in plan
 
 
-def test_rolling_distinct_day_dimension_broadcasts(spark, sf_dir):
-    # The day dimension is tiny and must broadcast onto the event scan;
-    # the range join must not shuffle the fact side by range buckets.
+def test_rolling_distinct_explodes_not_nested_loop(spark, sf_dir):
+    # Each event explodes into its 7 window days (bounded fan-out) and the
+    # day-dimension check rides a broadcast SEMI join — a range-condition
+    # nested loop (|days| x |events| comparisons) must never come back.
     plan = _formatted_plan(spark, sf_dir, "q_window_distinct_rolling")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "LeftSemi" in plan
 
 
 def test_cusum_single_corpus_shuffle(spark, sf_dir):
