@@ -64,8 +64,25 @@ def association_rules(
     onto the rule set and item supports join on the item key (shuffle
     bounded by |items|, not |baskets|). Each unordered pair emits both
     rule directions. Rates round to 6 places for cross-engine parity.
+
+    When ``max_basket_size`` fires, the dropped baskets are removed from
+    EVERY universe — pair supports, item supports, and n_baskets — so
+    confidence and lift stay internally consistent (they describe the
+    guarded dataset exactly, rather than mixing a guarded numerator with
+    unguarded denominators).
     """
     items = df.select(basket_col, item_col).distinct()
+    if max_basket_size is not None:
+        from pyspark.sql import Window
+
+        items = (
+            items.withColumn(
+                "__bsz",
+                F.count(F.lit(1)).over(Window.partitionBy(basket_col)),
+            )
+            .filter(F.col("__bsz") <= max_basket_size)
+            .drop("__bsz")
+        )
     n_baskets = items.select(basket_col).distinct().agg(
         F.count(F.lit(1)).alias("__n_baskets")
     )

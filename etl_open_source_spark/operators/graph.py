@@ -66,6 +66,13 @@ def pagerank_integer(
             .cast("bigint")
             .alias("r"),
         )
+        # localCheckpoint each round, same as connected_components
+        # (dedup.py:311,401): without it round N's logical plan nests
+        # rounds 1..N-1 and Catalyst re-analysis goes superlinear once
+        # `iters` leaves the single digits. Eager: the graph is
+        # entity-sized (nation-level), so materializing each round is
+        # cheap and keeps driver-side plan memory flat.
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

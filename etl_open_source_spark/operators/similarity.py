@@ -34,6 +34,15 @@ def norm(a) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _drop_zero_norm(df: DataFrame, vec: str = "v") -> DataFrame:
+    """Drop all-zero (and null) vectors before unit-normalization. A
+    zero-norm row divides to NaN/null array elements, which either fails
+    a downstream KMeans fit or silently emits null codes/distances — a
+    production encoder drops degenerate vectors at ingest, so every
+    normalizing entry point here does the same (ADVICE r6)."""
+    return df.filter(norm(F.col(vec)) > 0)
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -79,12 +88,15 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine) →
     (vec_id, embedding, bucket). Centroids are broadcast; one pass."""
+    # zero-norm guard (ADVICE r6): cosine divides by vn*cn, an ANSI
+    # divide-by-zero for a degenerate all-zero vector or centroid —
+    # drop both up front, same policy as the PQ entry points
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
         "vn", norm(F.col("v"))
-    )
+    ).filter(F.col("vn") > 0)
     cen = centroids.select(
         F.col("centroid_id"), as_double("centroid").alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm(F.col("cv"))).filter(F.col("cn") > 0)
     sim = dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
     w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("centroid_id"))
     return (
@@ -286,7 +298,7 @@ def pq_train(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    v = corpus.select(as_double(vec_col).alias("v"))
+    v = _drop_zero_norm(corpus.select(as_double(vec_col).alias("v")))
     if sample_fraction is not None:
         v = v.sample(fraction=sample_fraction, seed=seed)
     nv = F.transform("v", lambda x: x / norm(F.col("v")))
@@ -330,7 +342,7 @@ def pq_encode(
     (array_position returns the first minimum)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    v = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+    v = _drop_zero_norm(corpus.select(F.col(id_col), as_double(vec_col).alias("v")))
     nv = F.transform("v", lambda x: x / norm(F.col("v")))
     v = v.select(id_col, nv.alias("v"))
     codes = []
@@ -375,7 +387,10 @@ def pq_topk(
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     enc = pq_encode(corpus, codebooks, id_col, vec_col)
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    q = _drop_zero_norm(
+        queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")),
+        "qv",
+    )
     qn = F.transform("qv", lambda x: x / norm(F.col("qv")))
     q = q.select("query_id", qn.alias("qv"))
     terms = []
@@ -450,7 +465,9 @@ def ivfpq_topk(
     (WindowGroupLimit)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).filter(
+        F.col("vn") > 0
+    )
     nv = F.transform("v", lambda x: x / F.col("vn"))
     codes = []
     for s in range(m):
@@ -464,8 +481,11 @@ def ivfpq_topk(
     cen = centroids.select(
         F.col("centroid_id"), as_double("centroid").alias("cv")
     ).withColumn("cn", norm(F.col("cv")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv0")
+    q = _drop_zero_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv0")
+        ),
+        "qv0",
     )
     q = q.select("query_id", F.transform("qv0", lambda x: x / norm(F.col("qv0"))).alias("qv"))
     qsim = dot(F.col("qv"), F.col("cv")) / F.col("cn")

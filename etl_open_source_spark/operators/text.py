@@ -33,7 +33,7 @@ TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
 def normalize_ws(text_col: str | Column) -> Column:
-    """Whitespace normalization — the pre-tokenization cleanup stage:
+    r"""Whitespace normalization — the pre-tokenization cleanup stage:
     collapse every whitespace run (spaces, tabs, newlines, NBSP via \s)
     to one space and strip the ends. Scan-local; run it once at ingest
     and every single-space tokenizer downstream is exact."""

@@ -63,48 +63,34 @@ _MODULES = [
     "analytics2",
 ]
 
-# Round-6 rotation. Every registered query has now been driver-checked at
-# least once (round 5 closed the first-timer backlog), so the policy
-# reduces to: (1) queries fixed this round, (2) queries whose code changed
-# after their last green row, (3) re-checks of the oldest evidence
-# (round-1 rows untouched for 5 rounds, then the oldest round-2 rows).
-# Order within the list = expected driver check order.
+# Round-7 rotation: the stale-evidence sweep (VERDICT r6 item #1).
+# Policy, in priority order: (1) the 7 queries registered after the r6
+# window snapshot that have never received a driver row, (2) re-checks of
+# the oldest evidence — all 37 rows still carrying round-1 evidence
+# (filter/join/agg/scalar/setop/window families, code unchanged for five
+# rounds), then the oldest round-2 rows in registration order until the
+# 50 slots are full. All 50 pre-verified locally against DuckDB at sf0.01
+# before the round ends.
 _VERIFY_FIRST = [
-    # --- first-timers: the round-6 queries (never driver-checked)
-    "q_text_rep_ngram", "q_split_leakage_safe", "q_ts_ewma", "q_text_hashvec",
-    "q_scan_partition_pruned",
-    "q_snapshot_diff", "q_scd2_lookup", "q_shard_assign", "q_compact_files",
-    "q_ts_anomaly", "q_gaps_islands", "q_mv_incremental", "q_winsorize",
-    "q_cohort_retention", "q_attribution_last_touch", "q_join_null_safe",
-    "q_sink_json_roundtrip", "q_pair_cooccurrence", "q_event_transitions",
-    "q_rfm_segments", "q_embedding_norm_stats", "q_union_by_name",
-    "q_scan_merge_schema", "q_ts_twap", "q_join_bucketed_colocated",
-    "q_scan_csv_permissive", "q_ts_mom_change", "q_text_normalize_ws",
-    "q_skyline_pareto", "q_graph_pagerank", "q_sample_reservoir",
-    "q_dedup_containment", "q_sink_xml_roundtrip", "q_graph_triangles",
-    # --- the 3 hash-red rows fixed this round (oracle BIGINT cast;
-    #     array outputs CSV-joined for the driver hasher)
-    "q_quality_fk", "q_fn_lambda", "q_embedding_quantize",
-    # --- code changed this round after their last check: LSH hot-bucket
-    #     guard reshaped (collect_list pass), frequent-shingle broadcast
-    #     hint dropped, chunk_audio empty-payload behavior
-    "q_dedup_near", "q_text_dup_ngram_frac", "q_multimodal_audio_chunks",
-    # --- late-round-6 first-timers (mining / diagnostics / ANN packs —
-    #     never driver-checked; first-timers outrank re-checks, so these
-    #     displace the 10 round-1-evidence agg re-checks that briefly
-    #     held the window tail)
-    "q_assoc_rules", "q_dedup_sorted_neighborhood", "q_graph_link_jaccard",
-    "q_ts_cusum", "q_window_distinct_rolling", "q_skew_key_stats",
-    "q_sim_pq", "q_join_interval_overlap", "q_quality_psi",
-    "q_stream_interval_join",
-    # (q_agg_* round-1 re-checks, q_except, q_filter_between,
-    #  q_filter_compound, q_filter_like, q_filter_null, q_join_broadcast,
-    #  q_fn_array, q_fn_cast, q_fn_cond, q_fn_date, q_fn_hash, q_fn_json,
-    #  q_fn_math, q_fn_string, q_intersect, q_join_anti, q_join_cross,
-    #  q_join_full, q_join_multikey, q_join_semi, q_join_theta, q_limit,
-    #  q_sort_multi, q_union_all, q_union_distinct, q_window_lag_lead,
-    #  q_window_rank and the round-2 rows remain rotated out — the oldest
-    #  evidence queues for round 7 per the policy above)
+    # --- first-timers: registered after the round-6 window snapshot
+    "q_dedup_snm_multikey", "q_join_asof_tolerance", "q_quality_benford",
+    "q_scan_binary_files", "q_sim_ivfpq", "q_ts_autocorr",
+    "q_ts_stl_decompose",
+    # --- round-1-evidence re-checks (all 37; last driver row 5 rounds old)
+    "q_agg_approx_distinct", "q_agg_collect", "q_agg_cube",
+    "q_agg_distinct", "q_agg_global", "q_agg_groupby",
+    "q_agg_groupingsets", "q_agg_having", "q_agg_pivot", "q_agg_rollup",
+    "q_except", "q_filter_between", "q_filter_compound", "q_filter_like",
+    "q_filter_null", "q_fn_array", "q_fn_cast", "q_fn_cond", "q_fn_date",
+    "q_fn_hash", "q_fn_json", "q_fn_math", "q_fn_string", "q_intersect",
+    "q_join_anti", "q_join_broadcast", "q_join_cross", "q_join_full",
+    "q_join_multikey", "q_join_semi", "q_join_theta", "q_limit",
+    "q_sort_multi", "q_union_all", "q_union_distinct", "q_window_lag_lead",
+    "q_window_rank",
+    # --- oldest round-2 rows, registration order (the rest of the r2
+    #     backlog queues for round 8)
+    "q_dedup_exact", "q_multimodal_meta", "q_sample_uniform",
+    "q_sample_weighted", "q_sample_split", "q_sample_stratified",
 ]
 
 _loaded = False

@@ -431,9 +431,13 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality score: mean log2-probability of a doc's words
     under the corpus unigram distribution (the cheapest perplexity proxy —
     gibberish and off-distribution docs score low). Two aggregates + one
-    join against the vocabulary-sized frequency table (broadcast; at web
-    scale the vocab join shuffles and AQE picks the side). Train the
-    frequency table on a SAMPLE at 100 TB — compose with sample_uniform."""
+    join against the vocabulary-sized frequency table. The vocab join is
+    deliberately UNhinted (mirrors operators/curation.py:76-78): a web-
+    scale vocabulary — noisy tokens push distinct words into the hundreds
+    of millions — OOMs a forced broadcast, while AQE broadcasts it when
+    the runtime size qualifies and degrades to a shuffle join when it
+    doesn't. Train the frequency table on a SAMPLE at 100 TB — compose
+    with sample_uniform."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
@@ -442,7 +446,7 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = freq.agg(F.sum("cnt").alias("total"))
     logp = F.log2(F.col("cnt").cast("double") / F.col("total"))
     return (
-        words.join(freq.hint("broadcast"), "word")
+        words.join(freq, "word")
         .crossJoin(F.broadcast(total))
         .select("doc_id", logp.alias("logp"))
         .groupBy("doc_id")

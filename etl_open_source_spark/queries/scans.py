@@ -435,8 +435,11 @@ def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the source parallelizes per file and supports
     ``pathGlobFilter``/``recursiveFileLookup``; files stream through as
     binary columns, never driver-collected."""
-    d = os.path.join(tempfile.gettempdir(), "etl_scan_binary_demo")
-    os.makedirs(d, exist_ok=True)
+    # fresh per-run directory: a fixed shared path + exist_ok would scan
+    # any stale file a concurrent or older run left behind, breaking the
+    # constant-table oracle (ADVICE r6) — mkdtemp keeps the scan's input
+    # exactly the 3 fixture files, like the other round-trip queries
+    d = tempfile.mkdtemp(prefix="etl_scan_binary_demo_")
     payloads = {
         "a.bin": bytes(range(16)),
         "b.bin": b"spark-binary-source",

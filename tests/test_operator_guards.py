@@ -144,3 +144,41 @@ def test_run_checks_fk_only_and_quoted_rule(spark):
               F.sum(F.when(F.col("fk").isNull(), 1).otherwise(0)).cast("bigint"))
     rows = run_checks(df, [quoted]).collect()
     assert rows[0].rule == "not_null(it's)" and rows[0].violations == 0
+
+
+def test_pq_path_drops_zero_norm_vectors(spark):
+    """An all-zero embedding divides to null/NaN under unit-normalization
+    — previously failing the KMeans fit or silently emitting null codes
+    and distances (ADVICE r6). Every normalizing PQ entry point now drops
+    zero-norm vectors up front, like a production encoder would at
+    ingest; valid vectors are unaffected."""
+    from etl_open_source_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        sample_centroids,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # degenerate
+        (4, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    books = [
+        [[1.0, 0.0], [0.0, 1.0]],
+        [[0.0, 0.0], [1.0, 1.0]],
+    ]  # m=2, dsub=2 literal codebooks — deterministic, no KMeans needed
+    enc = pq_encode(df, books).toPandas()
+    assert set(enc["vec_id"]) == {1, 2, 4}  # zero vector dropped
+    assert not enc["codes"].isna().any()
+
+    top = pq_topk(df, df, books, k=2).toPandas()
+    assert 3 not in set(top["query_id"]) and 3 not in set(top["neighbor_id"])
+    assert not top["adist"].isna().any()
+
+    cen = sample_centroids(df.filter("vec_id != 3"), n=2)
+    ivf = ivfpq_topk(df, df, cen, books, k=2, nprobe=2, rerank=3).toPandas()
+    assert 3 not in set(ivf["query_id"]) and 3 not in set(ivf["neighbor_id"])
+    assert not ivf["adist"].isna().any()

@@ -324,12 +324,20 @@ def test_ohlc_single_aggregate_no_window(spark, sf_dir):
     assert "Window" not in plan and "Join" not in plan
 
 
-def test_lm_score_vocab_join_broadcast(spark, sf_dir):
-    """The vocabulary frequency join must broadcast (never sort-merge the
-    exploded word stream against the vocab at fixture scale)."""
+def test_lm_score_vocab_join_strategy_unpinned(spark, sf_dir):
+    """The vocab join is deliberately hint-free (VERDICT r6): AQE
+    broadcasts the frequency table when its runtime size qualifies (the
+    fixture case) and degrades to a shuffled join instead of OOMing on a
+    web-scale vocabulary — either strategy is a correct plan, so the
+    test tolerates both (mirrors test_dup_ngram_frac_semi_join). What
+    must NOT appear is a nested-loop join of the word stream."""
     plan = _formatted_plan(spark, sf_dir, "q_text_lm_score")
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+    assert "CartesianProduct" not in plan
 
 
 def test_url_normalize_scan_local_plus_one_window(spark, sf_dir):
@@ -460,13 +468,18 @@ def test_skyline_no_sort_merge_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
-def test_pagerank_caches_edges_once(spark, sf_dir):
-    """The 4-way fact join that builds the edge list is persisted: all 5
-    iterations must read the InMemory edge relation, so the plan carries
-    cache scans and the lineitem parquet subtree appears only inside the
-    cached build, not once per iteration."""
+def test_pagerank_lineage_truncated_per_round(spark, sf_dir):
+    """Each iteration localCheckpoints its ranks (VERDICT r6 #6), so the
+    FINAL plan must scan the round-N checkpoint RDD — not nest rounds
+    1..N-1 (the nested form makes Catalyst re-analysis superlinear in
+    `iters`). Consequently the lineitem fact subtree must NOT appear in
+    the final plan at all: the 4-way edge build ran once, inside the
+    (persisted) iteration, and only the checkpointed ranks + the
+    dimension join-back remain. Deep-iteration completion is pinned by
+    test_pagerank_deep_iteration_no_plan_blowup."""
     plan = _formatted_plan(spark, sf_dir, "q_graph_pagerank")
-    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert "ExistingRDD" in plan
+    assert "lineitem" not in plan
 
 
 def test_reservoir_pushes_window_group_limit(spark, sf_dir):

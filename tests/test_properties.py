@@ -1196,3 +1196,74 @@ def test_snm_multikey_second_pass_catches_prefix_divergent_dups(spark_prop):
         df, "doc_id", "text", key=F.reverse(F.lower(F.col("text"))), **common
     ).toPandas()
     assert ((p2.id_a == 100) & (p2.id_b == 101)).any()
+
+
+def test_pagerank_deep_iteration_no_plan_blowup(spark_prop):
+    """iters=20 must stay bit-exact vs the dict reference AND complete
+    without superlinear plan growth — pins the localCheckpoint-per-round
+    lineage truncation in pagerank_integer (VERDICT r6 #6: without it,
+    round N's logical plan nests rounds 1..N-1 and Catalyst re-analysis
+    blows up past ~8 iterations, same pitfall connected_components fixed
+    in operators/dedup.py:311,401)."""
+    from etl_open_source_spark.operators.graph import pagerank_integer
+
+    nodes = list(range(6))
+    edges = [(0, 1, 2), (1, 2, 1), (2, 0, 3), (2, 3, 1), (3, 4, 1), (4, 0, 5)]
+    ndf = spark_prop.createDataFrame([(v,) for v in nodes], "v bigint")
+    edf = spark_prop.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+    got = {
+        r.v: r.r
+        for r in pagerank_integer(ndf, edf, iters=20, scale=10**9).collect()
+    }
+    want = _naive_pagerank(nodes, edges, iters=20, scale=10**9)
+    assert got == want
+
+
+def test_association_rules_guard_uses_consistent_universe(spark_prop):
+    """When max_basket_size fires, confidence/lift must describe the
+    GUARDED dataset exactly: dropped baskets leave every universe — pair
+    supports, item supports, n_baskets (ADVICE r6: mixing a guarded
+    numerator with unguarded denominators yields rates corresponding to
+    no consistent dataset)."""
+    import itertools
+
+    from etl_open_source_spark.operators.baskets import association_rules
+
+    baskets = {
+        1: {"a", "b"},
+        2: {"a", "b", "c"},
+        3: {"b", "c"},
+        4: {"a", "c"},
+        # degenerate basket: over the cap, dropped whole
+        5: set("abcdefghij"),
+    }
+    rows = [(bk, it) for bk, items in baskets.items() for it in items]
+    df = spark_prop.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r.antecedent, r.consequent): r
+        for r in association_rules(
+            df, "basket", "item", min_support=1, max_basket_size=4
+        ).collect()
+    }
+
+    kept = {bk: items for bk, items in baskets.items() if len(items) <= 4}
+    n = len(kept)
+    supp: dict = {}
+    for items in kept.values():
+        for it in items:
+            supp[it] = supp.get(it, 0) + 1
+    pair_supp: dict = {}
+    for items in kept.values():
+        for x, y in itertools.combinations(sorted(items), 2):
+            pair_supp[(x, y)] = pair_supp.get((x, y), 0) + 1
+    expected = {}
+    for (x, y), s in pair_supp.items():
+        for a, c in ((x, y), (y, x)):
+            conf = s / supp[a]
+            expected[(a, c)] = (s, round(conf, 6), round(conf * n / supp[c], 6))
+    assert set(got) == set(expected)
+    for key, (s, conf, lift) in expected.items():
+        r = got[key]
+        assert (r.support, r.confidence, r.lift) == (s, conf, lift), key
+        # internal consistency: a probability, not a guarded/unguarded mix
+        assert 0 < r.confidence <= 1

@@ -72,3 +72,29 @@ def test_no_python_in_hot_path(spark, sf_dir, name):
             f"{name} no longer plans {sorted(allowed - found)}; "
             f"shrink _SANCTIONED"
         )
+
+
+def test_no_forced_broadcast_hints_in_source():
+    """No ``.hint("broadcast")`` anywhere in the engine source (VERDICT
+    r6). A *forced* broadcast of an unbounded-cardinality side (a corpus
+    vocabulary, a fact-derived aggregate) OOMs the driver at 100 TB where
+    an unhinted join lets AQE broadcast only when the runtime size
+    qualifies and degrade to a shuffle join when it doesn't. Explicit
+    ``F.broadcast()`` calls on dimension-sized/model-sized frames remain
+    allowed — this guard targets the string-hint form, which history
+    shows is how the unbounded ones sneak in (q_text_lm_score, the
+    frequent-shingle join). Add an allowlist entry here only with a
+    written cardinality bound."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "etl_open_source_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if re.search(r"""\.hint\(\s*['"]broadcast['"]""", line):
+                offenders.append(f"{p.relative_to(root.parent)}:{i}")
+    assert not offenders, (
+        f"forced broadcast hint(s) found: {offenders} — drop the hint and "
+        f"let AQE choose, or use F.broadcast() with a documented bound"
+    )
