@@ -137,7 +137,10 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ws.alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
         n_chars.alias("n_chars_c"),
-        F.round(n_chars / bpe, 6).alias("chars_per_token"),
+        # try_divide: an empty/whitespace-only doc has 0 regex tokens —
+        # chars-per-token is undefined (NULL), mirrored by NULLIF in the
+        # oracle; plain division is an ANSI error on real corpora
+        F.round(F.try_divide(n_chars, bpe), 6).alias("chars_per_token"),
     )
 
 

@@ -104,9 +104,9 @@ WITH base AS (
   FROM orders GROUP BY o_custkey
 )
 SELECT o_custkey,
-       CAST(NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS BIGINT) AS r_bucket,
-       CAST(NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT) AS f_bucket,
-       CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_bucket,
+       CAST(NTILE(4) OVER (ORDER BY last_order DESC, o_custkey ASC NULLS LAST) AS BIGINT) AS r_bucket,
+       CAST(NTILE(4) OVER (ORDER BY freq DESC, o_custkey ASC NULLS LAST) AS BIGINT) AS f_bucket,
+       CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey ASC NULLS LAST) AS BIGINT) AS m_bucket,
        CAST(monetary AS DOUBLE) AS monetary
 FROM base
 """,
@@ -115,10 +115,13 @@ FROM base
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: every customer scored into recency / frequency /
     monetary quartiles (1 = best) — the classic lifecycle-marketing
-    segmentation. NTILE over (metric DESC, custkey) — identical bucket-
-    boundary semantics in both engines once the order is made total by
-    the key tiebreak; without it quartile membership at metric ties is
-    engine-dependent.
+    segmentation. NTILE over (metric DESC, custkey NULLS LAST) —
+    identical bucket-boundary semantics in both engines once the order
+    is made total by the key tiebreak; without it quartile membership at
+    metric ties is engine-dependent, and the NULLS placement must be
+    pinned too (Spark ASC defaults nulls-first, DuckDB nulls-last — a
+    NULL customer key shifts every ntile boundary; caught by the
+    adversarial fixture suite).
 
     Shape: one per-customer aggregate, then three global NTILE windows.
     The global sort is the scale caveat: at 100 TB replace exact NTILE
@@ -132,7 +135,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("monetary"),
     )
     nt = lambda col: F.ntile(4).over(  # noqa: E731
-        Window.orderBy(F.col(col).desc(), F.col("o_custkey").asc())
+        Window.orderBy(F.col(col).desc(), F.col("o_custkey").asc_nulls_last())
     )
     return base.select(
         "o_custkey",

@@ -480,7 +480,7 @@ SELECT doc_id,
        CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS BIGINT) AS ws_tokens,
        CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_tokens,
        CAST(LENGTH(text) AS BIGINT) AS n_chars_c,
-       ROUND(LENGTH(text) * 1.0 / LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')), 6) AS chars_per_token
+       ROUND(LENGTH(text) * 1.0 / NULLIF(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')), 0), 6) AS chars_per_token
 FROM documents
 """,
     tags=("llm", "text"),

@@ -460,12 +460,14 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_multimodal_audio_chunks",
     oracle="""
-WITH pieces AS (
+WITH b AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+pieces AS (
   SELECT doc_id,
          CAST((i - 1) // 100 AS INTEGER) AS chunk,
-         ascii(substr(text, i, 1)) AS byteval
-  FROM documents, GENERATE_SERIES(1, 1024) AS t(i)
-  WHERE i <= STRLEN(text)
+         16 * (strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1)
+            + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1) AS byteval
+  FROM b, GENERATE_SERIES(1, 4096) AS t(i)
+  WHERE i <= strlen(h) // 2
 )
 SELECT doc_id AS id, chunk,
        CAST(COUNT(*) AS INTEGER) AS n_bytes,
@@ -478,9 +480,12 @@ def q_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio windowing over binary payloads: 100-byte chunks (stand-in
     for fixed-duration PCM windows) with per-chunk energy. The Arrow-
     batched Python stage uses deterministic byte arithmetic, so the whole
-    mapInPandas hop value-hash matches the SQL oracle (fixture text is
-    ASCII → UTF-8 bytes == ascii codes; the oracle's 1024-position series
-    bounds fixture docs ≤1024 chars — the engine has no such bound)."""
+    mapInPandas hop value-hash matches the SQL oracle. The oracle walks
+    the hex encoding of the UTF-8 payload so it is BYTE-faithful — the
+    previous ascii(substr(...)) form silently counted code points and
+    diverged on any non-ASCII document (caught by the adversarial
+    fixture suite). The 4096-position series bounds fixture docs ≤4096
+    UTF-8 bytes — the engine has no such bound."""
     from etl_open_source_spark.operators.multimodal import (
         chunk_audio,
         with_binary_column,

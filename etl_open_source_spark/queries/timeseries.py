@@ -686,7 +686,7 @@ seg AS (
 )
 SELECT user_id,
        CAST(SUM(dur) AS BIGINT) AS total_seconds,
-       CAST(SUM(weighted) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE) AS twap
+       CAST(SUM(weighted) AS DOUBLE) / NULLIF(CAST(SUM(dur) AS DOUBLE), 0) AS twap
 FROM seg
 GROUP BY user_id
 """,
@@ -718,7 +718,12 @@ def q_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.sum("dur").cast("bigint").alias("total_seconds"),
-            (F.sum("weighted").cast("double") / F.sum("dur").cast("double")).alias("twap"),
+            # try_divide: a user whose observations all share one instant
+            # has total duration 0 — twap is undefined (NULL), mirrored
+            # by NULLIF in the oracle; plain division is an ANSI error
+            F.try_divide(
+                F.sum("weighted").cast("double"), F.sum("dur").cast("double")
+            ).alias("twap"),
         )
     )
 
