@@ -55,13 +55,16 @@ def brute_force_topk(
     excluded. Queries are broadcast; ranking is a per-query window with the
     neighbor id as tiebreak (WindowGroupLimit keeps only k per partition
     pre-shuffle). ``sim_decimals`` rounds similarity so ranking is stable
-    across engines/platforms (FP dot products differ in the last ulp)."""
+    across engines/platforms (FP dot products differ in the last ulp).
+    Zero-norm vectors are dropped from both sides — cosine against them
+    is undefined (ANSI divide-by-zero), same policy as the PQ/IVF entry
+    points."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
+    ).withColumn("qn", norm(F.col("qv"))).filter(F.col("qn") > 0)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm(F.col("cv"))).filter(F.col("cn") > 0)
     sim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     if sim_decimals is not None:
         sim = F.round(sim, sim_decimals)
@@ -224,9 +227,13 @@ def embedding_near_dup_pairs(
     all-zero signature, collapsing all rows into one bucket per band and
     turning the candidate join quadratic (the exact blow-up LSH exists
     to prevent)."""
+    # zero-norm guard: an all-zero vector has every sign bit 0, so it
+    # collides in EVERY band (a degenerate hot bucket) and then the exact
+    # cosine verify divides by zero — drop it up front like the other
+    # similarity entry points
     v = corpus.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v")).withColumn(
         "vn", norm(F.col("v"))
-    )
+    ).filter(F.col("vn") > 0)
     v = v.withColumn(
         "v",
         F.when(F.size("v") == dim, F.col("v")).otherwise(

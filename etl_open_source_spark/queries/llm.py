@@ -211,6 +211,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+  WHERE SQRT({_sql_dot("embedding", "embedding")}) > 0
 ),
 planted AS (
   SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x * 1.5) AS v
@@ -268,8 +269,10 @@ _SIM_EXPR = (
 @query(
     "q_sim_topk",
     oracle=f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 50),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+WITH nz AS (SELECT vec_id, embedding AS qv, embedding AS cv FROM embeddings
+            WHERE SQRT({_sql_dot("embedding", "embedding")}) > 0),
+q AS (SELECT vec_id AS query_id, qv FROM nz WHERE vec_id < 50),
+c AS (SELECT vec_id AS neighbor_id, cv FROM nz),
 scored AS (
   SELECT query_id, neighbor_id, {_SIM_EXPR} AS sim
   FROM q CROSS JOIN c

@@ -287,8 +287,11 @@ _KNN_SIM = (
 @query(
     "q_sim_knn_graph",
     oracle=f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+WITH nz AS (SELECT vec_id, embedding FROM embeddings
+            WHERE SQRT(list_reduce(list_transform(list_zip(embedding, embedding),
+                  s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)) > 0),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM nz),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM nz),
 scored AS (
   SELECT query_id, neighbor_id, {_KNN_SIM} AS sim
   FROM q CROSS JOIN c

@@ -185,6 +185,8 @@ def _embeddings() -> pd.DataFrame:
     vecs.append((3, ortho, 1))
     tiny = np.full(dim, 1e-6, dtype="float32")     # tiny but nonzero mass
     vecs.append((4, tiny, 1))
+    zero = np.zeros(dim, dtype="float32")          # zero-norm: cosine undefined
+    vecs.append((5, zero, 1))
     df = pd.DataFrame(
         [(i, list(map(float, v)), lbl) for i, v, lbl in vecs],
         columns=["vec_id", "embedding", "label"],
@@ -281,9 +283,13 @@ ADVERSARIAL_QUERIES = [
     "q_text_entropy",
     "q_doc_chunk",
     "q_multimodal_audio_chunks",
-    # embeddings: zero-information duplicates, tiny-mass vectors
+    # embeddings: zero-norm vector (cosine undefined — the dropped-row
+    # contract), exact/near duplicates, tiny-mass vectors
     "q_embedding_norm_stats",
     "q_embedding_quantize",
+    "q_sim_topk",
+    "q_sim_knn_graph",
+    "q_dedup_embedding_planted",
 ]
 
 
