@@ -105,7 +105,9 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_punct = (
         n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
     ).cast("bigint")
-    punct_ratio = n_punct / n_chars
+    # try_divide: an empty doc has 0 chars — punct ratio undefined (NULL,
+    # scoring treats it as not-low-punct), mirrored by NULLIF in oracles
+    punct_ratio = F.try_divide(n_punct, n_chars)
     en_sw = stopword_hits(text_col, "en")
     stopword_ratio = en_sw / n_tokens
     score = (

@@ -457,12 +457,12 @@ SELECT doc_id,
        CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS BIGINT) AS n_tokens,
        ROUND((LENGTH(text) - (LEN(STRING_SPLIT(LOWER(text), ' ')) - 1)) * 1.0 / LEN(STRING_SPLIT(LOWER(text), ' ')), 6) AS avg_token_len,
        CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
-       ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))) * 1.0 / LENGTH(text), 6) AS punct_ratio,
+       ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))) * 1.0 / NULLIF(LENGTH(text), 0), 6) AS punct_ratio,
        CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LIST_CONTAINS(['the','of','and','to','in','is','for','with','on','by'], x))) AS BIGINT) AS en_stopwords,
        ROUND(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LIST_CONTAINS(['the','of','and','to','in','is','for','with','on','by'], x))) * 1.0 / LEN(STRING_SPLIT(LOWER(text), ' ')), 6) AS stopword_ratio,
        ROUND(
          (CASE WHEN LEN(STRING_SPLIT(LOWER(text), ' ')) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
-         + (CASE WHEN (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))) * 1.0 / LENGTH(text) < 0.2 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))) * 1.0 / NULLIF(LENGTH(text), 0) < 0.2 THEN 0.3 ELSE 0.0 END)
          + (CASE WHEN (LENGTH(text) - (LEN(STRING_SPLIT(LOWER(text), ' ')) - 1)) * 1.0 / LEN(STRING_SPLIT(LOWER(text), ' ')) BETWEEN 2 AND 12 THEN 0.3 ELSE 0.0 END)
        , 2) AS quality_score
 FROM documents

@@ -124,8 +124,10 @@ WITH stats AS (
 )
 SELECT d.doc_id, d.lang,
        CAST(LENGTH(d.text) AS BIGINT) AS n_chars,
-       ROUND((LENGTH(d.text) - s / n) / SQRT((sq - s * s / n) / (n - 1)), 4) AS z,
-       (ABS((LENGTH(d.text) - s / n) / SQRT((sq - s * s / n) / (n - 1))) > 2.0) AS is_outlier
+       ROUND((LENGTH(d.text) - s / n)
+             / NULLIF(SQRT((sq - s * s / n) / NULLIF(n - 1, 0)), 0), 4) AS z,
+       (ABS((LENGTH(d.text) - s / n)
+            / NULLIF(SQRT((sq - s * s / n) / NULLIF(n - 1, 0)), 0)) > 2.0) AS is_outlier
 FROM documents d JOIN stats USING (lang)
 """,
     tags=("quality",),
@@ -136,7 +138,12 @@ def q_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums (Σx, Σx²) so mean/variance are bit-identical across engines —
     avg()/stddev() aggregate in engine-specific order and would drift in
     the last ulps, flipping rows sitting near the threshold. One shuffle
-    (the per-lang stats) + a broadcast-sized join back."""
+    (the per-lang stats) + a broadcast-sized join back.
+
+    Degenerate groups get z = NULL (is_outlier NULL with it): a single-
+    member group has no sample variance (n-1 = 0) and a constant-length
+    group has variance 0 — try_divide here, NULLIF in the oracle (caught
+    by the adversarial fixture suite)."""
     from pyspark.sql import functions as F
 
     d = load_table(spark, sf_dir, "documents")
@@ -146,8 +153,14 @@ def q_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x).cast("double").alias("s"),
         F.sum(x * x).cast("double").alias("sq"),
     )
-    z = (F.length("text") - F.col("s") / F.col("n")) / F.sqrt(
-        (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    z = F.try_divide(
+        F.length("text") - F.col("s") / F.col("n"),
+        F.sqrt(
+            F.try_divide(
+                F.col("sq") - F.col("s") * F.col("s") / F.col("n"),
+                F.col("n") - 1,
+            )
+        ),
     )
     return (
         d.join(F.broadcast(stats), "lang")
@@ -211,10 +224,10 @@ def q_quality_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE pass per edge: the distinct parent keys broadcast onto a LEFT
     join and the row count / distinct-key count / orphan count all fold
     in the same aggregate — the fact side is scanned once per edge and
-    never shuffled. (A separate anti-join + stats aggregate would scan
-    each fact table twice per edge; NOT IN in the oracle is safe here:
-    fixture keys are non-null, and the null-parent-pk test matches
-    anti-join semantics.)"""
+    never shuffled. A NULL child key is NOT an orphan (SQL MATCH SIMPLE
+    FK semantics, and what the oracle's three-valued NOT IN computes) —
+    the orphan predicate requires the child key non-null, which the
+    adversarial fixture's NULL o_custkey row pins."""
     from pyspark.sql import functions as F
 
     from etl_open_source_spark.catalog import FK_GRAPH
@@ -235,7 +248,13 @@ def q_quality_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
                 F.countDistinct(fk["column"]).alias("n_keys"),
-                F.count(F.when(F.col("__pk").isNull(), 1))
+                F.count(
+                    F.when(
+                        F.col("__pk").isNull()
+                        & F.col(fk["column"]).isNotNull(),
+                        1,
+                    )
+                )
                 .cast("bigint")
                 .alias("n_orphans"),
             )

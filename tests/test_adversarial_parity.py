@@ -134,6 +134,9 @@ def _lineitem() -> pd.DataFrame:
     rows.append((1, 1, 1, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", d + dt.timedelta(days=1)))
     # order 5 (c3): boundary quantities
     rows.append((6, 2, 1, 1, 0.0, 0.0, 0.1, 0.0, "A", "F", d + dt.timedelta(days=2)))
+    # a genuine FK orphan: no order 999 exists (n_orphans must be > 0,
+    # distinguishing the NULL-key non-orphan from a real violation)
+    rows.append((999, 1, 1, 1, 2.0, 10.0, 0.0, 0.0, "R", "F", d + dt.timedelta(days=3)))
     df = pd.DataFrame(
         rows,
         columns=[
@@ -290,6 +293,57 @@ ADVERSARIAL_QUERIES = [
     "q_sim_topk",
     "q_sim_knn_graph",
     "q_dedup_embedding_planted",
+    # tie-sensitive window / rank / as-of / mode families
+    "q_join_asof",
+    "q_join_asof_forward",
+    "q_join_asof_tolerance",
+    "q_topk_per_group",
+    "q_window_first_last",
+    "q_window_rank",
+    "q_window_lag_lead",
+    "q_agg_mode_median",
+    "q_quality_outliers",
+    "q_histogram",
+    "q_ts_interpolate",
+    "q_ts_resample_ohlc",
+    "q_ts_anomaly",
+    "q_ts_stl_decompose",
+    "q_agg_percentile",
+    # window frames over tie-heavy event streams
+    "q_window_running",
+    "q_window_ntile",
+    "q_window_cume_dist",
+    "q_window_range_frame",
+    "q_window_tumbling",
+    "q_window_sliding",
+    "q_window_session",
+    # curation over hostile text (empty docs → zero shingles, 1-char
+    # words, exact dups, repeated-token docs)
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_fingerprint",
+    "q_text_tfidf",
+    "q_text_bigrams",
+    "q_text_tf",
+    "q_text_hashvec",
+    "q_dedup_ngram",
+    "q_dedup_containment",
+    "q_dedup_sorted_neighborhood",
+    "q_text_decontaminate",
+    "q_pii_redact",
+    # curation / maintenance / quality over the poisoned tables
+    "q_text_lm_score",
+    "q_pack_concat",
+    "q_fuzzy_match",
+    "q_quality_checks",
+    "q_quality_fk",
+    "q_profile_columns",
+    "q_mix_domains",
+    "q_url_normalize",
+    "q_split_leakage_safe",
+    "q_scd2_lookup",
+    "q_cdc_apply",
+    "q_snapshot_diff",
 ]
 
 
