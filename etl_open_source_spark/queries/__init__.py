@@ -8,23 +8,20 @@ so ``_VERIFY_FIRST`` (exactly 50 names, asserted) selects that window.
 Policy, in priority order: (1) queries never yet inside a driver window,
 (2) queries fixed this round, (3) queries whose code changed after their
 last green row, (4) re-checks of the oldest evidence. Every rotation is
-pre-verified locally against DuckDB at sf0.01 before the round ends
-(round 6: all 50 green at sf0.01 — 48 exact, 2 rows-only by design:
-q_dedup_near's hash-seeded LSH and q_sim_pq's k-means-trained PQ.
-Evidence: full-registry sf0.01 parity runs at several checkpoints this
-round — the closing sweep (run from /root/repo, as the driver does)
-covered all 227 then-registered queries: 217 exact, 10 rows-only, 0
-failures; every query registered after it (q_sim_ivfpq,
-q_dedup_snm_multikey, q_ts_stl_decompose, q_quality_benford,
-q_join_asof_tolerance, q_ts_autocorr) was individually
-sf0.01-verified. An earlier
-sweep launched from outside the repo cwd false-failed the two
-mapInPandas queries (executor worker import path) — harness artifact,
-not code. The round-5 window
-recorded 3 driver ERR/FAIL rows despite a green local pre-verify because
-the local compare of that round did not model the driver hasher's
-array-cell and HUGEINT sensitivities — both are now pinned registry-wide
-by tests/test_oracle_contract.py).
+pre-verified locally against DuckDB at sf0.01 before the round ends.
+
+Round-7 evidence: the opening full-registry sf0.01 parity sweep (run
+from /root/repo, as the driver does — launching from another cwd
+false-fails the mapInPandas queries on the executor worker import path)
+covered all 234 then-registered queries, 0 failures; the 3 drift-family
+queries registered afterwards (q_quality_ks, q_quality_chisq,
+q_agg_skew_kurt) were each individually sf0.01-verified. The window
+below was additionally re-verified query-by-query at sf0.01 after the
+round's oracle/engine fixes landed. (History: the round-5 window
+recorded 3 driver ERR/FAIL rows because the local compare of that round
+did not model the driver hasher's array-cell and HUGEINT sensitivities —
+both pinned registry-wide since by tests/test_oracle_contract.py; round
+6 closed them and the round-6 closing sweep was 227/227.)
 """
 
 from __future__ import annotations
@@ -61,6 +58,7 @@ _MODULES = [
     "graph",
     "mining",
     "analytics2",
+    "drift",
 ]
 
 # Round-7 rotation: the stale-evidence sweep (VERDICT r6 item #1).

@@ -75,6 +75,10 @@ def _events() -> pd.DataFrame:
     add(_ts(8), 7, "view", -3.5)
     add(_ts(8), 7, "view", -3.5)
     add(_ts(8, seconds=1), 7, "error", 0.001)
+    # u8: an event type whose ENTIRE value series is constant — zero
+    # variance, so skewness/kurtosis are undefined (NULL) for the group
+    for i in range(3):
+        add(_ts(9, hours=i), 8, "ping", 4.25)
     df = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
     )
@@ -344,6 +348,11 @@ ADVERSARIAL_QUERIES = [
     "q_scd2_lookup",
     "q_cdc_apply",
     "q_snapshot_diff",
+    # drift / moment diagnostics: single-sided KS groups, constant-value
+    # series (zero variance → NULL skew/kurt), NULL order keys
+    "q_quality_ks",
+    "q_quality_chisq",
+    "q_agg_skew_kurt",
 ]
 
 

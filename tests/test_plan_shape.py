@@ -569,3 +569,39 @@ def test_snm_multikey_two_window_passes_no_join(spark, sf_dir):
     plan = _formatted_plan(spark, sf_dir, "q_dedup_snm_multikey")
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_skew_kurt_single_aggregate(spark, sf_dir):
+    """Exact moments are ONE map-side-combinable aggregate: no window, no
+    join, no second scan — the canonical 100 TB-safe statistic shape."""
+    plan = _formatted_plan(spark, sf_dir, "q_agg_skew_kurt")
+    assert "Window" not in plan and "Join" not in plan
+    n_exchanges = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
+    )
+    assert n_exchanges == 1, plan
+
+
+def test_ks_integer_until_final_division(spark, sf_dir):
+    """KS pre-aggregates per distinct value BEFORE the cumulative window
+    (the fact table must never reach the window sort) and carries no
+    join; two exchanges — the (prio, x) aggregate and the prio window."""
+    plan = _formatted_plan(spark, sf_dir, "q_quality_ks")
+    assert "Join" not in plan
+    n_exchanges = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
+    )
+    assert n_exchanges == 2, plan
+
+
+def test_chisq_no_third_fact_scan(spark, sf_dir):
+    """Chi-square scans events exactly twice (split-day probe + cells) —
+    the totals come from windows over the n_types-row cell frame, not a
+    separate aggregate that would rebuild the cells subtree."""
+    plan = _formatted_plan(spark, sf_dir, "q_quality_chisq")
+    n_scans = plan.count("events.parquet")
+    assert n_scans <= 2, plan
