@@ -1267,3 +1267,136 @@ def test_association_rules_guard_uses_consistent_universe(spark_prop):
         assert (r.support, r.confidence, r.lift) == (s, conf, lift), key
         # internal consistency: a probability, not a guarded/unguarded mix
         assert 0 < r.confidence <= 1
+
+
+def test_ks_matches_naive(spark_prop):
+    """Integer-scaled KS == an exhaustive ECDF comparison, exactly — and
+    equals the naive on ALL distinct values (ties must make both ECDFs
+    jump together, the classic off-by-one)."""
+    # engine under test runs on a synthetic orders table via the query fn
+    import pandas as pd
+
+    rows = []
+    data = {
+        "A": [(1.0, "F"), (1.0, "O"), (2.0, "F"), (3.0, "O"), (3.0, "O")],
+        "B": [(5.0, "F"), (6.0, "F")],          # single-sided: ks NULL
+        "C": [(1.0, "F"), (1.0, "O")],          # identical dists: ks 0
+    }
+    ok = 0
+    for prio, pairs in data.items():
+        for x, st in pairs:
+            rows.append((ok, 1, st, x, pd.Timestamp("1995-01-01"), prio))
+            ok += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority"],
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="ks_prop_")
+    pdf.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+
+    from etl_open_source_spark.registry import get_registry
+
+    got = {
+        r.prio: r
+        for r in get_registry()["q_quality_ks"].fn(spark_prop, d).collect()
+    }
+
+    def naive_ks(pairs):
+        f = sorted(x for x, s in pairs if s == "F")
+        o = sorted(x for x, s in pairs if s != "F")
+        if not f or not o:
+            return None
+        xs = sorted(set(f) | set(o))
+        best = 0.0
+        for x in xs:
+            ef = sum(1 for v in f if v <= x) / len(f)
+            eo = sum(1 for v in o if v <= x) / len(o)
+            best = max(best, abs(ef - eo))
+        return round(best, 8)
+
+    for prio, pairs in data.items():
+        want = naive_ks(pairs)
+        assert got[prio].ks == want, (prio, got[prio], want)
+    assert got["C"].ks == 0.0
+
+
+def test_skew_kurt_matches_naive(spark_prop):
+    """Moment formulas == a direct numpy population-moment computation on
+    a small series (tolerance only for the final float formula — the
+    power sums themselves are decimal-exact)."""
+    import math
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    vals = [1.0, 2.0, 2.0, 3.0, 10.0, -4.0, 0.5]
+    rows = [
+        (i, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i), 1, "x", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tempfile.mkdtemp(prefix="moments_prop_")
+    pdf.to_parquet(os.path.join(d, "events.parquet"), index=False)
+
+    from etl_open_source_spark.registry import get_registry
+
+    r = get_registry()["q_agg_skew_kurt"].fn(spark_prop, d).collect()[0]
+    n = len(vals)
+    m = sum(vals) / n
+    var = sum((v - m) ** 2 for v in vals) / n
+    sd = math.sqrt(var)
+    skew = sum((v - m) ** 3 for v in vals) / n / sd**3
+    kurt = sum((v - m) ** 4 for v in vals) / n / var**2 - 3
+    assert r.n == n
+    assert abs(r.mean - round(m, 6)) < 1e-9
+    assert abs(r.stddev_pop - sd) < 1e-4
+    assert abs(r.skewness - skew) < 1e-4
+    assert abs(r.kurtosis_excess - kurt) < 1e-4
+
+
+def test_chisq_matches_naive(spark_prop):
+    """Chi-square == the textbook homogeneity statistic on a hand-built
+    two-period contingency table."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    # 4 days: first two -> ref (split at day 2 of 4), last two -> cur
+    counts = {"a": (30, 10), "b": (10, 30), "c": (20, 20)}
+    rows, eid = [], 0
+    for et, (n_ref, n_cur) in counts.items():
+        for i in range(n_ref):
+            rows.append((eid, pd.Timestamp("2024-01-01"), 1, et, 1.0, "{}")); eid += 1
+        for i in range(n_cur):
+            rows.append((eid, pd.Timestamp("2024-01-04"), 1, et, 1.0, "{}")); eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tempfile.mkdtemp(prefix="chisq_prop_")
+    pdf.to_parquet(os.path.join(d, "events.parquet"), index=False)
+
+    from etl_open_source_spark.registry import get_registry
+
+    got = {
+        r.event_type: r
+        for r in get_registry()["q_quality_chisq"].fn(spark_prop, d).collect()
+    }
+    n_ref = sum(a for a, _ in counts.values())
+    n_cur = sum(b for _, b in counts.values())
+    n = n_ref + n_cur
+    chi2 = 0.0
+    for et, (a, b) in counts.items():
+        e_ref = (a + b) * n_ref / n
+        e_cur = (a + b) * n_cur / n
+        contrib = round((a - e_ref) ** 2 / e_ref + (b - e_cur) ** 2 / e_cur, 8)
+        assert abs(got[et].contrib - contrib) < 1e-9, et
+        assert (got[et].c_ref, got[et].c_cur) == (a, b), et
+        chi2 += contrib
+    for r in got.values():
+        assert abs(r.chi2 - round(chi2, 8)) < 1e-6
