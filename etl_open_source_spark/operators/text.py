@@ -158,3 +158,88 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataF
     return df.filter(F.size(words) >= n).select(
         F.col(id_col), F.array_min(sh).alias("fingerprint")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every character k-gram of the
+    lowercased text, slide a w-hash window, and keep the window minimum,
+    breaking ties by the RIGHTMOST occurrence; overlapping windows that
+    pick the same (position, hash) collapse to one row.
+
+    Guarantee: any shared substring of length >= k + w - 1 between two
+    documents yields at least one shared fingerprint — the local-min
+    selection is position-independent, which plain every-i-th sampling is
+    not. Output (id, pos, fp) rows feed the same inverted-index
+    candidate join as q_dedup_ngram to find partial overlaps.
+
+    Engine shape: ZERO exchanges — per-row array arithmetic (gram
+    hashes, window slices, min + rightmost-position folds), then one
+    explode; cost O(len·w²) per doc with w a small constant. md5 is the
+    cross-engine-stable hash (same byte semantics in DuckDB), as in
+    :func:`fingerprints`. Docs shorter than k select nothing; docs with
+    fewer than w grams get a single truncated window (standard winnowing
+    edge behavior).
+
+    IMPLEMENTATION NOTE — the gram-hash array MUST materialize as a real
+    column between two projections: referencing the `hs` *expression*
+    inside the window lambda makes Catalyst inline it per window, i.e.
+    O(n) md5 calls per window = O(n²) per document — measured as a hang
+    (500 fixture docs > 4 min). With the column boundary the hashes
+    compute once per row and the same 500 docs take ~2 s."""
+    norm = F.lower(F.col(text_col))
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(0))
+    # sequence(1, 0) DESCENDS in Spark — guard the empty case explicitly
+    grams_idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(grams_idx, lambda i: F.md5(norm.substr(i, F.lit(k)))).alias(
+            "__hs"
+        ),
+    )
+    hs = F.col("__hs")
+    n_wins = F.greatest(F.size(hs) - (w - 1), F.least(F.size(hs), F.lit(1)))
+    wins_idx = F.when(n_wins >= 1, F.sequence(F.lit(1), n_wins)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def select_in_window(j):
+        win = F.slice(hs, j, w)
+        m = F.array_min(win)
+        # rightmost in-window position of the min, then globalized
+        rightmost = F.array_max(
+            F.filter(
+                F.sequence(F.lit(1), F.size(win)),
+                lambda p: F.element_at(win, p) == m,
+            )
+        )
+        return F.struct(
+            (j - 1 + rightmost).cast("bigint").alias("pos"), m.alias("fp")
+        )
+
+    # Materialize the per-window selections, THEN dedup against the
+    # previous window only: a (pos, fp) can only repeat across the
+    # CONTIGUOUS run of windows [pos-w+1, pos] that contain it, so
+    # adjacent-compare equals DISTINCT at O(n) — array_distinct over the
+    # selection structs is O(n²) struct comparisons per doc (measured
+    # ~5x slower at fixture scale, worse with length).
+    selected = hashed.select(
+        F.col(id_col), F.transform(wins_idx, select_in_window).alias("__sels")
+    )
+    sels = F.col("__sels")
+    deduped = F.filter(
+        sels,
+        lambda s, i: (i == F.lit(0)) | (s != F.element_at(sels, i)),
+    )
+    return (
+        selected.select(F.col(id_col), F.explode(deduped).alias("s"))
+        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    )

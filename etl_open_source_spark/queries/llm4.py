@@ -216,3 +216,73 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, e, centroids, books,
         k=5, nprobe=4, rerank=50,
     ).withColumnRenamed("rank", "rnk")
+
+
+@query(
+    "q_text_winnowing",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         [md5(substr(lower(text), CAST(i AS INT), 5))
+          FOR i IN generate_series(1, GREATEST(0, length(text) - 4))] AS hs
+  FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         unnest([struct_pack(j := CAST(j AS INT),
+                             win := list_slice(hs, CAST(j AS INT), CAST(j AS INT) + 3))
+                 FOR j IN generate_series(1, GREATEST(1, len(hs) - 3))]) AS s
+  FROM g WHERE len(hs) > 0
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         CAST(s.j - 1 + len(s.win)
+              - list_position(list_reverse(s.win), list_aggregate(s.win, 'min'))
+              + 1 AS BIGINT) AS pos,
+         list_aggregate(s.win, 'min') AS fp
+  FROM wins
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sel,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+       MIN(pos) AS first_pos,
+       MAX(pos) AS last_pos,
+       MD5(STRING_AGG(CAST(pos AS VARCHAR) || ':' || fp, '|'
+                      ORDER BY CAST(pos AS VARCHAR) || ':' || fp)) AS set_md5
+FROM sel GROUP BY doc_id
+""",
+    tags=("llm", "text", "dedup"),
+)
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm —
+    operators/text.py::winnow_fingerprints): k=5 char-gram hashes, w=4
+    windows, rightmost-min selection. Any shared substring of length
+    >= k+w-1 = 8 chars between two documents shares a fingerprint, which
+    is the guarantee position-based sampling lacks — the selection feeds
+    the same inverted-index join as q_dedup_ngram for partial-overlap
+    detection.
+
+    The oracle digests each doc's full selection SET (count, distinct
+    count, position span, md5 over the sorted pos:fp pairs) so every
+    selected fingerprint and position is value-checked without shipping
+    |selections| rows through the compare. Engine shape: scan-local
+    array folds + one explode, then one doc-keyed aggregate — a single
+    exchange over selection rows (~len/(w+1)·2 per doc)."""
+    d = load_table(spark, sf_dir, "documents")
+    from etl_open_source_spark.operators.text import winnow_fingerprints
+
+    sel = winnow_fingerprints(d, "doc_id", "text", k=5, w=4)
+    pair = F.concat(F.col("pos").cast("string"), F.lit(":"), F.col("fp"))
+    return (
+        sel.select("doc_id", F.col("pos"), F.col("fp"), pair.alias("pair"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sel"),
+            F.countDistinct("fp").cast("bigint").alias("n_distinct_fp"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+            F.md5(F.concat_ws("|", F.array_sort(F.collect_list("pair")))).alias(
+                "set_md5"
+            ),
+        )
+    )

@@ -771,3 +771,60 @@ def q_ts_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev") - prev).cast("double") / prev.cast("double") * 100, 4
         ).alias("pct_change"),
     )
+
+
+@query(
+    "q_ts_rolling_median",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, ROUND(x, 4) AS daily_value,
+       ROUND(quantile_cont(x, 0.5) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+FROM daily
+""",
+    tags=("timeseries", "window"),
+)
+def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling MEDIAN of the daily value series per event
+    type — the robust smoother: one outlier day shifts a rolling mean by
+    outlier/7 but leaves the rolling median untouched, which is why
+    monitoring pipelines medianize before thresholding (q_ts_anomaly's
+    z-scores are the mean-based counterpart).
+
+    Parity: Spark's exact `percentile(x, 0.5)` and DuckDB's
+    `quantile_cont(x, 0.5)` share the same 0-based (n-1)·q interpolation
+    rule — verified including even-count frames — while DuckDB's
+    windowed `median()` does NOT interpolate; inputs are decimal-exact
+    daily sums so both engines interpolate identical doubles. Rounded to
+    4 places.
+
+    Shape: one daily pre-aggregate (map-side combinable — facts never
+    reach the window), then an event_type-partitioned window whose
+    ROWS-7 frame bounds per-row state at 7 values regardless of series
+    length. Two exchanges, but the second moves only the
+    |types|x|days|-row daily frame, never facts."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.round("x", 4).alias("daily_value"),
+        F.round(F.expr("percentile(x, 0.5)").over(w), 4).alias("med7"),
+    )

@@ -353,6 +353,8 @@ ADVERSARIAL_QUERIES = [
     "q_quality_ks",
     "q_quality_chisq",
     "q_agg_skew_kurt",
+    "q_ts_rolling_median",
+    "q_text_winnowing",
 ]
 
 

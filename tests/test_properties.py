@@ -1400,3 +1400,34 @@ def test_chisq_matches_naive(spark_prop):
         chi2 += contrib
     for r in got.values():
         assert abs(r.chi2 - round(chi2, 8)) < 1e-6
+
+
+def test_winnowing_shared_substring_guarantee(spark_prop):
+    """The winnowing guarantee: two documents sharing a substring of
+    length >= k + w - 1 MUST share at least one fingerprint hash —
+    regardless of where the substring sits in either doc (that position-
+    independence is the whole point vs every-i-th sampling). Also pins
+    the adjacent-window dedup == DISTINCT equivalence on a repeated-gram
+    doc, and the short-doc edge cases."""
+    from etl_open_source_spark.operators.text import winnow_fingerprints
+
+    shared = "zqxjkvwpm"  # 9 chars >= k + w - 1 = 8
+    docs = [
+        (1, "aaaa" + shared + "bbbbcccc"),
+        (2, "ddddddddddddd" + shared),
+        (3, "x x x x x x x x"),    # repeated grams: tie-heavy
+        (4, "ab"),                   # shorter than k: no fingerprints
+        (5, ""),
+    ]
+    df = spark_prop.createDataFrame(docs, "doc_id bigint, text string")
+    out = winnow_fingerprints(df, "doc_id", "text", k=5, w=4).toPandas()
+    fp1 = set(out[out.doc_id == 1].fp)
+    fp2 = set(out[out.doc_id == 2].fp)
+    assert fp1 & fp2, "shared 9-char substring yielded no shared fingerprint"
+    assert not (set(out.doc_id) & {4, 5})
+    # dedup-vs-DISTINCT: no duplicated (doc, pos, fp) rows even with ties
+    assert not out.duplicated(["doc_id", "pos", "fp"]).any()
+    # every selected pos indexes a real gram
+    lens = {i: len(t) for i, t in docs}
+    for r in out.itertuples():
+        assert 1 <= r.pos <= lens[r.doc_id] - 4
