@@ -94,6 +94,26 @@ def lang_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return scored.withColumn("predicted_lang", F.coalesce(*candidates, F.lit("und")))
 
 
+def quality_score_col(text_col: str) -> Column:
+    """The composite quality score in [0,1] as a pure per-row Column —
+    the single definition shared by :func:`quality_features` and the
+    ``quality_filter`` spec step (duplicating the formula would let the
+    two drift). Scan-local arithmetic, no shuffle."""
+    n_chars = F.length(F.col(text_col)).cast("bigint")
+    n_tokens = F.size(words_col(text_col)).cast("bigint")
+    avg_token_len = (n_chars - (n_tokens - 1)) / n_tokens
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    ).cast("bigint")
+    punct_ratio = F.try_divide(n_punct, n_chars)
+    return F.round(
+        F.when(n_tokens.between(10, 1000), F.lit(0.4)).otherwise(0.0)
+        + F.when(punct_ratio < 0.2, F.lit(0.3)).otherwise(0.0)
+        + F.when((avg_token_len >= 2) & (avg_token_len <= 12), F.lit(0.3)).otherwise(0.0),
+        2,
+    )
+
+
 def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + a composite
     score in [0,1] — the standard cheap pre-filter before expensive LLM
@@ -110,11 +130,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     punct_ratio = F.try_divide(n_punct, n_chars)
     en_sw = stopword_hits(text_col, "en")
     stopword_ratio = en_sw / n_tokens
-    score = (
-        F.when(n_tokens.between(10, 1000), F.lit(0.4)).otherwise(0.0)
-        + F.when(punct_ratio < 0.2, F.lit(0.3)).otherwise(0.0)
-        + F.when((avg_token_len >= 2) & (avg_token_len <= 12), F.lit(0.3)).otherwise(0.0)
-    )
+    score = quality_score_col(text_col)
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars_c"),
@@ -124,7 +140,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(punct_ratio, 6).alias("punct_ratio"),
         en_sw.alias("en_stopwords"),
         F.round(stopword_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 2).alias("quality_score"),
+        score.alias("quality_score"),
     )
 
 

@@ -84,6 +84,18 @@ def _normalize_url(df: DataFrame, cfg: dict) -> DataFrame:
     return df.withColumn(col, normalize_url(F.col(col)))
 
 
+def _quality_filter(df: DataFrame, cfg: dict) -> DataFrame:
+    """Drop rows whose composite text-quality score falls below
+    ``min_score`` — the cheap pre-filter stage as a flow-through spec
+    step: original columns pass unchanged, only the row set shrinks.
+    The score is the SAME Column expression quality_features reports
+    (one definition, no drift) applied as a scan-local filter — no
+    join-back, no shuffle, runs at scan speed on any corpus size."""
+    from etl_open_source_spark.operators.text import quality_score_col
+
+    return df.filter(quality_score_col(cfg["col"]) >= float(cfg["min_score"]))
+
+
 def _skyline(df: DataFrame, cfg: dict) -> DataFrame:
     from etl_open_source_spark.operators.dominance import skyline_2d
 
@@ -108,6 +120,7 @@ OPERATOR_STEPS: dict[str, OperatorStep] = {
     "pii_redact": OperatorStep(_pii_redact, ("col",)),
     "normalize_url": OperatorStep(_normalize_url, ("col",)),
     "skyline_2d": OperatorStep(_skyline, ("minimize", "maximize", "keys")),
+    "quality_filter": OperatorStep(_quality_filter, ("col", "min_score")),
 }
 
 

@@ -405,7 +405,7 @@ def test_operator_step_pipeline_matches_direct_calls(spark):
         sample_uniform,
         train_test_split,
     )
-    from etl_open_source_spark.operators.text import normalize_ws
+    from etl_open_source_spark.operators.text import normalize_ws, quality_score_col
     from pyspark.sql import functions as F
 
     spec = PipelineSpec.load("examples/corpus_curate.json")
@@ -416,6 +416,7 @@ def test_operator_step_pipeline_matches_direct_calls(spark):
 
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     want = d.withColumn("text", normalize_ws(F.col("text")))
+    want = want.filter(quality_score_col("text") >= 0.3)
     want = exact_dedup(want, ["text"], "doc_id")
     want = train_test_split(want, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1})
     want = sample_uniform(want, ["doc_id"], 0.5)
