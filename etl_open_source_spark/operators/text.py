@@ -197,29 +197,53 @@ def winnow_fingerprints(
 
     Engine shape: ZERO exchanges — per-row array arithmetic (gram
     hashes, window slices, min + rightmost-position folds), then one
-    explode; cost O(len·w²) per doc with w a small constant. md5 is the
-    cross-engine-stable hash (same byte semantics in DuckDB), as in
-    :func:`fingerprints`. Docs shorter than k select nothing; docs with
-    fewer than w grams get a single truncated window (standard winnowing
-    edge behavior).
+    explode; cost O(len·w²) per doc with w a small constant. The gram
+    hash is a POLYNOMIAL code-point hash, h = fold(cp·B + cp') mod M
+    (B=257, M=2^31−1) — pure integer arithmetic identical in DuckDB
+    (ascii() yields the code point in both engines). [Measured at sf0.1,
+    5000 docs/1.5M chars: md5-per-gram 19.8 s → polynomial 12.9 s →
+    8.6 s after also replacing the rightmost-min closure chain with
+    reverse+array_position — interpreted-HOF overhead, not hashing, is
+    the cost floor.] M=2^31−1 keeps every intermediate < 2^63
+    (ANSI-safe) with ~|grams|²/2^32 corpus-wide collisions — winnowing
+    tolerates rare false-shared fingerprints; the verify stage prunes
+    them. Docs shorter than k select nothing; docs with fewer than w
+    grams get a single truncated window (standard winnowing edge
+    behavior).
 
     IMPLEMENTATION NOTE — the gram-hash array MUST materialize as a real
     column between two projections: referencing the `hs` *expression*
     inside the window lambda makes Catalyst inline it per window, i.e.
-    O(n) md5 calls per window = O(n²) per document — measured as a hang
-    (500 fixture docs > 4 min). With the column boundary the hashes
-    compute once per row and the same 500 docs take ~2 s."""
+    O(n) hash evaluations per window = O(n²) per document — measured as
+    a hang (500 fixture docs > 4 min with md5). Same for the code-point
+    array feeding the hashes."""
+    B, M = 257, (1 << 31) - 1
     norm = F.lower(F.col(text_col))
     n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(0))
     # sequence(1, 0) DESCENDS in Spark — guard the empty case explicitly
     grams_idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
         F.array().cast("array<int>")
     )
-    hashed = df.select(
+    chars_idx = F.when(
+        F.length(norm) >= 1, F.sequence(F.lit(1), F.length(norm))
+    ).otherwise(F.array().cast("array<int>"))
+    with_cps = df.select(
         F.col(id_col),
-        F.transform(grams_idx, lambda i: F.md5(norm.substr(i, F.lit(k)))).alias(
-            "__hs"
-        ),
+        F.transform(chars_idx, lambda j: F.ascii(norm.substr(j, F.lit(1))))
+        .alias("__cps"),
+        grams_idx.alias("__gidx"),
+    )
+    cps = F.col("__cps")
+
+    def gram_hash(i):
+        h = F.element_at(cps, i).cast("bigint")
+        for off in range(1, k):
+            h = (h * B + F.element_at(cps, i + off)) % M
+        return h
+
+    hashed = with_cps.select(
+        F.col(id_col),
+        F.transform(F.col("__gidx"), gram_hash).alias("__hs"),
     )
     hs = F.col("__hs")
     n_wins = F.greatest(F.size(hs) - (w - 1), F.least(F.size(hs), F.lit(1)))
@@ -230,13 +254,12 @@ def winnow_fingerprints(
     def select_in_window(j):
         win = F.slice(hs, j, w)
         m = F.array_min(win)
-        # rightmost in-window position of the min, then globalized
-        rightmost = F.array_max(
-            F.filter(
-                F.sequence(F.lit(1), F.size(win)),
-                lambda p: F.element_at(win, p) == m,
-            )
-        )
+        # rightmost in-window position of the min = mirror of the FIRST
+        # position in the reversed window (array_position) — one O(w)
+        # primitive instead of a sequence+filter+max closure chain per
+        # window (the closure form re-enters the interpreter per element;
+        # sf0.1 measured 12.9 s → 8.6 s from this change alone)
+        rightmost = F.size(win) - F.array_position(F.reverse(win), m) + 1
         return F.struct(
             (j - 1 + rightmost).cast("bigint").alias("pos"), m.alias("fp")
         )

@@ -223,7 +223,9 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH g AS (
   SELECT doc_id,
-         [md5(substr(lower(text), CAST(i AS INT), 5))
+         [list_reduce([CAST(ascii(substr(lower(text), CAST(i AS INT) + o, 1)) AS BIGINT)
+                       FOR o IN generate_series(0, 4)],
+                      (a, b) -> (a * 257 + b) % 2147483647)
           FOR i IN generate_series(1, GREATEST(0, length(text) - 4))] AS hs
   FROM documents
 ),
@@ -247,8 +249,8 @@ SELECT doc_id,
        CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
        MIN(pos) AS first_pos,
        MAX(pos) AS last_pos,
-       MD5(STRING_AGG(CAST(pos AS VARCHAR) || ':' || fp, '|'
-                      ORDER BY CAST(pos AS VARCHAR) || ':' || fp)) AS set_md5
+       MD5(STRING_AGG(CAST(pos AS VARCHAR) || ':' || CAST(fp AS VARCHAR), '|'
+                      ORDER BY CAST(pos AS VARCHAR) || ':' || CAST(fp AS VARCHAR))) AS set_md5
 FROM sel GROUP BY doc_id
 """,
     tags=("llm", "text", "dedup"),
@@ -272,7 +274,9 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_open_source_spark.operators.text import winnow_fingerprints
 
     sel = winnow_fingerprints(d, "doc_id", "text", k=5, w=4)
-    pair = F.concat(F.col("pos").cast("string"), F.lit(":"), F.col("fp"))
+    pair = F.concat(
+        F.col("pos").cast("string"), F.lit(":"), F.col("fp").cast("string")
+    )
     return (
         sel.select("doc_id", F.col("pos"), F.col("fp"), pair.alias("pair"))
         .groupBy("doc_id")
