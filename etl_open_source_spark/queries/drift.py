@@ -314,3 +314,135 @@ def q_agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("kurtosis_excess"),
     )
+
+
+@query(
+    "q_agg_gini",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority AS prio,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS i
+  FROM orders
+),
+s AS (
+  SELECT prio,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS total,
+         SUM(i * x) AS weighted
+  FROM ranked GROUP BY prio
+)
+SELECT prio, n,
+       CAST(total AS DOUBLE) AS total,
+       ROUND(CAST(2 * weighted - (n + 1) * total AS DOUBLE)
+             / NULLIF(CAST(n * total AS DOUBLE), 0), 8) AS gini
+FROM s
+""",
+    tags=("agg", "quality", "analytics"),
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order totals per priority — the concentration
+    diagnostic (0 = perfectly even spend, →1 = one order dominates) that
+    complements the moment diagnostics: skewness says the tail's SHAPE,
+    Gini says how much of the mass it holds. Same statistic a corpus
+    pipeline runs on tokens-per-document to detect a few giant docs
+    dominating a shard.
+
+    Exactness: the rank formulation G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) runs
+    entirely in DECIMAL (Σi·x with i ≤ n fits DECIMAL(38,4) comfortably)
+    with ONE final double division — and the statistic is tie-order
+    invariant (equal x values contribute x·Σi over the tie block no
+    matter how row_number breaks the tie), so the key tiebreak is for
+    discipline, not correctness. An all-zero group → NULL (try_divide /
+    NULLIF). Shape: one per-group ranking window + one aggregate; the
+    window's sort is per-priority (bounded partitions), and at 100 TB
+    the same formula runs on pre-binned value counts (Σ over distinct
+    values of rank-weighted mass) to avoid ranking raw facts."""
+    o = load_table(spark, sf_dir, "orders")
+    wr = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("x"),
+        F.row_number().over(wr).cast("bigint").alias("i"),
+    )
+    s = ranked.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("total"),
+        F.sum(F.col("i") * F.col("x")).alias("weighted"),
+    )
+    n, total, weighted = F.col("n"), F.col("total"), F.col("weighted")
+    return s.select(
+        "prio",
+        "n",
+        total.cast("double").alias("total"),
+        F.round(
+            F.try_divide(
+                (F.lit(2) * weighted - (n + 1) * total).cast("double"),
+                (n * total).cast("double"),
+            ),
+            8,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q_histogram_equidepth",
+    oracle="""
+WITH edges AS (
+  SELECT l_returnflag,
+         ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS e1,
+         ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS e2,
+         ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS e3
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       CAST(1 + (l.l_extendedprice > e.e1)::INT + (l.l_extendedprice > e.e2)::INT
+              + (l.l_extendedprice > e.e3)::INT AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       e.e1 AS q25, e.e2 AS q50, e.e3 AS q75
+FROM lineitem l JOIN edges e USING (l_returnflag)
+GROUP BY l.l_returnflag, bucket, e.e1, e.e2, e.e3
+""",
+    tags=("agg", "analytics"),
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram: quartile edges per return flag, then row
+    counts per quantile bucket — the histogram an optimizer or drift
+    monitor actually wants (equi-WIDTH bins, q_histogram, put 90% of a
+    skewed column in one bin; equi-depth bins hold ~n/4 each by
+    construction, so a drifted bucket count IS the drift signal).
+
+    Parity: edges round to 6dp before bucketing on BOTH sides, and
+    bucket = 1 + Σ(x > eᵢ) is pure comparison arithmetic — a row equal
+    to an edge goes left deterministically in both engines. Shape: one
+    exact-percentile aggregate (group-bounded sort — the
+    approx_percentile swap is the 100 TB path, as in q_agg_percentile)
+    whose group-count-sized result broadcasts back onto one corpus scan;
+    the final aggregate is map-side combinable."""
+    l = load_table(spark, sf_dir, "lineitem")
+    edges = l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("e1"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 6).alias("e2"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("e3"),
+    )
+    x = F.col("l_extendedprice")
+    bucket = (
+        F.lit(1)
+        + (x > F.col("e1")).cast("int")
+        + (x > F.col("e2")).cast("int")
+        + (x > F.col("e3")).cast("int")
+    ).cast("bigint")
+    return (
+        l.join(F.broadcast(edges), "l_returnflag")
+        .groupBy("l_returnflag", bucket.alias("bucket"), "e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            "l_returnflag",
+            "bucket",
+            "cnt",
+            F.col("e1").alias("q25"),
+            F.col("e2").alias("q50"),
+            F.col("e3").alias("q75"),
+        )
+    )

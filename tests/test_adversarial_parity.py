@@ -355,6 +355,8 @@ ADVERSARIAL_QUERIES = [
     "q_agg_skew_kurt",
     "q_ts_rolling_median",
     "q_text_winnowing",
+    "q_agg_gini",
+    "q_histogram_equidepth",
 ]
 
 

@@ -1431,3 +1431,37 @@ def test_winnowing_shared_substring_guarantee(spark_prop):
     lens = {i: len(t) for i, t in docs}
     for r in out.itertuples():
         assert 1 <= r.pos <= lens[r.doc_id] - 4
+
+
+def test_gini_closed_form_cases(spark_prop):
+    """Gini == known closed forms: all-equal values → 0; one order holding
+    all the mass among zeros → (n-1)/n; all-zero group → NULL."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    groups = {
+        "EQ": [5.0, 5.0, 5.0, 5.0],
+        "ONE": [0.0, 0.0, 0.0, 10.0],
+        "ZERO": [0.0, 0.0, 0.0],
+    }
+    rows, ok = [], 0
+    for prio, vals in groups.items():
+        for v in vals:
+            rows.append((ok, 1, "F", v, pd.Timestamp("1995-01-01"), prio))
+            ok += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority"],
+    )
+    d = tempfile.mkdtemp(prefix="gini_prop_")
+    pdf.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+
+    from etl_open_source_spark.registry import get_registry
+
+    got = {r.prio: r for r in get_registry()["q_agg_gini"].fn(spark_prop, d).collect()}
+    assert got["EQ"].gini == 0.0
+    assert got["ONE"].gini == 0.75  # (n-1)/n with n=4
+    assert got["ZERO"].gini is None
