@@ -97,7 +97,7 @@ SELECT l_orderkey, l_linenumber,
        CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
        POW(l_quantity, 2) AS qty_sq,
        SQRT(l_extendedprice) AS price_sqrt,
-       ROUND(LN(l_extendedprice), 6) AS price_ln,
+       CASE WHEN l_extendedprice > 0 THEN ROUND(LN(l_extendedprice), 6) END AS price_ln,
        CAST(((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS BIGINT) AS key_mod7,
        CAST(SIGN(l_discount - 0.05) AS BIGINT) AS disc_sign
 FROM lineitem
@@ -118,8 +118,15 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
         F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
         F.sqrt("l_extendedprice").alias("price_sqrt"),
-        # rounded: Java Math.log vs libm log differ in the last ulp
-        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        # rounded: Java Math.log vs libm log differ in the last ulp.
+        # Guarded: ln(<=0) is NULL by contract on both sides — Spark's
+        # log already returns NULL there but DuckDB's LN(0) is a hard
+        # error, so the oracle needs the explicit CASE (adversarial
+        # fixture has a zero-price row)
+        F.when(
+            F.col("l_extendedprice") > 0,
+            F.round(F.log(F.col("l_extendedprice")), 6),
+        ).alias("price_ln"),
         F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("key_mod7"),
         F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("disc_sign"),
     )

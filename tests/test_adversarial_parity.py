@@ -357,6 +357,42 @@ ADVERSARIAL_QUERIES = [
     "q_text_winnowing",
     "q_agg_gini",
     "q_histogram_equidepth",
+    # joins over a fixture with a NULL o_custkey and an orphan l_orderkey:
+    # NULL keys never match in both engines; null-safe <=> does
+    "q_join_inner",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_multikey",
+    "q_join_null_safe",
+    "q_join_broadcast",
+    # aggregates: NULL group keys form their own group in both engines
+    "q_agg_groupby",
+    "q_agg_global",
+    "q_agg_distinct",
+    "q_agg_having",
+    "q_agg_cube",
+    "q_agg_rollup",
+    "q_agg_groupingsets",
+    "q_agg_collect",
+    "q_agg_filtered",
+    "q_agg_argmax",
+    "q_agg_corr",
+    # setops / scalar packs on the hostile tables
+    "q_union_all",
+    "q_union_distinct",
+    "q_union_by_name",
+    "q_intersect",
+    "q_except",
+    "q_sort_multi",
+    "q_fn_string",
+    "q_fn_math",
+    "q_fn_cond",
+    "q_fn_cast",
+    "q_fn_array",
+    "q_fn_hash",
 ]
 
 
