@@ -393,6 +393,25 @@ ADVERSARIAL_QUERIES = [
     "q_fn_cast",
     "q_fn_array",
     "q_fn_hash",
+    "q_fn_date",
+    "q_fn_date2",
+    "q_fn_regex",
+    "q_fn_null_pack",
+    "q_fn_json",
+    "q_fn_lambda",
+    "q_filter_between",
+    "q_filter_compare",
+    "q_filter_compound",
+    "q_filter_in",
+    "q_filter_like",
+    "q_filter_null",
+    "q_project_select",
+    "q_project_rename",
+    "q_project_computed",
+    "q_unpivot",
+    "q_tpch_q3",
+    "q_tpch_q6",
+    "q_tpch_q14",
 ]
 
 
