@@ -293,3 +293,56 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_dec").cast("double").alias("sum_price"),
         (F.col("sum_dec").cast("double") / F.col("n_orders")).alias("avg_price"),
     )
+
+
+@query(
+    "q_sink_partition_overwrite",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(o_totalprice AS DECIMAL(18,4)) * 2
+                     ELSE CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+         AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("maintenance", "sink"),
+)
+def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill primitive:
+    a partitioned table is fully laid down, then ONE partition ('F') is
+    re-written from corrected data (prices doubled, a visible change) in
+    overwrite mode with ``partitionOverwriteMode=dynamic``. Dynamic mode
+    replaces ONLY the partitions present in the incoming frame; static
+    overwrite (the default) would silently TRUNCATE the other partitions
+    — the classic backfill data-loss foot-gun this query exists to pin.
+    The read-back per-status aggregate proves both halves: 'F' rows carry
+    the corrected prices, every other partition is byte-identical source
+    data.
+
+    At 100 TB this is how daily reprocessing ships: recompute day D,
+    overwrite partition D in place, never touch D-1 — write amplification
+    is the day's data, not the table, and re-running the job is
+    idempotent. The option is set per-write (no session-wide config
+    flip)."""
+    dest = _tmp(sf_dir, "orders_backfill")
+    src = load_table(spark, sf_dir, "orders")
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(dest)
+    fixed = src.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice",
+        (F.col("o_totalprice").cast("decimal(18,4)") * 2).cast("double"),
+    )
+    (
+        fixed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(dest)
+    )
+    back = spark.read.parquet(dest)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
