@@ -66,9 +66,9 @@ _MODULES = [
 # window snapshot that have never received a driver row, (2) re-checks of
 # the oldest evidence — all 37 rows still carrying round-1 evidence
 # (filter/join/agg/scalar/setop/window families, code unchanged for five
-# rounds), then the oldest round-2 rows in registration order until the
-# 50 slots are full. All 50 pre-verified locally against DuckDB at sf0.01
-# before the round ends.
+# rounds) plus the 3 oldest round-2 rows, (3) the 3 earliest round-7
+# newcomers in the remaining tail slots. All 50 pre-verified locally
+# against DuckDB at sf0.01 before the round ends.
 _VERIFY_FIRST = [
     # --- first-timers: registered after the round-6 window snapshot
     "q_dedup_snm_multikey", "q_join_asof_tolerance", "q_quality_benford",
@@ -88,7 +88,13 @@ _VERIFY_FIRST = [
     # --- oldest round-2 rows, registration order (the rest of the r2
     #     backlog queues for round 8)
     "q_dedup_exact", "q_multimodal_meta", "q_sample_uniform",
-    "q_sample_weighted", "q_sample_split", "q_sample_stratified",
+    # --- round-7 newcomers (never driver-checked; first-timers outrank
+    #     re-checks, but the stale-evidence sweep holds ≥40 slots — the
+    #     3 earliest-registered newcomers take the tail, the other 5
+    #     (q_ts_rolling_median, q_text_winnowing, q_agg_gini,
+    #     q_histogram_equidepth, q_sink_partition_overwrite) queue as
+    #     round-8 first-timers, all sf0.01-verified locally)
+    "q_quality_ks", "q_quality_chisq", "q_agg_skew_kurt",
 ]
 
 _loaded = False
