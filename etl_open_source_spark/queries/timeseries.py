@@ -828,3 +828,101 @@ def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("x", 4).alias("daily_value"),
         F.round(F.expr("percentile(x, 0.5)").over(w), 4).alias("med7"),
     )
+
+
+@query(
+    "q_ts_hampel",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, day, x,
+         list(x) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+  FROM daily
+),
+m AS (SELECT *, list_sort(win) AS sw, len(win) AS n FROM w),
+med AS (
+  SELECT event_type, day, x, win, n,
+         CASE WHEN n % 2 = 1 THEN sw[(n + 1) // 2]
+              ELSE (sw[n // 2] + sw[n // 2 + 1]) / 2 END AS med7
+  FROM m
+),
+dev AS (SELECT *, list_sort([abs(v - med7) FOR v IN win]) AS sd FROM med)
+SELECT event_type, day,
+       ROUND(x, 4) AS daily_value,
+       ROUND(med7, 4) AS med7,
+       ROUND(CASE WHEN n % 2 = 1 THEN sd[(n + 1) // 2]
+                  ELSE (sd[n // 2] + sd[n // 2 + 1]) / 2 END, 4) AS mad7,
+       (abs(x - med7) > 3 * 1.4826 *
+          (CASE WHEN n % 2 = 1 THEN sd[(n + 1) // 2]
+                ELSE (sd[n // 2] + sd[n // 2 + 1]) / 2 END)) AS is_outlier
+FROM dev
+""",
+    tags=("timeseries", "quality"),
+)
+def q_ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter: trailing 7-day rolling median + rolling MAD (median
+    absolute deviation), flagging days where |x − med| > 3·1.4826·MAD —
+    the robust outlier detector (both center AND spread are medians, so
+    one spike can neither mask itself by inflating a stddev nor drag a
+    mean; q_ts_anomaly's z-score fails both ways). 1.4826 scales MAD to
+    σ-equivalent under normality.
+
+    Parity: the frame's values come through a window collect (frame
+    order = the day sort, deterministic), and BOTH engines compute the
+    same explicit sorted-array median — (n+1)//2 or the mean of the two
+    middle elements — on decimal-exact daily sums, so the unrounded
+    comparison arithmetic is bit-identical. A zero-MAD window (constant
+    values) flags only genuine deviations (|x − med| > 0).
+
+    Shape: the daily pre-aggregate bounds the window input at |types| ×
+    |days| rows, and the ROWS-7 frame bounds per-row state at 7 values.
+    Each derived array (window, sorted window, sorted deviations)
+    materializes as a real column between projections — the
+    q_text_winnowing lesson: referencing an array EXPRESSION inside a
+    per-element lambda makes Catalyst inline it per element, O(n²)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("x"))
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+
+    def arr_median(sorted_col, n):
+        lo = F.element_at(sorted_col, ((n + 1) / 2).cast("int"))
+        hi = F.element_at(sorted_col, (n / 2 + 1).cast("int"))
+        mid2 = (F.element_at(sorted_col, (n / 2).cast("int")) + hi) / 2
+        return F.when(n % 2 == 1, lo).otherwise(mid2)
+
+    stepped = (
+        daily.withColumn("win", F.collect_list("x").over(w7))
+        .withColumn("sw", F.sort_array(F.col("win")))
+        .withColumn("n", F.size("win"))
+        .withColumn("med7", arr_median(F.col("sw"), F.col("n")))
+        .withColumn(
+            "sd",
+            F.sort_array(
+                F.transform(F.col("win"), lambda v: F.abs(v - F.col("med7")))
+            ),
+        )
+        .withColumn("mad7", arr_median(F.col("sd"), F.col("n")))
+    )
+    return stepped.select(
+        "event_type",
+        "day",
+        F.round("x", 4).alias("daily_value"),
+        F.round("med7", 4).alias("med7"),
+        F.round("mad7", 4).alias("mad7"),
+        (F.abs(F.col("x") - F.col("med7")) > 3 * 1.4826 * F.col("mad7")).alias(
+            "is_outlier"
+        ),
+    )

@@ -413,6 +413,7 @@ ADVERSARIAL_QUERIES = [
     "q_tpch_q6",
     "q_tpch_q14",
     "q_sink_partition_overwrite",
+    "q_ts_hampel",
 ]
 
 
