@@ -926,3 +926,192 @@ def q_ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+@query(
+    "q_funnel_latency",
+    oracle="""
+WITH w1 AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS v1
+  FROM events
+),
+w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > v1 THEN ts END)
+              OVER (PARTITION BY user_id) AS c1
+  FROM w1
+),
+w3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > c1 THEN ts END)
+              OVER (PARTITION BY user_id) AS p1
+  FROM w2
+),
+per_user AS (
+  SELECT user_id, MAX(v1) AS v1, MAX(c1) AS c1, MAX(p1) AS p1
+  FROM w3 GROUP BY user_id
+),
+conv AS (
+  SELECT user_id,
+         CAST(DATE_DIFF('second', v1, c1) AS BIGINT) AS s_view_click,
+         CAST(DATE_DIFF('second', c1, p1) AS BIGINT) AS s_click_purch,
+         CAST(DATE_DIFF('second', v1, p1) AS BIGINT) AS s_total
+  FROM per_user WHERE p1 IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(s_view_click, 0.5), 4) AS p50_view_click,
+       ROUND(quantile_cont(s_click_purch, 0.5), 4) AS p50_click_purch,
+       ROUND(quantile_cont(s_total, 0.5), 4) AS p50_total,
+       ROUND(quantile_cont(s_total, 0.95), 4) AS p95_total,
+       CAST(MAX(s_total) AS BIGINT) AS max_total
+FROM conv
+""",
+    tags=("timeseries", "funnel"),
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel time-to-convert: for users who completed view → click →
+    purchase (q_funnel's strict ordering), the per-leg and end-to-end
+    latency distribution — the half of funnel analysis q_funnel's stage
+    COUNTS don't answer (how long the funnel takes, where converts
+    stall).
+
+    Latencies are integer epoch-second differences (bit-identical in
+    both engines); percentiles are exact interpolating
+    percentile/quantile_cont on those integers, rounded 4dp. Shape: the
+    same single (user_id) exchange as q_funnel (three stacked
+    conditional-min windows + the per-user aggregate), then one global
+    aggregate over converted users only."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = e.withColumn(
+        "v1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    staged = staged.withColumn(
+        "c1",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("v1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    staged = staged.withColumn(
+        "p1",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("v1").alias("v1"), F.max("c1").alias("c1"), F.max("p1").alias("p1")
+    )
+    sec = lambda a, b: (  # noqa: E731
+        F.col(b).cast("long") - F.col(a).cast("long")
+    ).cast("bigint")
+    conv = per_user.filter(F.col("p1").isNotNull()).select(
+        sec("v1", "c1").alias("s_view_click"),
+        sec("c1", "p1").alias("s_click_purch"),
+        sec("v1", "p1").alias("s_total"),
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.percentile("s_view_click", F.lit(0.5)), 4).alias("p50_view_click"),
+        F.round(F.percentile("s_click_purch", F.lit(0.5)), 4).alias("p50_click_purch"),
+        F.round(F.percentile("s_total", F.lit(0.5)), 4).alias("p50_total"),
+        F.round(F.percentile("s_total", F.lit(0.95)), 4).alias("p95_total"),
+        F.max("s_total").cast("bigint").alias("max_total"),
+    )
+
+
+@query(
+    "q_path_topk",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+sessioned AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+  FROM ordered
+),
+capped AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_num
+                               ORDER BY ts, event_id) AS rn
+  FROM sessioned
+),
+paths AS (
+  SELECT user_id, session_num,
+         STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM capped WHERE rn <= 8
+  GROUP BY user_id, session_num
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 10
+""",
+    tags=("timeseries", "analytics"),
+)
+def q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session journey paths: sessions cut at 30-minute silences
+    (q_ts_sessionize's rule), each session's first 8 event types joined
+    into a path string, paths ranked by frequency — the "what do users
+    actually do" query behind every funnel hypothesis (q_funnel tests ONE
+    ordering; this surfaces the orderings worth testing).
+
+    Determinism: the event order inside a path carries the (ts, event_id)
+    tiebreak end to end — session numbering, the 8-event cap, and the
+    string order all use it — and the top-10 cut breaks count ties on the
+    path string, so the boundary row is identical in both engines. The
+    8-event cap bounds path-string length (and distinct-path cardinality)
+    regardless of session length — the hot-session guard.
+
+    Shape: ONE (user_id) exchange shared by the lag + running-sum + cap
+    windows (same sort), one (user, session) aggregate, one path count,
+    then TakeOrdered for the top-10 (no global sort)."""
+    e = load_table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_break = (
+        F.lag("ts").over(w_lag).isNull()
+        | (F.col("ts") > F.lag("ts").over(w_lag) + F.expr("INTERVAL 30 MINUTES"))
+    )
+    sessioned = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(F.when(is_break, 1).otherwise(0)).over(w_run).alias("session_num"),
+    )
+    w_sess = Window.partitionBy("user_id", "session_num").orderBy(*order)
+    capped = sessioned.withColumn("rn", F.row_number().over(w_sess)).filter(
+        F.col("rn") <= 8
+    )
+    paths = (
+        capped.groupBy("user_id", "session_num")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(10)
+    )

@@ -414,6 +414,8 @@ ADVERSARIAL_QUERIES = [
     "q_tpch_q14",
     "q_sink_partition_overwrite",
     "q_ts_hampel",
+    "q_funnel_latency",
+    "q_path_topk",
 ]
 
 
