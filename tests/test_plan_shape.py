@@ -605,3 +605,26 @@ def test_chisq_no_third_fact_scan(spark, sf_dir):
     plan = _formatted_plan(spark, sf_dir, "q_quality_chisq")
     n_scans = plan.count("events.parquet")
     assert n_scans <= 2, plan
+
+
+def test_path_topk_single_user_exchange_take_ordered(spark, sf_dir):
+    """The lag/running-sum/cap windows share ONE (user_id) sort; the path
+    aggregate may add its own exchanges over session rows, but the top-10
+    must compile to TakeOrdered — a global Sort of the path counts is the
+    plan that dies at web-scale path cardinality."""
+    plan = _formatted_plan(spark, sf_dir, "q_path_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_funnel_latency_shares_funnel_exchange_shape(spark, sf_dir):
+    """Same stacked conditional-min windows as q_funnel: the user_id
+    exchange is shared across all three windows + the per-user aggregate;
+    only the final 1-row global aggregate may add one more."""
+    plan = _formatted_plan(spark, sf_dir, "q_funnel_latency")
+    n_exchanges = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
+    )
+    assert n_exchanges <= 2, plan
