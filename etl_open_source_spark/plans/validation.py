@@ -110,6 +110,16 @@ def validate_spec(spec: PipelineSpec) -> list[str]:
                     issues.append(f"jdbc load step {s.name!r} missing 'table'")
             elif not cfg.get("path"):
                 issues.append(f"load step {s.name!r} missing 'path'")
+            if cfg.get("mode") == "overwrite_partitions" and not cfg.get(
+                "partition_by"
+            ):
+                # without partition_by, dynamic overwrite degenerates to a
+                # full truncate — the exact data-loss the mode exists to
+                # prevent; fail at validate time, not mid-write
+                issues.append(
+                    f"load step {s.name!r} uses mode 'overwrite_partitions' "
+                    f"but has no 'partition_by'"
+                )
 
     try:
         next_run_from_cron(spec.cron, datetime(2026, 1, 1))

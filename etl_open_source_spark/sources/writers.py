@@ -14,12 +14,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-VALID_MODES = {"append", "replace"}
+VALID_MODES = {"append", "replace", "overwrite_partitions"}
+# non-parquet sinks: dynamic partition overwrite is a partitioned-layout
+# concept — only the parquet writer accepts the third mode
+VALID_BASIC_MODES = {"append", "replace"}
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "append", partition_by: list[str] | None = None) -> None:
+    """``overwrite_partitions`` = overwrite mode with per-write
+    ``partitionOverwriteMode=dynamic``: ONLY the partitions present in
+    ``df`` are replaced — the idempotent daily-backfill semantics
+    (q_sink_partition_overwrite pins the behavior; plain ``replace``
+    would truncate the whole table). Requires ``partition_by``."""
     if mode not in VALID_MODES:
         raise ValueError(f"mode must be one of {VALID_MODES}, got {mode!r}")
+    if mode == "overwrite_partitions":
+        if not partition_by:
+            raise ValueError(
+                "mode 'overwrite_partitions' requires partition_by — without "
+                "partitions, dynamic overwrite degenerates to a full truncate"
+            )
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+        return
     writer = df.write.mode("overwrite" if mode == "replace" else "append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -27,8 +48,8 @@ def write_parquet(df: DataFrame, path: str, mode: str = "append", partition_by: 
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "replace", header: bool = True) -> None:
-    if mode not in VALID_MODES:
-        raise ValueError(f"mode must be one of {VALID_MODES}, got {mode!r}")
+    if mode not in VALID_BASIC_MODES:
+        raise ValueError(f"mode must be one of {VALID_BASIC_MODES}, got {mode!r}")
     (
         df.write.mode("overwrite" if mode == "replace" else "append")
         .option("header", str(header).lower())
@@ -37,8 +58,8 @@ def write_csv(df: DataFrame, path: str, mode: str = "replace", header: bool = Tr
 
 
 def write_json(df: DataFrame, path: str, mode: str = "replace") -> None:
-    if mode not in VALID_MODES:
-        raise ValueError(f"mode must be one of {VALID_MODES}, got {mode!r}")
+    if mode not in VALID_BASIC_MODES:
+        raise ValueError(f"mode must be one of {VALID_BASIC_MODES}, got {mode!r}")
     df.write.mode("overwrite" if mode == "replace" else "append").json(path)
 
 
@@ -48,8 +69,8 @@ def write_orc(
     """ORC sink — Spark-native columnar alternative to parquet (same
     pushdown/pruning story); rounds out the reference's stubbed loader
     matrix (core/loaders/*.py, all 0-byte)."""
-    if mode not in VALID_MODES:
-        raise ValueError(f"mode must be one of {VALID_MODES}, got {mode!r}")
+    if mode not in VALID_BASIC_MODES:
+        raise ValueError(f"mode must be one of {VALID_BASIC_MODES}, got {mode!r}")
     writer = df.write.mode("overwrite" if mode == "replace" else "append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -60,8 +81,8 @@ def write_xml(df: DataFrame, path: str, mode: str = "replace", row_tag: str = "r
     """XML sink — built into Spark core since 4.0 (SPARK-44265 merged the
     external spark-xml connector), so no extra jar. Row-per-element;
     splittable on read via the StAX record reader."""
-    if mode not in VALID_MODES:
-        raise ValueError(f"mode must be one of {VALID_MODES}, got {mode!r}")
+    if mode not in VALID_BASIC_MODES:
+        raise ValueError(f"mode must be one of {VALID_BASIC_MODES}, got {mode!r}")
     (
         df.write.mode("overwrite" if mode == "replace" else "append")
         .option("rowTag", row_tag)
@@ -87,8 +108,8 @@ def jdbc_write_options(
     path (core/loaders/sqlserver.py:83-239, e.g. preserving varchar(n) and
     decimal(p,s) from a source schema) expressed as Spark's
     ``createTableColumnTypes`` option."""
-    if mode not in VALID_MODES:
-        raise ValueError(f"mode must be one of {VALID_MODES}, got {mode!r}")
+    if mode not in VALID_BASIC_MODES:
+        raise ValueError(f"mode must be one of {VALID_BASIC_MODES}, got {mode!r}")
     spark_mode = "append" if mode == "append" else "overwrite"
     opts = {"url": url, "dbtable": table, "batchsize": str(batchsize)}
     if mode == "replace":

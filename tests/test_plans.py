@@ -482,3 +482,50 @@ def test_pii_and_url_operator_steps(spark):
     assert [r.url for r in got_u.orderBy("id").collect()] == [
         r.url for r in want_u.orderBy("id").collect()
     ]
+
+
+def test_load_mode_overwrite_partitions(spark, tmp_path):
+    """The 'overwrite_partitions' load mode replaces ONLY the partitions
+    present in the incoming frame (dynamic overwrite): a backfill spec
+    re-writing one status partition must leave the others byte-identical,
+    and a spec declaring the mode without partition_by must fail at
+    validate time (without partitions it degenerates to a full
+    truncate)."""
+    import pandas as pd
+
+    from etl_open_source_spark.plans.validation import validate_spec
+    from etl_open_source_spark.sources.writers import write_parquet
+
+    dest = str(tmp_path / "orders_by_status")
+    src = spark.createDataFrame(
+        [(1, "F", 10.0), (2, "F", 20.0), (3, "O", 30.0), (4, "P", 40.0)],
+        "id bigint, status string, price double",
+    )
+    write_parquet(src, dest, mode="replace", partition_by=["status"])
+    fix = spark.createDataFrame(
+        [(1, "F", 99.0)], "id bigint, status string, price double"
+    )
+    write_parquet(fix, dest, mode="overwrite_partitions", partition_by=["status"])
+    back = spark.read.parquet(dest).toPandas().sort_values("id").reset_index(drop=True)
+    assert list(back["id"]) == [1, 3, 4]           # F fully replaced by 1 row
+    assert back.loc[0, "price"] == 99.0            # corrected value
+    assert set(back["status"]) == {"F", "O", "P"}  # other partitions intact
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires partition_by"):
+        write_parquet(fix, dest, mode="overwrite_partitions")
+
+    spec = PipelineSpec(
+        id="p", name="p", cron="* * * * *", enabled=True,
+        connections=[ConnectionConfig(id="c", name="c", type="parquet",
+                                      params={"path": dest})],
+        steps=[
+            Step(id="s1", name="e", step_type=StepType.EXTRACT, order=1,
+                 connection_id="c", config={"path": dest}),
+            Step(id="s2", name="l", step_type=StepType.LOAD, order=2,
+                 config={"path": dest, "mode": "overwrite_partitions"}),
+        ],
+    )
+    issues = validate_spec(spec)
+    assert any("overwrite_partitions" in i and "partition_by" in i for i in issues)
