@@ -290,3 +290,79 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_dedup_winnowing",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         [list_reduce([CAST(ascii(substr(lower(text), CAST(i AS INT) + o, 1)) AS BIGINT)
+                       FOR o IN generate_series(0, 4)],
+                      (a, b) -> (a * 257 + b) % 2147483647)
+          FOR i IN generate_series(1, GREATEST(0, length(text) - 4))] AS hs
+  FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         unnest([struct_pack(j := CAST(j AS INT),
+                             win := list_slice(hs, CAST(j AS INT), CAST(j AS INT) + 3))
+                 FOR j IN generate_series(1, GREATEST(1, len(hs) - 3))]) AS s
+  FROM g WHERE len(hs) > 0
+),
+fps AS (
+  SELECT DISTINCT doc_id, list_aggregate(s.win, 'min') AS fp
+  FROM wins
+),
+capped AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM fps a JOIN capped USING (fp) JOIN fps b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+FROM pairs WHERE n_shared >= 8
+""",
+    tags=("llm", "dedup"),
+)
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidate pairs from shared winnowing fingerprints
+    — the positional complement to q_dedup_containment: winnowing
+    GUARANTEES a fingerprint inside every shared run of >= k+w-1 chars,
+    so a long quoted passage between otherwise-different documents
+    surfaces even when whole-document resemblance and containment both
+    stay low. Pairs sharing >= 8 fingerprints are candidates; the exact
+    span verify (or q_dedup_containment) runs on candidates only. (The
+    threshold is corpus-dependent: the synthetic fixture draws words
+    from a tiny vocabulary, so at >= 2 nearly every pair matches — a
+    real web corpus separates at low thresholds.)
+
+    Scale shape: the SAME inverted-index discipline as q_dedup_ngram —
+    distinct (doc, fp) postings, a max-doc-freq cap (50) drops
+    boilerplate fingerprints whose posting lists would explode the
+    self-join quadratically, then one equi-join on the fingerprint and a
+    pair-count aggregate. Fingerprint count is already ~2/(w+1) of gram
+    count by winnowing's density bound, so the index is ~3x smaller than
+    the full-shingle one."""
+    d = load_table(spark, sf_dir, "documents")
+    from etl_open_source_spark.operators.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(d, "doc_id", "text", k=5, w=4).select(
+        "doc_id", "fp"
+    ).distinct()
+    capped = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") <= 50
+    ).select("fp")
+    postings = fps.join(capped, "fp")
+    a = postings.select(F.col("doc_id").alias("id_a"), "fp")
+    b = postings.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 8)
+    )

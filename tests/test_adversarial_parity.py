@@ -416,6 +416,7 @@ ADVERSARIAL_QUERIES = [
     "q_ts_hampel",
     "q_funnel_latency",
     "q_path_topk",
+    "q_dedup_winnowing",
 ]
 
 
