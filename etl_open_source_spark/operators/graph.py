@@ -134,10 +134,16 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    # coalesce: an EMPTY graph (no qualifying edges) must report 0 edges
+    # and 0 wedges, not NULL — SUM over zero rows is NULL in both engines
+    # and the convention must be pinned on both sides (adversarial
+    # fixture's minimal star schema produces exactly this graph)
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
-        F.sum(F.expr("deg * (deg - 1) div 2")).cast("bigint").alias("n_wedges"),
+        (F.coalesce(F.sum("deg"), F.lit(0)) / 2).cast("bigint").alias("n_edges"),
+        F.coalesce(F.sum(F.expr("deg * (deg - 1) div 2")), F.lit(0))
+        .cast("bigint")
+        .alias("n_wedges"),
     )
     return stats.crossJoin(tri).select(
         "n_nodes",

@@ -126,9 +126,9 @@ tri AS (
 )
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
-       (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT CAST(COALESCE(SUM(deg * (deg - 1) // 2), 0) AS BIGINT) FROM deg) AS n_wedges,
        CAST(t.n_triangles AS BIGINT) AS n_triangles,
-       CASE WHEN (SELECT SUM(deg * (deg - 1) // 2) FROM deg) = 0 THEN 0.0
+       CASE WHEN (SELECT COALESCE(SUM(deg * (deg - 1) // 2), 0) FROM deg) = 0 THEN 0.0
             ELSE ROUND(3.0 * t.n_triangles /
                        (SELECT SUM(deg * (deg - 1) // 2) FROM deg), 6) END
          AS clustering_coeff

@@ -412,6 +412,16 @@ ADVERSARIAL_QUERIES = [
     "q_tpch_q3",
     "q_tpch_q6",
     "q_tpch_q14",
+    # graph / mining / maintenance over the minimal hostile star schema
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_graph_link_jaccard",
+    "q_assoc_rules",
+    "q_dedup_snm_multikey",
+    "q_mv_incremental",
+    "q_merge_upsert",
+    "q_sanitize_nulls",
+    "q_recursive_cte",
     "q_sink_partition_overwrite",
     "q_ts_hampel",
     "q_funnel_latency",
