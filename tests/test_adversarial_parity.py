@@ -422,6 +422,14 @@ ADVERSARIAL_QUERIES = [
     "q_merge_upsert",
     "q_sanitize_nulls",
     "q_recursive_cte",
+    "q_sql_transform",
+    "q_text_bpe_step",
+    "q_catalog_list_tables",
+    "q_catalog_list_columns",
+    "q_catalog_table_schema",
+    "q_catalog_fk_graph",
+    "q_intersect_all",
+    "q_except_all",
     "q_sink_partition_overwrite",
     "q_ts_hampel",
     "q_funnel_latency",
