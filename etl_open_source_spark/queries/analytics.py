@@ -231,3 +231,74 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         maximize="p_size",
         keys=["p_partkey"],
     ).orderBy("p_partkey")
+
+
+@query(
+    "q_retention_days",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+),
+flags AS (
+  SELECT f.user_id,
+         MAX(CASE WHEN e.ts >  f.first_ts + INTERVAL 1 DAY
+                   AND e.ts <= f.first_ts + INTERVAL 2 DAY THEN 1 ELSE 0 END) AS d1,
+         MAX(CASE WHEN e.ts >  f.first_ts + INTERVAL 7 DAY
+                   AND e.ts <= f.first_ts + INTERVAL 8 DAY THEN 1 ELSE 0 END) AS d7,
+         MAX(CASE WHEN e.ts >  f.first_ts + INTERVAL 30 DAY
+                   AND e.ts <= f.first_ts + INTERVAL 31 DAY THEN 1 ELSE 0 END) AS d30
+  FROM firsts f JOIN events e USING (user_id)
+  GROUP BY f.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(d1) AS BIGINT) AS d1_retained,
+       CAST(SUM(d7) AS BIGINT) AS d7_retained,
+       CAST(SUM(d30) AS BIGINT) AS d30_retained,
+       ROUND(CAST(SUM(d1) AS DOUBLE) / COUNT(*), 6) AS d1_rate,
+       ROUND(CAST(SUM(d7) AS DOUBLE) / COUNT(*), 6) AS d7_rate,
+       ROUND(CAST(SUM(d30) AS DOUBLE) / COUNT(*), 6) AS d30_rate
+FROM flags
+""",
+    tags=("analytics", "timeseries"),
+)
+def q_retention_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic D1/D7/D30 retention: a user counts as day-N retained iff
+    they have ANY event inside the (first_ts + N days, first_ts + N+1
+    days] window — the bounded-day definition product analytics uses
+    (cohort_retention's month triangle answers a different question:
+    activity in ANY later month).
+
+    Shape: per-user first-event aggregate, then ONE more pass over
+    events joined back on user_id — both keyed on user_id so AQE reuses
+    the exchange; the flags fold map-side (MAX of 0/1). No windows, no
+    per-day explode. Day arithmetic is interval comparison on raw
+    timestamps — identical in both engines, no date-truncation edge."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+
+    def day_flag(n):
+        lo = F.col("first_ts") + F.expr(f"INTERVAL {n} DAY")
+        hi = F.col("first_ts") + F.expr(f"INTERVAL {n + 1} DAY")
+        return F.max(
+            F.when((F.col("ts") > lo) & (F.col("ts") <= hi), 1).otherwise(0)
+        )
+
+    flags = (
+        firsts.join(e, "user_id")
+        .groupBy("user_id")
+        .agg(
+            day_flag(1).alias("d1"),
+            day_flag(7).alias("d7"),
+            day_flag(30).alias("d30"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return flags.agg(
+        n.cast("bigint").alias("n_users"),
+        F.sum("d1").cast("bigint").alias("d1_retained"),
+        F.sum("d7").cast("bigint").alias("d7_retained"),
+        F.sum("d30").cast("bigint").alias("d30_retained"),
+        F.round(F.sum("d1").cast("double") / n, 6).alias("d1_rate"),
+        F.round(F.sum("d7").cast("double") / n, 6).alias("d7_rate"),
+        F.round(F.sum("d30").cast("double") / n, 6).alias("d30_rate"),
+    )

@@ -435,6 +435,7 @@ ADVERSARIAL_QUERIES = [
     "q_funnel_latency",
     "q_path_topk",
     "q_dedup_winnowing",
+    "q_retention_days",
 ]
 
 
