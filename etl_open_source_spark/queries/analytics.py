@@ -241,12 +241,12 @@ WITH firsts AS (
 ),
 flags AS (
   SELECT f.user_id,
-         MAX(CASE WHEN e.ts >  f.first_ts + INTERVAL 1 DAY
-                   AND e.ts <= f.first_ts + INTERVAL 2 DAY THEN 1 ELSE 0 END) AS d1,
-         MAX(CASE WHEN e.ts >  f.first_ts + INTERVAL 7 DAY
-                   AND e.ts <= f.first_ts + INTERVAL 8 DAY THEN 1 ELSE 0 END) AS d7,
-         MAX(CASE WHEN e.ts >  f.first_ts + INTERVAL 30 DAY
-                   AND e.ts <= f.first_ts + INTERVAL 31 DAY THEN 1 ELSE 0 END) AS d30
+         MAX(CASE WHEN e.ts >= f.first_ts + INTERVAL 1 DAY
+                   AND e.ts <  f.first_ts + INTERVAL 2 DAY THEN 1 ELSE 0 END) AS d1,
+         MAX(CASE WHEN e.ts >= f.first_ts + INTERVAL 7 DAY
+                   AND e.ts <  f.first_ts + INTERVAL 8 DAY THEN 1 ELSE 0 END) AS d7,
+         MAX(CASE WHEN e.ts >= f.first_ts + INTERVAL 30 DAY
+                   AND e.ts <  f.first_ts + INTERVAL 31 DAY THEN 1 ELSE 0 END) AS d30
   FROM firsts f JOIN events e USING (user_id)
   GROUP BY f.user_id
 )
@@ -263,8 +263,10 @@ FROM flags
 )
 def q_retention_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic D1/D7/D30 retention: a user counts as day-N retained iff
-    they have ANY event inside the (first_ts + N days, first_ts + N+1
-    days] window — the bounded-day definition product analytics uses
+    they have ANY event inside the [first_ts + N days, first_ts + N+1
+    days) window — day N inclusive at its start, the standard
+    product-analytics convention (the adversarial fixture's
+    exactly-+7-days event pins the boundary side)
     (cohort_retention's month triangle answers a different question:
     activity in ANY later month).
 
@@ -280,7 +282,7 @@ def q_retention_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo = F.col("first_ts") + F.expr(f"INTERVAL {n} DAY")
         hi = F.col("first_ts") + F.expr(f"INTERVAL {n + 1} DAY")
         return F.max(
-            F.when((F.col("ts") > lo) & (F.col("ts") <= hi), 1).otherwise(0)
+            F.when((F.col("ts") >= lo) & (F.col("ts") < hi), 1).otherwise(0)
         )
 
     flags = (
