@@ -32,9 +32,15 @@ TABLES = (
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # synthetic differential fixtures may materialize only the tables
+        # a query reads; register what exists (a query referencing a
+        # missing view still fails loudly at bind time)
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con.sql(sql).df()
 
 

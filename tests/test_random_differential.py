@@ -1,0 +1,90 @@
+"""Randomized differential testing: hypothesis-generated event tables,
+Spark vs DuckDB oracle.
+
+The adversarial fixture (test_adversarial_parity.py) covers the hostile
+classes we KNOW about; this sweep hunts the ones we don't — random tiny
+events tables with heavy timestamp collisions, duplicate rows, NULL
+values, and skewed user distributions, run through a handful of the most
+order-sensitive registered queries and compared against their oracles on
+the same parquet. Examples are few and small (each costs a Spark job);
+the generator is biased hard toward ties (timestamps drawn from a 4-value
+pool) because tie resolution is the historical bug source.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_open_source_spark.registry import get_registry
+from tests.oracle_utils import assert_frames_match, run_oracle
+
+REGISTRY = get_registry()
+
+# order-sensitive queries whose input is ONLY the events table
+QUERIES = [
+    "q_ts_sessionize",
+    "q_event_transitions",
+    "q_ts_twap",
+    "q_gaps_islands",
+    "q_ts_ewma",
+    "q_retention_days",
+]
+
+_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+@st.composite
+def events_table(draw):
+    n = draw(st.integers(3, 25))
+    # 4-value timestamp pool → guaranteed heavy ties
+    ts_pool = [
+        pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=m)
+        for m in (0, 17, 17, 60 * 26)  # duplicate pool entry: more ties
+    ]
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                draw(st.sampled_from(ts_pool)),
+                draw(st.integers(1, 3)),
+                draw(st.sampled_from(_TYPES)),
+                draw(
+                    st.one_of(
+                        st.just(None),
+                        st.sampled_from([0.0, -1.5, 7.0, 123.45]),
+                    )
+                ),
+                "{}",
+            )
+        )
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df["event_id"] = df["event_id"].astype("int64")
+    df["user_id"] = df["user_id"].astype("int64")
+    df["value"] = df["value"].astype("float64")
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    return df
+
+
+@given(tbl=events_table())
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_random_events_differential(spark_prop, tbl):
+    d = tempfile.mkdtemp(prefix="randdiff_")
+    tbl.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    for name in QUERIES:
+        qd = REGISTRY[name]
+        got = qd.fn(spark_prop, d).toPandas()
+        want = run_oracle(qd.oracle, d)
+        try:
+            assert_frames_match(got, want)
+        except AssertionError as ex:  # pragma: no cover - diagnostic path
+            raise AssertionError(f"{name} diverged on random input:\n{ex}") from ex
