@@ -88,3 +88,66 @@ def test_random_events_differential(spark_prop, tbl):
             assert_frames_match(got, want)
         except AssertionError as ex:  # pragma: no cover - diagnostic path
             raise AssertionError(f"{name} diverged on random input:\n{ex}") from ex
+
+
+ORDER_QUERIES = [
+    "q_rfm_segments",
+    "q_agg_gini",
+    "q_quality_ks",
+    "q_cohort_retention",
+    "q_ts_mom_change",
+]
+
+
+@st.composite
+def orders_table(draw):
+    n = draw(st.integers(3, 25))
+    date_pool = [
+        pd.Timestamp("1995-01-01"),
+        pd.Timestamp("1995-01-01"),  # duplicate: date ties
+        pd.Timestamp("1995-02-15"),
+        pd.Timestamp("1995-06-01"),
+    ]
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                draw(st.one_of(st.just(None), st.integers(1, 3))),
+                draw(st.sampled_from(["F", "O", "P"])),
+                draw(st.sampled_from([0.0, 100.0, 100.0, 250.5])),  # price ties
+                draw(st.sampled_from(date_pool)),
+                draw(st.sampled_from(["1-URGENT", "5-LOW"])),
+            )
+        )
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        ],
+    )
+    df["o_orderkey"] = df["o_orderkey"].astype("int64")
+    df["o_custkey"] = df["o_custkey"].astype("Int64")
+    df["o_orderdate"] = pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]")
+    return df
+
+
+@given(tbl=orders_table())
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_random_orders_differential(spark_prop, tbl):
+    """Random orders tables with NULL customer keys, full-row price/date
+    ties, and single-sided status populations — the ntile/Gini/KS/cohort
+    paths must stay bit-identical to their oracles."""
+    d = tempfile.mkdtemp(prefix="randdiff_o_")
+    tbl.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+    for name in ORDER_QUERIES:
+        qd = REGISTRY[name]
+        got = qd.fn(spark_prop, d).toPandas()
+        want = run_oracle(qd.oracle, d)
+        try:
+            assert_frames_match(got, want)
+        except AssertionError as ex:  # pragma: no cover - diagnostic path
+            raise AssertionError(f"{name} diverged on random input:\n{ex}") from ex
