@@ -151,3 +151,54 @@ def test_random_orders_differential(spark_prop, tbl):
             assert_frames_match(got, want)
         except AssertionError as ex:  # pragma: no cover - diagnostic path
             raise AssertionError(f"{name} diverged on random input:\n{ex}") from ex
+
+
+DOC_QUERIES = [
+    "q_text_tokens",
+    "q_text_stats",
+    "q_text_entropy",
+    "q_dedup_exact",
+    "q_text_winnowing",
+    "q_doc_chunk",
+]
+
+
+@st.composite
+def documents_table(draw):
+    n = draw(st.integers(2, 12))
+    # fragments biased toward tokenizer/hash edge content: whitespace
+    # runs, unicode, punctuation, repeats, digits
+    frags = [
+        "", "a", "  ", "\t", "the quick fox", "é", "ß", "x x x",
+        "a.b,c!", "123 456", "word " * 6, "…", "\n",
+    ]
+    rows = []
+    for i in range(n):
+        text = "".join(
+            draw(st.lists(st.sampled_from(frags), min_size=0, max_size=6))
+        )
+        rows.append((i, text, "en", "src0"))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    return df
+
+
+@given(tbl=documents_table())
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_random_documents_differential(spark_prop, tbl):
+    """Random documents built from tokenizer/hash edge fragments —
+    whitespace runs, multibyte chars, punctuation, repeats, newlines,
+    the empty string — through the text pipeline queries."""
+    d = tempfile.mkdtemp(prefix="randdiff_d_")
+    tbl.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    for name in DOC_QUERIES:
+        qd = REGISTRY[name]
+        got = qd.fn(spark_prop, d).toPandas()
+        want = run_oracle(qd.oracle, d)
+        try:
+            assert_frames_match(got, want)
+        except AssertionError as ex:  # pragma: no cover - diagnostic path
+            raise AssertionError(f"{name} diverged on random input:\n{ex}") from ex
