@@ -71,7 +71,16 @@ def association_rules(
     guarded dataset exactly, rather than mixing a guarded numerator with
     unguarded denominators).
     """
-    items = df.select(basket_col, item_col).distinct()
+    # NULL items can never appear in a rule (collect_set in
+    # cooccurring_pairs drops them) — exclude them from EVERY universe up
+    # front, so the per-basket size below counts exactly what the pair
+    # guard counts (a NULL item row must not push a basket over the cap
+    # here while the pair mine keeps it — self-review finding)
+    items = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(basket_col, item_col)
+        .distinct()
+    )
     if max_basket_size is not None:
         from pyspark.sql import Window
 

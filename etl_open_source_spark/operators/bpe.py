@@ -15,11 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_open_source_spark.operators.text import ascii_fold as _fold
+
 
 def word_histogram(df: DataFrame, text_col: str) -> DataFrame:
     """(word, cnt) over whitespace-split lowercased text."""
     return (
-        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"))
+        df.select(F.explode(F.split(_fold(F.col(text_col)), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))

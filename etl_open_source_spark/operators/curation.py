@@ -243,7 +243,9 @@ def rep_ngram_stats(
     per-doc aggregate — both combine map-side, grams never cross docs so
     the shuffle key is (doc, gram) and skew is bounded by doc length.
     Scan-local per doc; no corpus-wide state at any scale."""
-    words = F.split(F.lower(F.col(text_col)), " ")
+    from etl_open_source_spark.operators.text import ascii_fold
+
+    words = F.split(ascii_fold(text_col), " ")
     terms = ", ".join(["' '" if j % 2 else f"__ws[i+{j // 2}]" for j in range(2 * n - 1)])
     grams = F.expr(f"transform(sequence(0, size(__ws) - {n}), i -> concat({terms}))")
     counts = (

@@ -47,7 +47,9 @@ def shingle_positions(
 
     ``distinct=True`` dedupes within-doc (set semantics); ``False`` keeps
     every position."""
-    words = F.split(F.lower(F.col(text_col)), " ")
+    from etl_open_source_spark.operators.text import ascii_fold
+
+    words = F.split(ascii_fold(text_col), " ")
     # direct ws[i] indexing codegens ~6x faster than slice()-per-shingle
     # (no sub-array allocation per element); multi-arg xxhash64 chains the
     # running hash as seed so word boundaries stay unambiguous
@@ -457,7 +459,9 @@ def simhash_bands(
     equi-join on any identical band, (b) hamming distance is
     Σ bit_count(xor(band_a, band_b)) without a 64-bit assemble."""
     assert bands == 4, "fixed 4×16 layout"
-    words = F.split(F.lower(F.col(text_col)), " ")
+    from etl_open_source_spark.operators.text import ascii_fold
+
+    words = F.split(ascii_fold(text_col), " ")
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(F.array_distinct(words)).alias("tok")
     )

@@ -47,9 +47,11 @@ def sorted_neighborhood_pairs(
     and the Jaccard verify is per-row array arithmetic. Output columns:
     ``id_a < id_b`` canonical, ``jaccard`` rounded to 6 places.
     """
-    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+    from etl_open_source_spark.operators.text import ascii_fold
+
+    toks = F.array_distinct(F.split(ascii_fold(text_col), " "))
     sk = F.substring(
-        F.lower(F.col(text_col)) if key is None else key, 1, key_len
+        ascii_fold(text_col) if key is None else key, 1, key_len
     )
     base = df.select(
         F.col(id_col).alias("__id"), sk.alias("__sk"), toks.alias("__toks")

@@ -166,12 +166,17 @@ def ivf_topk(
     query instead of the whole corpus. Approximate (recall < 1) but the
     per-query cost drops from O(|C|) to O(|C|·nprobe/n_buckets)."""
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    # zero-norm guard on BOTH the centroid and query sides (corpus side
+    # lives inside ivf_assign): a zero-norm query makes sim = 0/0 = NaN
+    # for every candidate, and NaN sorts ABOVE all doubles under DESC —
+    # the degenerate query would return k arbitrary neighbors instead of
+    # being dropped per the _drop_zero_norm policy (self-review finding)
     cen = centroids.select(F.col("centroid_id"), as_double("centroid").alias("cv")).withColumn(
         "cn", norm(F.col("cv"))
-    )
+    ).filter(F.col("cn") > 0)
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")).withColumn(
         "qn", norm(F.col("qv"))
-    )
+    ).filter(F.col("qn") > 0)
     qsim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     wq = Window.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("centroid_id"))
     probes = (
@@ -472,9 +477,8 @@ def ivfpq_topk(
     (WindowGroupLimit)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col).filter(
-        F.col("vn") > 0
-    )
+    # corpus zero-norm rows are already dropped INSIDE ivf_assign
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     nv = F.transform("v", lambda x: x / F.col("vn"))
     codes = []
     for s in range(m):

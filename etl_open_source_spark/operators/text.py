@@ -10,12 +10,35 @@ diverges. Consecutive/leading/trailing whitespace therefore yields
 empty-string tokens on BOTH sides consistently; corpora with messy
 whitespace should run :func:`normalize_ws` FIRST (the CCNet-style
 normalization stage), after which the single-space contract is exact.
+
+CASE-FOLDING CONTRACT: folding is ASCII-ONLY (:func:`ascii_fold`,
+translate A-Z→a-z), never ``lower()``. Java's full case mapping EXPANDS
+some code points (U+0130 'İ' → 'i' + U+0307, two characters) where
+DuckDB's simple mapping yields one — a single such character desyncs
+token streams, gram indices, and every downstream hash between the
+engines (caught by the adversarial fixture's 'İstanbul' document).
+translate is per-character and length-preserving in both engines;
+dedup/hash pipelines need consistency, not linguistic case folding —
+run a proper Unicode case-fold upstream if the corpus requires one.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+#: the oracle-side mirror of :func:`ascii_fold` — use
+#: ``SQL_ASCII_FOLD.format(col="text")`` inside oracle SQL strings
+SQL_ASCII_FOLD = "translate({col}, '" + _UPPER + "', '" + _LOWER + "')"
+
+
+def ascii_fold(col: str | Column) -> Column:
+    """ASCII-only case folding (see CASE-FOLDING CONTRACT above)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _UPPER, _LOWER)
 
 # Tiny per-language stopword profiles (public common-word lists). The
 # heuristic scores a doc per language by stopword hits; argmax wins.
@@ -42,7 +65,7 @@ def normalize_ws(text_col: str | Column) -> Column:
 
 
 def words_col(text_col: str) -> Column:
-    return F.split(F.lower(F.col(text_col)), " ")
+    return F.split(ascii_fold(text_col), " ")
 
 
 # PII patterns shared by q_pii_redact and the `pii_redact` spec step —
@@ -216,9 +239,17 @@ def winnow_fingerprints(
     inside the window lambda makes Catalyst inline it per window, i.e.
     O(n) hash evaluations per window = O(n²) per document — measured as
     a hang (500 fixture docs > 4 min with md5). Same for the code-point
-    array feeding the hashes."""
+    array feeding the hashes.
+
+    Case folding is ASCII-ONLY (translate A-Z→a-z), not lower(): Java
+    full case mapping expands some code points (U+0130 'İ' → 'i'+U+0307,
+    TWO chars) where DuckDB's simple mapping yields one — a single such
+    character would shift every downstream gram index and hash.
+    translate is per-character and length-preserving in both engines;
+    fingerprinting needs consistency, not linguistic case folding
+    (self-review finding)."""
     B, M = 257, (1 << 31) - 1
-    norm = F.lower(F.col(text_col))
+    norm = ascii_fold(text_col)
     n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(0))
     # sequence(1, 0) DESCENDS in Spark — guard the empty case explicitly
     grams_idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(

@@ -110,16 +110,27 @@ def validate_spec(spec: PipelineSpec) -> list[str]:
                     issues.append(f"jdbc load step {s.name!r} missing 'table'")
             elif not cfg.get("path"):
                 issues.append(f"load step {s.name!r} missing 'path'")
-            if cfg.get("mode") == "overwrite_partitions" and not cfg.get(
-                "partition_by"
-            ):
-                # without partition_by, dynamic overwrite degenerates to a
-                # full truncate — the exact data-loss the mode exists to
-                # prevent; fail at validate time, not mid-write
-                issues.append(
-                    f"load step {s.name!r} uses mode 'overwrite_partitions' "
-                    f"but has no 'partition_by'"
-                )
+            if cfg.get("mode") == "overwrite_partitions":
+                fmt = (
+                    (conn.type if conn is not None else None)
+                    or cfg.get("format", "parquet")
+                ).lower()
+                if fmt != "parquet":
+                    # only the parquet writer implements dynamic overwrite;
+                    # csv/json/jdbc would die mid-pipeline with a mode error
+                    issues.append(
+                        f"load step {s.name!r} uses mode "
+                        f"'overwrite_partitions' but format {fmt!r} does not "
+                        f"support it (parquet only)"
+                    )
+                if not cfg.get("partition_by"):
+                    # without partition_by, dynamic overwrite degenerates to
+                    # a full truncate — the exact data-loss the mode exists
+                    # to prevent; fail at validate time, not mid-write
+                    issues.append(
+                        f"load step {s.name!r} uses mode 'overwrite_partitions' "
+                        f"but has no 'partition_by'"
+                    )
 
     try:
         next_run_from_cron(spec.cron, datetime(2026, 1, 1))

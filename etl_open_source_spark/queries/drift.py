@@ -245,13 +245,13 @@ s AS (
 )
 SELECT event_type, n,
        ROUND(s1 / n, 6) AS mean,
-       ROUND(SQRT(s2 / n - (s1 / n) * (s1 / n)), 6) AS stddev_pop,
+       ROUND(SQRT(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)), 6) AS stddev_pop,
        ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
-             / NULLIF(POWER(SQRT(s2 / n - (s1 / n) * (s1 / n)), 3), 0), 6) AS skewness,
+             / NULLIF(POWER(SQRT(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)), 3), 0), 6) AS skewness,
        ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
-             / NULLIF(POWER(s2 / n - (s1 / n) * (s1 / n), 2), 0) - 3, 6) AS kurtosis_excess
+             / NULLIF(POWER(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0), 2), 0) - 3, 6) AS kurtosis_excess
 FROM s
 """,
     tags=("agg", "quality"),
@@ -290,7 +290,14 @@ def q_agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n")
     m = F.col("s1") / n
-    var = F.col("s2") / n - m * m
+    # clamp at 0: a constant series at a NON-dyadic value (e.g. 123.45)
+    # yields var = -1.8e-12 from float cancellation in the identical
+    # arithmetic on both engines — DuckDB SQRT(negative) HARD-errors and
+    # Spark returns NaN, neither the documented NULL. GREATEST(...,0)
+    # pins the contract: degenerate variance → sd 0 → moments NULL
+    # (caught by self-review; the adversarial constants 4.25/7.0 are
+    # dyadic so their variance cancels exactly and masked this)
+    var = F.greatest(F.col("s2") / n - m * m, F.lit(0.0))
     sd = F.sqrt(var)
     skew = F.try_divide(
         F.col("s3") / n - F.lit(3) * m * (F.col("s2") / n) + F.lit(2) * m * m * m,

@@ -58,7 +58,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_ngram",
     oracle="""
-WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+WITH w AS (SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws FROM documents),
 sh0 AS (
   SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
   FROM w CROSS JOIN GENERATE_SERIES(1, 128) AS t(i)
@@ -105,7 +105,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NGRAM_PAIRS_CTE = """
-w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+w AS (SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws FROM documents),
 sh0 AS (
   SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
   FROM w CROSS JOIN GENERATE_SERIES(1, 128) AS t(i)
@@ -363,7 +363,7 @@ def q_vector_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT lang,
        COUNT(*) AS n_docs,
-       CAST(SUM(LEN(STRING_SPLIT(lower(text), ' '))) AS BIGINT) AS sum_tokens,
+       CAST(SUM(LEN(STRING_SPLIT(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '))) AS BIGINT) AS sum_tokens,
        CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
        CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*) AS avg_chars
 FROM documents
@@ -379,7 +379,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(F.split(F.lower("text"), " "))).cast("bigint").alias("sum_tokens"),
+            F.sum(F.size(F.split(T.ascii_fold("text"), " "))).cast("bigint").alias("sum_tokens"),
             F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
             (F.sum(F.length("text")).cast("double") / F.count(F.lit(1))).alias("avg_chars"),
         )
@@ -391,7 +391,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_tf",
     oracle="""
 SELECT term, COUNT(*) AS cnt
-FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term FROM documents)
+FROM (SELECT UNNEST(STRING_SPLIT(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS term FROM documents)
 GROUP BY term
 ORDER BY cnt DESC, term
 LIMIT 50
@@ -403,7 +403,7 @@ def q_text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     word count)."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        d.select(F.explode(F.split(T.ascii_fold("text"), " ")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("term"))
@@ -414,7 +414,7 @@ def q_text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_hits(lang_words: list[str]) -> str:
     arr = ", ".join(f"'{w}'" for w in lang_words)
     return (
-        f"CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), "
+        f"CAST(LEN(LIST_FILTER(STRING_SPLIT(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), "
         f"x -> LIST_CONTAINS([{arr}], x))) AS BIGINT)"
     )
 
@@ -454,16 +454,16 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        CAST(LENGTH(text) AS BIGINT) AS n_chars_c,
-       CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS BIGINT) AS n_tokens,
-       ROUND((LENGTH(text) - (LEN(STRING_SPLIT(LOWER(text), ' ')) - 1)) * 1.0 / LEN(STRING_SPLIT(LOWER(text), ' ')), 6) AS avg_token_len,
+       CAST(LEN(STRING_SPLIT(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS BIGINT) AS n_tokens,
+       ROUND((LENGTH(text) - (LEN(STRING_SPLIT(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) - 1)) * 1.0 / LEN(STRING_SPLIT(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')), 6) AS avg_token_len,
        CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
        ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))) * 1.0 / NULLIF(LENGTH(text), 0), 6) AS punct_ratio,
-       CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LIST_CONTAINS(['the','of','and','to','in','is','for','with','on','by'], x))) AS BIGINT) AS en_stopwords,
-       ROUND(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LIST_CONTAINS(['the','of','and','to','in','is','for','with','on','by'], x))) * 1.0 / LEN(STRING_SPLIT(LOWER(text), ' ')), 6) AS stopword_ratio,
+       CAST(LEN(LIST_FILTER(STRING_SPLIT(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> LIST_CONTAINS(['the','of','and','to','in','is','for','with','on','by'], x))) AS BIGINT) AS en_stopwords,
+       ROUND(LEN(LIST_FILTER(STRING_SPLIT(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> LIST_CONTAINS(['the','of','and','to','in','is','for','with','on','by'], x))) * 1.0 / LEN(STRING_SPLIT(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')), 6) AS stopword_ratio,
        ROUND(
-         (CASE WHEN LEN(STRING_SPLIT(LOWER(text), ' ')) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+         (CASE WHEN LEN(STRING_SPLIT(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
          + (CASE WHEN (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))) * 1.0 / NULLIF(LENGTH(text), 0) < 0.2 THEN 0.3 ELSE 0.0 END)
-         + (CASE WHEN (LENGTH(text) - (LEN(STRING_SPLIT(LOWER(text), ' ')) - 1)) * 1.0 / LEN(STRING_SPLIT(LOWER(text), ' ')) BETWEEN 2 AND 12 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN (LENGTH(text) - (LEN(STRING_SPLIT(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) - 1)) * 1.0 / LEN(STRING_SPLIT(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) BETWEEN 2 AND 12 THEN 0.3 ELSE 0.0 END)
        , 2) AS quality_score
 FROM documents
 """,
@@ -497,7 +497,7 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_text_fingerprint",
     oracle="""
-WITH w AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ws FROM documents),
+WITH w AS (SELECT doc_id, STRING_SPLIT(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws FROM documents),
 sh AS (
   SELECT doc_id, MD5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) AS h
   FROM w CROSS JOIN GENERATE_SERIES(1, 128) AS t(i)
@@ -601,7 +601,7 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH words AS (
   SELECT word, COUNT(*) AS cnt
-  FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+')) AS word
+  FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS word
         FROM documents)
   WHERE word <> ''
   GROUP BY word
@@ -635,7 +635,7 @@ def q_text_bpe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a global sort."""
     d = load_table(spark, sf_dir, "documents")
     words = (
-        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        d.select(F.explode(F.split(T.ascii_fold("text"), r"\s+")).alias("word"))
         # >= 2 chars: 1-char words have NO bigram, but Spark's
         # sequence(1, 0) DESCENDS to [1, 0] (DuckDB's GENERATE_SERIES is
         # empty) and would fabricate ('x','x') / ('x','') pairs — the
@@ -669,7 +669,7 @@ def q_text_bpe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_containment",
     oracle="""
-WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+WITH w AS (SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws FROM documents),
 sh0 AS (
   SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
   FROM w CROSS JOIN GENERATE_SERIES(1, 128) AS t(i)

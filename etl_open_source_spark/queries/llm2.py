@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_open_source_spark.catalog import load_table
+from etl_open_source_spark.operators import text as T
 from etl_open_source_spark.registry import query
 
 # Chunking parameters: 32-word windows advancing 24 words (8-word overlap),
@@ -208,7 +209,7 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_tfidf",
     oracle="""
 WITH terms AS (
-  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term FROM documents
+  SELECT doc_id, UNNEST(STRING_SPLIT(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS term FROM documents
 ),
 tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
@@ -251,7 +252,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic."""
     d = load_table(spark, sf_dir, "documents")
     terms = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        "doc_id", F.explode(F.split(T.ascii_fold("text"), " ")).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = terms.groupBy("term").agg(

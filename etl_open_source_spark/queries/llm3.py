@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from etl_open_source_spark.catalog import load_table
 from etl_open_source_spark.operators import curation as C
+from etl_open_source_spark.operators import text as T
 from etl_open_source_spark.operators.sampling import sql_det_hash
 from etl_open_source_spark.registry import query
 
@@ -25,7 +26,7 @@ _BENCH_PRED = "doc_id % 19 = 0"
 @query(
     "q_text_decontaminate",
     oracle=f"""
-WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+WITH w AS (SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws FROM documents),
 sh AS (
   SELECT DISTINCT doc_id,
          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s
@@ -60,7 +61,7 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_text_dup_ngram_frac",
     oracle="""
-WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+WITH w AS (SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws FROM documents),
 pos AS (
   SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
   FROM w CROSS JOIN GENERATE_SERIES(1, 128) AS t(i)
@@ -414,7 +415,7 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_lm_score",
     oracle="""
 WITH w AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+  SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS word
   FROM documents
 ),
 freq AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
@@ -443,7 +444,7 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     with sample_uniform."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        "doc_id", F.explode(F.split(T.ascii_fold("text"), " ")).alias("word")
     )
     freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))

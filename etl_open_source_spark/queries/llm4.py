@@ -17,13 +17,14 @@ from pyspark.sql import functions as F
 from etl_open_source_spark.catalog import load_table
 from etl_open_source_spark.operators import curation as C
 from etl_open_source_spark.operators.sampling import sql_det_hash
+from etl_open_source_spark.operators.text import ascii_fold
 from etl_open_source_spark.registry import query
 
 
 @query(
     "q_text_rep_ngram",
     oracle="""
-WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+WITH d AS (SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws FROM documents),
 g AS (
   SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
   FROM d, GENERATE_SERIES(1, 2048) AS t(i)
@@ -89,7 +90,7 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_hashvec",
     oracle="""
 WITH w AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+  SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS word FROM documents
 )
 SELECT doc_id,
        CAST(('0x' || SUBSTR(MD5(word), 1, 8)) AS BIGINT) % 64 AS bucket,
@@ -109,7 +110,7 @@ def q_text_hashvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs x 64."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        "doc_id", F.explode(F.split(ascii_fold("text"), " ")).alias("word")
     )
     bucket = F.pmod(
         F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("bigint"), F.lit(64)
@@ -223,7 +224,7 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH g AS (
   SELECT doc_id,
-         [list_reduce([CAST(ascii(substr(lower(text), CAST(i AS INT) + o, 1)) AS BIGINT)
+         [list_reduce([CAST(ascii(substr(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), CAST(i AS INT) + o, 1)) AS BIGINT)
                        FOR o IN generate_series(0, 4)],
                       (a, b) -> (a * 257 + b) % 2147483647)
           FOR i IN generate_series(1, GREATEST(0, length(text) - 4))] AS hs
@@ -297,7 +298,7 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH g AS (
   SELECT doc_id,
-         [list_reduce([CAST(ascii(substr(lower(text), CAST(i AS INT) + o, 1)) AS BIGINT)
+         [list_reduce([CAST(ascii(substr(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), CAST(i AS INT) + o, 1)) AS BIGINT)
                        FOR o IN generate_series(0, 4)],
                       (a, b) -> (a * 257 + b) % 2147483647)
           FOR i IN generate_series(1, GREATEST(0, length(text) - 4))] AS hs

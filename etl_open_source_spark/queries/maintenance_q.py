@@ -326,7 +326,13 @@ def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the day's data, not the table, and re-running the job is
     idempotent. The option is set per-write (no session-wide config
     flip)."""
-    dest = _tmp(sf_dir, "orders_backfill")
+    # per-run unique dir (not the shared _tmp path): a concurrent run's
+    # static overwrite mid-flight would make the read-back see a MIX of
+    # two runs' partitions — the same stale/concurrent hazard fixed in
+    # q_scan_binary_files (self-review finding)
+    import tempfile as _tf
+
+    dest = _tf.mkdtemp(prefix="etl_orders_backfill_")
     src = load_table(spark, sf_dir, "orders")
     src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(dest)
     fixed = src.filter(F.col("o_orderstatus") == "F").withColumn(

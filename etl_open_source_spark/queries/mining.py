@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_open_source_spark.catalog import load_table
+from etl_open_source_spark.operators.text import ascii_fold
 from etl_open_source_spark.registry import query
 
 
@@ -70,8 +71,8 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH base AS (
   SELECT doc_id AS id,
-         SUBSTR(LOWER(text), 1, 16) AS sk,
-         LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' ')) AS toks
+         SUBSTR(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 1, 16) AS sk,
+         LIST_DISTINCT(STRING_SPLIT(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS toks
   FROM documents
 ),
 ranked AS (
@@ -180,9 +181,9 @@ def q_graph_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH base AS (
   SELECT doc_id AS id,
-         LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' ')) AS toks,
-         SUBSTR(LOWER(text), 1, 16) AS sk1,
-         SUBSTR(REVERSE(LOWER(text)), 1, 16) AS sk2
+         LIST_DISTINCT(STRING_SPLIT(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS toks,
+         SUBSTR(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 1, 16) AS sk1,
+         SUBSTR(REVERSE(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), 1, 16) AS sk2
   FROM documents
 ),
 r1 AS (
@@ -236,7 +237,7 @@ def q_dedup_snm_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = sorted_neighborhood_pairs(d, "doc_id", "text", **common)
     p2 = sorted_neighborhood_pairs(
         d, "doc_id", "text",
-        key=F.reverse(F.lower(F.col("text"))),
+        key=F.reverse(ascii_fold("text")),
         **common,
     )
     return p1.unionAll(p2).distinct()

@@ -742,7 +742,7 @@ SELECT month,
        CAST(rev AS DOUBLE) AS revenue,
        CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS rev_delta,
        ROUND(CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE)
-             / CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE) * 100, 4) AS pct_change
+             / NULLIF(CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE), 0) * 100, 4) AS pct_change
 FROM monthly
 """,
     tags=("timeseries", "window"),
@@ -767,8 +767,14 @@ def q_ts_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.col("rev").cast("double").alias("revenue"),
         (F.col("rev") - prev).cast("double").alias("rev_delta"),
+        # try_divide: a previous month whose revenue sums to exactly 0
+        # makes percent-change undefined (NULL), not an ANSI error —
+        # found by the randomized differential sweep (price pool
+        # includes 0.0, so an all-zero month is reachable)
         F.round(
-            (F.col("rev") - prev).cast("double") / prev.cast("double") * 100, 4
+            F.try_divide((F.col("rev") - prev).cast("double"), prev.cast("double"))
+            * 100,
+            4,
         ).alias("pct_change"),
     )
 

@@ -75,10 +75,13 @@ def _events() -> pd.DataFrame:
     add(_ts(8), 7, "view", -3.5)
     add(_ts(8), 7, "view", -3.5)
     add(_ts(8, seconds=1), 7, "error", 0.001)
-    # u8: an event type whose ENTIRE value series is constant — zero
-    # variance, so skewness/kurtosis are undefined (NULL) for the group
+    # u8: an event type whose ENTIRE value series is constant at a
+    # NON-dyadic value — float cancellation makes s2/n - (s1/n)^2 come
+    # out ~ -1.8e-12, not exactly 0, so this pins the variance clamp
+    # (DuckDB SQRT(negative) hard-errors without it; a dyadic constant
+    # like 4.25 cancels exactly and would mask the bug)
     for i in range(3):
-        add(_ts(9, hours=i), 8, "ping", 4.25)
+        add(_ts(9, hours=i), 8, "ping", 123.45)
     df = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
     )
@@ -164,7 +167,10 @@ def _documents() -> pd.DataFrame:
         (3, "a  b\tc\nd", "en", "src1"),            # whitespace runs
         (4, "the quick brown fox jumps over the lazy dog", "en", "src2"),
         (5, "the quick brown fox jumps over the lazy dog", "en", "src3"),  # exact dup
-        (6, "héllo wörld straße", "de", "src2"),  # non-ascii
+        (6, "héllo wörld straße İstanbul", "de", "src2"),  # non-ascii; U+0130
+        # pins ASCII-only case folding in winnowing: Java lower('İ')
+        # EXPANDS to 2 chars (i + U+0307) while DuckDB's stays 1 —
+        # a full-case-mapping fold would shift every gram index after it
         (7, "x " * 50, "en", "src4"),               # one token repeated 50x
         (8, "one two three four five six seven eight nine ten", "en", "src4"),
     ]

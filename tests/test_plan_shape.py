@@ -72,22 +72,14 @@ def test_funnel_single_exchange_for_window_chain(spark, sf_dir):
     share ONE (user_id) exchange; only the final tiny stage-count agg may
     add a second. Stage depth must not multiply shuffles."""
     plan = _formatted_plan(spark, sf_dir, "q_funnel")
-    n_exchanges = sum(
-        1
-        for l in plan.splitlines()
-        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
-    )
+    n_exchanges = _n_exchanges(plan)
     assert n_exchanges <= 2, plan
 
 
 def test_sessionize_single_sort_no_join(spark, sf_dir):
     plan = _formatted_plan(spark, sf_dir, "q_ts_sessionize")
     assert "Join" not in plan
-    n_exchanges = sum(
-        1
-        for l in plan.splitlines()
-        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
-    )
+    n_exchanges = _n_exchanges(plan)
     assert n_exchanges == 1, plan
 
 
@@ -290,11 +282,7 @@ def test_text_entropy_two_aggregates(spark, sf_dir):
     """Explode + (id,ch) aggregate + (id) aggregate + output sort: at most
     three exchanges, all partial-aggregated map-side first."""
     plan = _formatted_plan(spark, sf_dir, "q_text_entropy")
-    n_exchanges = sum(
-        1
-        for l in plan.splitlines()
-        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
-    )
+    n_exchanges = _n_exchanges(plan)
     assert n_exchanges <= 3, plan
     assert "HashAggregate" in plan
 
@@ -315,11 +303,7 @@ def test_ohlc_single_aggregate_no_window(spark, sf_dir):
     """OHLC via min_by/max_by must be ONE grouped aggregate (single
     exchange on the group key) — no window pass, no sort, no join."""
     plan = _formatted_plan(spark, sf_dir, "q_ts_resample_ohlc")
-    n_exchanges = sum(
-        1
-        for l in plan.splitlines()
-        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
-    )
+    n_exchanges = _n_exchanges(plan)
     assert n_exchanges == 1, plan
     assert "Window" not in plan and "Join" not in plan
 
@@ -344,11 +328,7 @@ def test_url_normalize_scan_local_plus_one_window(spark, sf_dir):
     """The regexp chain is scan-local; the only exchange is the canonical
     -key window for collision counts."""
     plan = _formatted_plan(spark, sf_dir, "q_url_normalize")
-    n_exchanges = sum(
-        1
-        for l in plan.splitlines()
-        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
-    )
+    n_exchanges = _n_exchanges(plan)
     assert n_exchanges == 1, plan
     assert "Join" not in plan
 
@@ -576,11 +556,7 @@ def test_skew_kurt_single_aggregate(spark, sf_dir):
     join, no second scan — the canonical 100 TB-safe statistic shape."""
     plan = _formatted_plan(spark, sf_dir, "q_agg_skew_kurt")
     assert "Window" not in plan and "Join" not in plan
-    n_exchanges = sum(
-        1
-        for l in plan.splitlines()
-        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
-    )
+    n_exchanges = _n_exchanges(plan)
     assert n_exchanges == 1, plan
 
 
@@ -590,11 +566,7 @@ def test_ks_integer_until_final_division(spark, sf_dir):
     join; two exchanges — the (prio, x) aggregate and the prio window."""
     plan = _formatted_plan(spark, sf_dir, "q_quality_ks")
     assert "Join" not in plan
-    n_exchanges = sum(
-        1
-        for l in plan.splitlines()
-        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
-    )
+    n_exchanges = _n_exchanges(plan)
     assert n_exchanges == 2, plan
 
 
@@ -622,9 +594,5 @@ def test_funnel_latency_shares_funnel_exchange_shape(spark, sf_dir):
     exchange is shared across all three windows + the per-user aggregate;
     only the final 1-row global aggregate may add one more."""
     plan = _formatted_plan(spark, sf_dir, "q_funnel_latency")
-    n_exchanges = sum(
-        1
-        for l in plan.splitlines()
-        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
-    )
+    n_exchanges = _n_exchanges(plan)
     assert n_exchanges <= 2, plan

@@ -529,3 +529,27 @@ def test_load_mode_overwrite_partitions(spark, tmp_path):
     )
     issues = validate_spec(spec)
     assert any("overwrite_partitions" in i and "partition_by" in i for i in issues)
+
+
+def test_overwrite_partitions_non_parquet_rejected_at_validate():
+    """A csv load step declaring mode 'overwrite_partitions' must fail at
+    validate time (only the parquet writer implements dynamic overwrite;
+    before this check the spec validated clean and died mid-pipeline in
+    write_csv — self-review finding)."""
+    from etl_open_source_spark.plans.validation import validate_spec
+
+    spec = PipelineSpec(
+        id="p", name="p", cron="* * * * *", enabled=True,
+        connections=[ConnectionConfig(id="c", name="c", type="csv",
+                                      params={"path": "/tmp/x"})],
+        steps=[
+            Step(id="s1", name="e", step_type=StepType.EXTRACT, order=1,
+                 connection_id="c", config={"path": "/tmp/x"}),
+            Step(id="s2", name="l", step_type=StepType.LOAD, order=2,
+                 connection_id="c",
+                 config={"path": "/tmp/y", "mode": "overwrite_partitions",
+                         "partition_by": ["day"]}),
+        ],
+    )
+    issues = validate_spec(spec)
+    assert any("does not support it" in i for i in issues), issues
