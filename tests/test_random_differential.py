@@ -171,6 +171,9 @@ def documents_table(draw):
     frags = [
         "", "a", "  ", "\t", "the quick fox", "é", "ß", "x x x",
         "a.b,c!", "123 456", "word " * 6, "…", "\n",
+        # U+0130: Java full-case-mapping EXPANDS this to 2 chars — the
+        # ascii_fold contract must keep both engines in lockstep
+        "İstanbul", "MIXED Case",
     ]
     rows = []
     for i in range(n):
