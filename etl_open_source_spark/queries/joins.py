@@ -383,3 +383,75 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["k"].eqNullSafe(b["k"]), "inner").select(
         a["p_partkey"], a["k"].alias("k"), b["grp_n"]
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+WITH views AS (
+  SELECT user_id, ts, MAX(value) AS view_value
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.purchase_ts, p.purchase_value,
+       v.ts AS view_ts, v.view_value
+FROM purchases p
+LEFT JOIN LATERAL (
+  SELECT v.ts, v.view_value
+  FROM views v
+  WHERE v.user_id = p.user_id
+  ORDER BY ABS(epoch(p.purchase_ts) - epoch(v.ts)),
+           CASE WHEN v.ts <= p.purchase_ts THEN 0 ELSE 1 END
+  LIMIT 1
+) v ON TRUE
+""",
+    tags=("join", "asof"),
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: each purchase matched to the
+    temporally CLOSEST view by the same user, in either direction, with
+    exact-distance ties resolving backward (pandas merge_asof
+    direction='nearest' semantics) — completes the registered as-of
+    family (backward / forward / tolerance / nearest), all four on the
+    same operator (operators/asof.py).
+
+    Shape is unchanged from the single-direction joins: ONE union + ONE
+    (user)-partitioned window pass computing BOTH carries (the second
+    direction is an extra in-partition sort, never an extra shuffle),
+    then a per-row distance comparison. The oracle is an independent
+    LATERAL nearest-1 formulation with the same backward tiebreak.
+    Equal-timestamp views pre-dedup to MAX(value) per instant on both
+    sides, as in q_join_asof."""
+    e = load_table(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .withColumnRenamed("ts", "view_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        purchases,
+        views,
+        by=["user_id"],
+        left_on="purchase_ts",
+        right_on="view_ts",
+        right_values=["view_value"],
+        direction="nearest",
+    ).select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        "purchase_value",
+        F.col("view_ts").alias("view_ts"),
+        "view_value",
+    )

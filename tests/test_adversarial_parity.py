@@ -307,6 +307,7 @@ ADVERSARIAL_QUERIES = [
     "q_join_asof",
     "q_join_asof_forward",
     "q_join_asof_tolerance",
+    "q_join_asof_nearest",
     "q_topk_per_group",
     "q_window_first_last",
     "q_window_rank",
