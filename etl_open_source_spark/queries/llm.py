@@ -709,3 +709,28 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_containment_pairs(
         d, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=100
     ).orderBy("src", "dst")
+
+
+@query(
+    "q_dedup_clusters_star",
+    oracle=f"WITH RECURSIVE {_NGRAM_PAIRS_CTE} SELECT id, rep FROM cc",
+    tags=("llm", "dedup"),
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster formation via LARGE-STAR/SMALL-STAR alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round algorithm that replaces label propagation when a
+    component's DIAMETER is adversarial: a 10^6-node chain costs ~20
+    rounds here versus 10^6 label-propagation rounds, which is the
+    difference between a job and a hang at web-graph scale. Same
+    (id, min-id representative) contract and the same recursive-CTE
+    oracle as q_dedup_clusters — both algorithms converge to the
+    identical min-label fixpoint, so the driver value-hash proves the
+    exotic algorithm against the simple one's oracle. Convergence is
+    detected by an edge-set checksum going stable; per-round
+    localCheckpoint truncates lineage (operators/dedup.py:401)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=100
+    )
+    return D.connected_components_star(pairs)

@@ -338,6 +338,7 @@ ADVERSARIAL_QUERIES = [
     "q_text_tf",
     "q_text_hashvec",
     "q_dedup_ngram",
+    "q_dedup_clusters_star",
     "q_dedup_containment",
     "q_dedup_sorted_neighborhood",
     "q_text_decontaminate",
