@@ -1121,3 +1121,84 @@ def q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(10)
     )
+
+
+@query(
+    "q_session_stats",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+sessioned AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, session_num,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(DATE_DIFF('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+  FROM sessioned GROUP BY user_id, session_num
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS bounce_rate,
+       ROUND(quantile_cont(n_events, 0.5), 4) AS p50_events,
+       ROUND(quantile_cont(n_events, 0.95), 4) AS p95_events,
+       ROUND(quantile_cont(duration_s, 0.5), 4) AS p50_duration_s,
+       ROUND(quantile_cont(duration_s, 0.95), 4) AS p95_duration_s,
+       CAST(MAX(duration_s) AS BIGINT) AS max_duration_s
+FROM sess
+""",
+    tags=("timeseries", "analytics"),
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level distribution summary: session count, bounce rate
+    (single-event sessions — the classic engagement KPI), and exact
+    length/duration percentiles — the aggregate layer over
+    q_ts_sessionize's row-level numbering (q_path_topk tells you WHAT
+    sessions do; this tells you how long and how deep they are).
+
+    Durations are integer epoch-second spans (max − min inside the
+    session, bit-identical engines); percentiles are the exact
+    interpolating pair percentile/quantile_cont on integers, rounded
+    4dp. Shape: the ONE (user)-keyed exchange shared by the lag and
+    running-sum windows and the per-session aggregate, then a 1-row
+    global fold."""
+    e = load_table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_break = (
+        F.lag("ts").over(w_lag).isNull()
+        | (F.col("ts") > F.lag("ts").over(w_lag) + F.expr("INTERVAL 30 MINUTES"))
+    )
+    sessioned = e.select(
+        "user_id",
+        "ts",
+        F.sum(F.when(is_break, 1).otherwise(0)).over(w_run).alias("session_num"),
+    )
+    sess = sessioned.groupBy("user_id", "session_num").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("ts").cast("long") - F.min("ts").cast("long"))
+        .cast("bigint")
+        .alias("duration_s"),
+    )
+    n = F.count(F.lit(1))
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sess.agg(
+        n.cast("bigint").alias("n_sessions"),
+        bounces.cast("bigint").alias("n_bounces"),
+        F.round(bounces.cast("double") / n, 6).alias("bounce_rate"),
+        F.round(F.percentile("n_events", F.lit(0.5)), 4).alias("p50_events"),
+        F.round(F.percentile("n_events", F.lit(0.95)), 4).alias("p95_events"),
+        F.round(F.percentile("duration_s", F.lit(0.5)), 4).alias("p50_duration_s"),
+        F.round(F.percentile("duration_s", F.lit(0.95)), 4).alias("p95_duration_s"),
+        F.max("duration_s").cast("bigint").alias("max_duration_s"),
+    )

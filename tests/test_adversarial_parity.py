@@ -442,6 +442,7 @@ ADVERSARIAL_QUERIES = [
     "q_ts_hampel",
     "q_funnel_latency",
     "q_path_topk",
+    "q_session_stats",
     "q_dedup_winnowing",
     "q_retention_days",
 ]
