@@ -94,13 +94,13 @@ _VERIFY_FIRST = [
     "q_dedup_exact", "q_multimodal_meta", "q_sample_uniform",
     # --- round-7 newcomers (never driver-checked; first-timers outrank
     #     re-checks, but the stale-evidence sweep holds ≥40 slots — the
-    #     3 earliest-registered newcomers take the tail; the other 12
+    #     3 earliest-registered newcomers take the tail; the other 13
     #     round-7 additions (q_ts_rolling_median, q_text_winnowing,
     #     q_agg_gini, q_histogram_equidepth, q_sink_partition_overwrite,
     #     q_ts_hampel, q_funnel_latency, q_path_topk, q_dedup_winnowing,
-    #     q_retention_days, q_join_asof_nearest, q_dedup_clusters_star)
-    #     queue as round-8 first-timers, all sf0.01-verified locally and
-    #     green in the 249/249 closing sweep)
+    #     q_retention_days, q_join_asof_nearest, q_dedup_clusters_star,
+    #     q_session_stats) queue as round-8 first-timers, all
+    #     sf0.01-verified locally and green in the 250/250 closing sweep)
     "q_quality_ks", "q_quality_chisq", "q_agg_skew_kurt",
 ]
 
