@@ -489,9 +489,12 @@ def ivfpq_topk(
         F.col(id_col), "v", "vn", "bucket", F.array(*codes).alias("codes")
     )
 
+    # zero-norm centroid guard, matching ivf_topk/ivf_assign: qsim = dot/0
+    # is NaN, which sorts first under DESC and would burn a probe on an
+    # empty degenerate bucket.
     cen = centroids.select(
         F.col("centroid_id"), as_double("centroid").alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm(F.col("cv"))).filter(F.col("cn") > 0)
     q = _drop_zero_norm(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv0")

@@ -17,7 +17,7 @@ sweep covered all 234 then-registered queries and the CLOSING sweep
 covered all 250 (the 16 round-7 additions included) — 0 failures both
 times, with the closing sweep run AFTER every round-7 oracle/engine fix
 landed (including the engine-wide ascii_fold case-folding refactor). The
-round also added tests/test_adversarial_parity.py (166 queries re-proven
+round also added tests/test_adversarial_parity.py (165 queries re-proven
 on a hostile synthetic fixture) and a randomized hypothesis differential
 sweep; their 14 caught divergences were all fixed before the closing
 sweep. (History: the

@@ -3,7 +3,7 @@
 The generated sf* fixtures are BENIGN by construction: timestamps are
 distinct, keys are non-null, text is well-formed, series are noisy,
 embeddings have mass. That masks the recurring bug class this repo keeps
-meeting (see .claude/skills/verify gotchas): equal-timestamp ties that
+meeting across engines: equal-timestamp ties that
 resolve nondeterministically, NULL keys that silently change join/group
 cardinality, constant series that degenerate quantiles and variances,
 empty/whitespace text, all-zero vectors.
