@@ -65,43 +65,34 @@ _MODULES = [
     "drift",
 ]
 
-# Round-7 rotation: the stale-evidence sweep (VERDICT r6 item #1).
-# Policy, in priority order: (1) the 7 queries registered after the r6
-# window snapshot that have never received a driver row, (2) re-checks of
-# the oldest evidence — all 37 rows still carrying round-1 evidence
-# (filter/join/agg/scalar/setop/window families, code unchanged for five
-# rounds) plus the 3 oldest round-2 rows, (3) the 3 earliest round-7
-# newcomers in the remaining tail slots. All 50 pre-verified locally
-# against DuckDB at sf0.01 before the round ends.
+# Round-8 rotation (VERDICT r7 item #1). Policy, in priority order:
+# (1) the 13 round-7 queries registered after the r7 window snapshot that
+# have never received a driver row, (2) the one query whose code changed
+# this round after its last green row (q_sim_ivfpq — zero-norm centroid
+# guard in ivfpq_topk, ADVICE r7), (3) re-checks of the oldest evidence:
+# the round-2 cohort is the oldest remaining (44 rows, 6 rounds stale);
+# the first 36 in registration order take the tail slots and the other 8
+# (q_sample_stratified/weighted/split, q_tpch_q2/q9/q11/q16/q20) queue
+# for round 9. All 50 pre-verified locally against DuckDB at sf0.01
+# before the round ends.
 _VERIFY_FIRST = [
-    # --- first-timers: registered after the round-6 window snapshot
-    "q_dedup_snm_multikey", "q_join_asof_tolerance", "q_quality_benford",
-    "q_scan_binary_files", "q_sim_ivfpq", "q_ts_autocorr",
-    "q_ts_stl_decompose",
-    # --- round-1-evidence re-checks (all 37; last driver row 5 rounds old)
-    "q_agg_approx_distinct", "q_agg_collect", "q_agg_cube",
-    "q_agg_distinct", "q_agg_global", "q_agg_groupby",
-    "q_agg_groupingsets", "q_agg_having", "q_agg_pivot", "q_agg_rollup",
-    "q_except", "q_filter_between", "q_filter_compound", "q_filter_like",
-    "q_filter_null", "q_fn_array", "q_fn_cast", "q_fn_cond", "q_fn_date",
-    "q_fn_hash", "q_fn_json", "q_fn_math", "q_fn_string", "q_intersect",
-    "q_join_anti", "q_join_broadcast", "q_join_cross", "q_join_full",
-    "q_join_multikey", "q_join_semi", "q_join_theta", "q_limit",
-    "q_sort_multi", "q_union_all", "q_union_distinct", "q_window_lag_lead",
-    "q_window_rank",
-    # --- oldest round-2 rows, registration order (the rest of the r2
-    #     backlog queues for round 8)
-    "q_dedup_exact", "q_multimodal_meta", "q_sample_uniform",
-    # --- round-7 newcomers (never driver-checked; first-timers outrank
-    #     re-checks, but the stale-evidence sweep holds ≥40 slots — the
-    #     3 earliest-registered newcomers take the tail; the other 13
-    #     round-7 additions (q_ts_rolling_median, q_text_winnowing,
-    #     q_agg_gini, q_histogram_equidepth, q_sink_partition_overwrite,
-    #     q_ts_hampel, q_funnel_latency, q_path_topk, q_dedup_winnowing,
-    #     q_retention_days, q_join_asof_nearest, q_dedup_clusters_star,
-    #     q_session_stats) queue as round-8 first-timers, all
-    #     sf0.01-verified locally and green in the 250/250 closing sweep)
-    "q_quality_ks", "q_quality_chisq", "q_agg_skew_kurt",
+    # --- first-timers: registered after the round-7 window snapshot
+    "q_join_asof_nearest", "q_dedup_clusters_star", "q_ts_rolling_median",
+    "q_ts_hampel", "q_funnel_latency", "q_path_topk", "q_session_stats",
+    "q_text_winnowing", "q_dedup_winnowing", "q_sink_partition_overwrite",
+    "q_retention_days", "q_agg_gini", "q_histogram_equidepth",
+    # --- changed-code re-check
+    "q_sim_ivfpq",
+    # --- oldest evidence: round-2 rows, registration order (36 of 44)
+    "q_window_running", "q_window_ntile", "q_window_first_last",
+    "q_topk_per_group", "q_window_tumbling", "q_window_sliding",
+    "q_window_session", "q_stream_dedup", "q_sim_topk", "q_vector_agg",
+    "q_text_stats", "q_text_tf", "q_text_langid", "q_text_quality",
+    "q_text_tokens", "q_text_fingerprint", "q_udf_scalar", "q_udf_pandas",
+    "q_udaf_pandas", "q_udtf", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6",
+    "q_tpch_q10", "q_tpch_q14", "q_tpch_q4", "q_tpch_q7", "q_tpch_q13",
+    "q_tpch_q18", "q_tpch_q8", "q_tpch_q12", "q_tpch_q15", "q_tpch_q17",
+    "q_tpch_q19", "q_tpch_q21", "q_tpch_q22",
 ]
 
 _loaded = False

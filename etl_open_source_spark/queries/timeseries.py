@@ -986,7 +986,12 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile/quantile_cont on those integers, rounded 4dp. Shape: the
     same single (user_id) exchange as q_funnel (three stacked
     conditional-min windows + the per-user aggregate), then one global
-    aggregate over converted users only."""
+    aggregate over converted users only. Caveat (same bound
+    q_skew_key_stats documents): the final 1-row fold's exact
+    ``percentile`` buffers all |converted users| latencies on one
+    reducer — input is per-user rows, not facts, but beyond ~10^8
+    converts swap in ``approx_percentile`` (same call shape,
+    sketch-sized state); the exact form is kept for oracle parity."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
     staged = e.withColumn(
@@ -1170,7 +1175,12 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolating pair percentile/quantile_cont on integers, rounded
     4dp. Shape: the ONE (user)-keyed exchange shared by the lag and
     running-sum windows and the per-session aggregate, then a 1-row
-    global fold."""
+    global fold. Caveat (same bound q_skew_key_stats documents): the
+    fold's exact ``percentile`` buffers all |sessions| values on one
+    reducer — input is per-session rows (O(users·sessions)), not facts,
+    but beyond ~10^8 sessions swap in ``approx_percentile`` (same call
+    shape, sketch-sized state); the exact form is kept for oracle
+    parity."""
     e = load_table(spark, sf_dir, "events")
     order = [F.col("ts").asc(), F.col("event_id").asc()]
     w_lag = Window.partitionBy("user_id").orderBy(*order)
