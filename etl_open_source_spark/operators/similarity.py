@@ -139,11 +139,18 @@ def kmeans_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    v = corpus.select(as_double(vec_col).alias("__v"))
+    # zero-norm vectors are dropped from training to match the engine-wide
+    # drop policy (ivf_assign/ivf_topk never route them), so no centroid
+    # collapses onto the origin.
+    v = _drop_zero_norm(corpus.select(as_double(vec_col).alias("__v")), "__v")
     if sample_fraction is not None:
         v = v.sample(fraction=sample_fraction, seed=seed)
-    ds = v.select(array_to_vector(F.col("__v")).alias("features"))
-    model = KMeans(k=n, seed=seed, maxIter=max_iter, initMode="k-means||").fit(ds)
+    ds = v.select(array_to_vector(F.col("__v")).alias("features")).persist()
+    # clamp k to the distinct training points: Spark 4.x block-mode KMeans
+    # throws ArrayIndexOutOfBounds past that (degenerate tiny corpus).
+    n_eff = max(1, min(n, ds.distinct().count()))
+    model = KMeans(k=n_eff, seed=seed, maxIter=max_iter, initMode="k-means||").fit(ds)
+    ds.unpersist()
     centers = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
@@ -322,9 +329,18 @@ def pq_train(
     for s in range(m):
         ds = v.select(
             array_to_vector(F.slice("v", s * dsub + 1, dsub)).alias("features")
-        )
-        model = KMeans(k=k, seed=seed + s, maxIter=max_iter, initMode="k-means||").fit(ds)
+        ).persist()
+        # Spark 4.x block-mode KMeans throws ArrayIndexOutOfBounds when k
+        # exceeds the distinct training points (a collapsed/degenerate
+        # subspace — e.g. a corpus of near-identical vectors — hits this
+        # in the wild). Training input is sample-sized, so the distinct
+        # count is cheap; clamp k to it.
+        k_eff = max(1, min(k, ds.distinct().count()))
+        model = KMeans(
+            k=k_eff, seed=seed + s, maxIter=max_iter, initMode="k-means||"
+        ).fit(ds)
         books.append([[float(x) for x in c] for c in model.clusterCenters()])
+        ds.unpersist()
     v.unpersist()
     return books
 

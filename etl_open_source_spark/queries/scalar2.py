@@ -125,16 +125,21 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_stats",
     oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS ssq,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s
+  FROM lineitem
+  GROUP BY l_returnflag
+)
 SELECT l_returnflag,
-       COUNT(*) AS n,
-       ROUND((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-         - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
-         / (COUNT(*) - 1), 6) AS qty_var,
-       ROUND(SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-         - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
-         / (COUNT(*) - 1)), 6) AS qty_stddev
-FROM lineitem
-GROUP BY l_returnflag
+       n,
+       ROUND(CASE WHEN n > 1
+                  THEN GREATEST(0.0, (ssq - s * s / n) / (n - 1)) END, 6) AS qty_var,
+       ROUND(CASE WHEN n > 1
+                  THEN SQRT(GREATEST(0.0, (ssq - s * s / n) / (n - 1))) END, 6) AS qty_stddev
+FROM m
 ORDER BY l_returnflag
 """,
     tags=("agg", "stats"),
@@ -143,13 +148,22 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample variance/stddev via exact decimal moment sums then a fixed
     double op sequence — the built-in var_samp/stddev_samp accumulate
     doubles in partition order (nondeterministic), so the engine computes
-    moments exactly and derives the statistics deterministically."""
+    moments exactly and derives the statistics deterministically.
+
+    Two pinned contracts (adversarial fixture): a single-row group has
+    UNDEFINED sample variance — NULL, never divide-by-zero (Spark ANSI
+    errors, DuckDB emits inf without the guard) — and a constant series
+    at a non-dyadic value can cancel to ~-1e-12, so the variance is
+    clamped at 0 before sqrt (DuckDB SQRT(negative) hard-errors)."""
     l = load_table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity").cast("decimal(18,4)")
     n = F.count(F.lit(1))
     ssq = F.sum(q * q).cast("double")
     s = F.sum(q).cast("double")
-    var = (ssq - s * s / n) / (n - F.lit(1))
+    var = F.when(
+        n > F.lit(1),
+        F.greatest(F.lit(0.0), (ssq - s * s / n) / (n - F.lit(1))),
+    )
     return (
         l.groupBy("l_returnflag")
         .agg(

@@ -445,6 +445,67 @@ ADVERSARIAL_QUERIES = [
     "q_session_stats",
     "q_dedup_winnowing",
     "q_retention_days",
+    # --- round-8 expansion (VERDICT r7 #3): the semantics-sensitive
+    # tail. Three-valued NOT IN over the NULL o_custkey, scalar /
+    # correlated subqueries, theta/interval/range joins whose boundary
+    # endpoints the tie-heavy fixture stresses, pivot with NULL group
+    # keys, and the nested-subquery TPC-H shapes.
+    "q_filter_not_in_nulls",
+    "q_subquery_scalar",
+    "q_subquery_correlated",
+    "q_join_theta",
+    "q_join_range_bucketed",
+    "q_join_interval_overlap",
+    "q_agg_pivot",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q10",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    # scalar / reshape packs over the NULL-key + tie fixture
+    "q_agg_stats",
+    "q_fn_string2",
+    "q_fn_bitwise",
+    "q_fn_variant",
+    "q_fn_map",
+    "q_explode_outer",
+    "q_window_percent_rank",
+    "q_limit",
+    "q_join_cross",
+    # deterministic-hash sampling / sharding: NULL keys must land in a
+    # stable bucket, full-row ties must not collapse
+    "q_sample_uniform",
+    "q_sample_stratified",
+    "q_sample_weighted",
+    "q_sample_split",
+    "q_sample_reservoir",
+    "q_shard_assign",
+    # SCD2 / dedup-cluster lineage over equal-timestamp versions
+    "q_scd2",
+    "q_dedup_clusters",
+    "q_dedup_keep",
+    # multimodal plumbing over empty/whitespace payloads
+    "q_multimodal_meta",
+    "q_multimodal_decode",
+    # embeddings: the zero-norm row must flow through the vector AVG
+    "q_vector_agg",
+    # UDF surfaces (Arrow batches of hostile values incl. NULL keys)
+    "q_udf_scalar",
+    "q_udf_pandas",
+    "q_udaf_pandas",
+    "q_udtf",
+    # scale-pattern operators: salting and z-order must be value-exact
+    # on ties/NULLs, not just at benign scale
+    "q_agg_salted",
+    "q_join_skew_salted",
+    "q_layout_zorder",
 ]
 
 
@@ -455,3 +516,24 @@ def test_adversarial_parity(spark, adv_dir, name):
     got = qd.fn(spark, adv_dir).toPandas()
     want = run_oracle(qd.oracle, adv_dir)
     assert_frames_match(got, want)
+
+
+# Rows-only ANN queries (trained quantizers — no SQL oracle): invariant
+# form (VERDICT r7 #6). The fixture's zero-norm vector (vec_id 5) and
+# exact-duplicate pair (0, 1) are exactly the degenerate inputs the
+# zero-norm drop policy and the exact re-rank must survive.
+@pytest.mark.parametrize("name", ["q_sim_pq", "q_sim_ivfpq"])
+def test_adversarial_ann_invariants(spark, adv_dir, name):
+    got = REGISTRY[name].fn(spark, adv_dir).toPandas()
+    assert len(got) > 0
+    # the zero-norm vector appears on NEITHER side (dropped, not NaN'd)
+    assert 5 not in set(got["query_id"]) | set(got["neighbor_id"])
+    assert not got["adist"].isna().any()
+    # ranks are contiguous from 1 per query
+    g = got.groupby("query_id")["rnk"].agg(["min", "max", "count"])
+    assert (g["min"] == 1).all() and (g["max"] == g["count"]).all()
+    # exact duplicates must be each other's top hit (re-rank is exact
+    # cosine; the identical vector scores sim=1.0, strictly above the
+    # near-duplicate)
+    top = got[got["rnk"] == 1].set_index("query_id")["neighbor_id"]
+    assert top.loc[0] == 1 and top.loc[1] == 0
