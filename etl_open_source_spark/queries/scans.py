@@ -95,11 +95,16 @@ ORDER BY o_orderstatus
 )
 def q_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-then-read parquet sink (replace mode), partitioned by the
-    grouping key — partitioned layout means downstream readers prune."""
+    grouping key — partitioned layout means downstream readers prune.
+
+    The read-back passes the source schema explicitly: an EMPTY filtered
+    input writes no part files under partitionBy, and schema inference on
+    the bare directory would crash where the schema-carrying read returns
+    a correct empty frame (adversarial fixture pins this)."""
     src = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
     path = _tmp(sf_dir, "orders_sink")
     write_parquet(src, path, mode="replace", partition_by=["o_orderstatus"])
-    back = read_parquet(spark, path)
+    back = read_parquet(spark, path, schema=src.schema)
     return (
         back.groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -170,8 +175,8 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_scan_text",
     oracle="""
-SELECT MD5(text) AS line_md5, STRLEN(text) AS n_bytes
-FROM documents
+SELECT MD5(line) AS line_md5, STRLEN(line) AS n_bytes
+FROM (SELECT unnest(string_split(text, chr(10))) AS line FROM documents)
 """,
     tags=("scan",),
 )
@@ -179,15 +184,21 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-text line ingestion — the corpus format before any structure:
     write one doc per line, read with spark.read.text (splittable;
     parallel line scanning). Verified by per-line md5 against the source
-    table. (Fixture texts carry no newlines; for real multi-line docs
-    use wholetext=True per file or a record-separator format.)"""
+    table.
+
+    Two line-format contracts the adversarial fixture pins: a doc with an
+    EMBEDDED newline becomes multiple records (the oracle mirrors the
+    split — for true multi-line docs use wholetext=True or a
+    record-separator format), and n_bytes is octet_length (UTF-8 bytes,
+    what the file actually stores — char-counting length() silently
+    undercounts non-ASCII)."""
     src = load_table(spark, sf_dir, "documents").select("text")
     path = _tmp(sf_dir, "documents_txt")
     src.write.mode("overwrite").text(path)
     back = spark.read.text(path)
     return back.select(
         F.md5("value").alias("line_md5"),
-        F.length("value").cast("bigint").alias("n_bytes"),
+        F.octet_length("value").cast("bigint").alias("n_bytes"),
     )
 
 

@@ -54,12 +54,21 @@ def nanos_timestamp_columns(path: str) -> list[str]:
         return []
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """Columnar scan with predicate pushdown + column pruning for free.
+
+    ``schema`` (StructType or DDL string) skips inference — REQUIRED to
+    read a partitioned dataset that may be empty: Spark writes no part
+    files at all for an empty partitioned frame, so schema inference on
+    the bare directory raises UNABLE_TO_INFER_SCHEMA; with an explicit
+    schema the same directory reads as a valid empty frame (the
+    empty-daily-partition case every scheduled pipeline eventually hits).
 
     Nanosecond-timestamp columns are read as int64 nanos and floor-divided
     to microsecond timestamps (matching how DuckDB truncates ns→µs) —
     without this, Spark rejects TIMESTAMP(NANOS) parquet outright."""
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
     ns_cols = nanos_timestamp_columns(path)
     if not ns_cols:
         return spark.read.parquet(path)

@@ -506,6 +506,38 @@ ADVERSARIAL_QUERIES = [
     "q_agg_salted",
     "q_join_skew_salted",
     "q_layout_zorder",
+    # full-coverage sweep: every remaining oracled query. Scan/sink
+    # roundtrips re-derive their side files from the poisoned parquet
+    # (NULL keys and tie rows must survive format round-trips), the
+    # streaming pair replays the tie-heavy events through file sources,
+    # and the last TPC-H shapes + bucketed/compaction maintenance close
+    # the list.
+    "q_stream_dedup",
+    "q_stream_interval_join",
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_scan_parquet",
+    "q_scan_csv",
+    "q_scan_json",
+    "q_scan_text",
+    "q_scan_partition_pruned",
+    "q_scan_merge_schema",
+    "q_scan_csv_permissive",
+    "q_scan_binary_files",
+    "q_sink_parquet_roundtrip",
+    "q_sink_csv_roundtrip",
+    "q_sink_orc_roundtrip",
+    "q_sink_json_roundtrip",
+    "q_sink_xml_roundtrip",
+    "q_sink_append",
+    "q_sink_replace",
+    "q_join_bucketed_colocated",
+    "q_multimodal_resize",
+    "q_multimodal_framesample",
 ]
 
 
@@ -537,3 +569,77 @@ def test_adversarial_ann_invariants(spark, adv_dir, name):
     # near-duplicate)
     top = got[got["rnk"] == 1].set_index("query_id")["neighbor_id"]
     assert top.loc[0] == 1 and top.loc[1] == 0
+
+
+def _run(spark, adv_dir, name):
+    return REGISTRY[name].fn(spark, adv_dir).toPandas()
+
+
+def test_adversarial_sketch_invariants(spark, adv_dir):
+    """Rows-only sketch aggregates on the hostile fixture. HLL keeps an
+    exact sparse representation at tiny cardinality, so approx counts
+    must EQUAL the exact ones here; the CMS row carries its own
+    consistency columns."""
+    ad = _run(spark, adv_dir, "q_agg_approx_distinct").set_index("l_returnflag")
+    # exact distinct orders per flag: R = {order 0, orphan 999}, N/A = 1
+    assert ad.loc["R", "approx_orders"] == 2
+    assert ad.loc["N", "approx_orders"] == 1 and ad.loc["A", "approx_orders"] == 1
+    hll = _run(spark, adv_dir, "q_agg_hll_merge")
+    assert hll["merge_lossless"].all()
+    assert (hll["users_merged"] == hll["users_direct"]).all()
+    ap = _run(spark, adv_dir, "q_agg_approx_percentile")
+    assert (ap["p50_approx"] <= ap["p95_approx"]).all()
+    cms = _run(spark, adv_dir, "q_agg_cms")
+    assert (cms["n_rows"] >= cms["n_users"]).all() and (cms["n_users"] >= 1).all()
+    assert cms["cms_hex"].str.fullmatch(r"[0-9A-F]+").all()
+
+
+def test_adversarial_dedup_pair_invariants(spark, adv_dir):
+    """Rows-only near-dup miners: the planted exact-duplicate pairs must
+    surface, the zero-norm vector must never pair, and pair ids must be
+    canonically ordered."""
+    near = _run(spark, adv_dir, "q_dedup_near")
+    assert (near["id_a"] < near["id_b"]).all()
+    # docs 4 and 5 are byte-identical → Jaccard exactly 1
+    hit = near[(near["id_a"] == 4) & (near["id_b"] == 5)]
+    assert len(hit) == 1 and hit["jaccard"].iloc[0] == 1.0
+    sh = _run(spark, adv_dir, "q_dedup_simhash")
+    assert (sh["id_a"] < sh["id_b"]).all()
+    hit = sh[(sh["id_a"] == 4) & (sh["id_b"] == 5)]
+    assert len(hit) == 1 and hit["hamming"].iloc[0] == 0
+    emb = _run(spark, adv_dir, "q_dedup_embedding")
+    assert (emb["id_a"] < emb["id_b"]).all()
+    assert 5 not in set(emb["id_a"]) | set(emb["id_b"])  # zero-norm dropped
+    hit = emb[(emb["id_a"] == 0) & (emb["id_b"] == 1)]
+    assert len(hit) == 1 and hit["sim"].iloc[0] == 1.0
+
+
+def test_adversarial_ivf_and_bpe_invariants(spark, adv_dir):
+    """q_sim_ann (IVF) under the zero-norm + duplicate corpus, and BPE
+    training on text that is mostly empty/whitespace/repeated tokens."""
+    ann = _run(spark, adv_dir, "q_sim_ann")
+    assert 5 not in set(ann["query_id"]) | set(ann["neighbor_id"])
+    g = ann.groupby("query_id")["rnk"].agg(["min", "max", "count"])
+    assert (g["min"] == 1).all() and (g["max"] == g["count"]).all()
+    top = ann[ann["rnk"] == 1].set_index("query_id")["neighbor_id"]
+    assert top.loc[0] == 1 and top.loc[1] == 0
+    bpe = _run(spark, adv_dir, "q_text_bpe_train")
+    assert list(bpe["rank"]) == list(range(len(bpe)))
+    assert (bpe["freq"] >= 2).all()
+    assert (bpe["left"].str.len() >= 1).all() and (bpe["right"].str.len() >= 1).all()
+
+
+def test_adversarial_compact_invariants(spark, adv_dir):
+    """q_compact_files in invariant form: its oracle pins physical file
+    counts (64 small → 4 compacted), which only hold when rows ≥ files —
+    on the 7-row fixture the writer emits one file per non-empty
+    partition, a writer-version-dependent count not worth modeling. The
+    adversarial content that matters is data integrity through the
+    rewrite: no row lost or duplicated, exact checksum preserved, and the
+    compaction never EXPANDS the layout."""
+    got = REGISTRY["q_compact_files"].fn(spark, adv_dir).toPandas()
+    row = got.iloc[0]
+    assert row["n_rows"] == 7
+    assert row["sum_qty"] == 23.0
+    assert 1 <= row["files_compacted"] <= 4
+    assert row["files_compacted"] <= row["files_small"]
