@@ -67,23 +67,28 @@ _MODULES = [
 
 # Round-8 rotation (VERDICT r7 item #1). Policy, in priority order:
 # (1) the 13 round-7 queries registered after the r7 window snapshot that
-# have never received a driver row, (2) the one query whose code changed
-# this round after its last green row (q_sim_ivfpq — zero-norm centroid
-# guard in ivfpq_topk, ADVICE r7), (3) re-checks of the oldest evidence:
-# the round-2 cohort is the oldest remaining (44 rows, 6 rounds stale);
-# the first 36 in registration order take the tail slots and the other 8
-# (q_sample_stratified/weighted/split, q_tpch_q2/q9/q11/q16/q20) queue
-# for round 9. All 50 pre-verified locally against DuckDB at sf0.01
-# before the round ends.
+# have never received a driver row, (2) the 5 queries whose engine code
+# changed this round after their last green row (q_sim_ivfpq — zero-norm
+# centroid guard in ivfpq_topk, ADVICE r7; then the adversarial-sweep
+# fixes: q_sim_pq — KMeans k clamp + zero-norm training drop,
+# q_agg_stats — n=1 sample-variance NULL guard, q_scan_text —
+# octet_length byte semantics, q_sink_parquet_roundtrip — explicit
+# read-back schema for empty partitioned writes), (3) re-checks of the
+# oldest evidence: the round-2 cohort is the oldest remaining (44 rows,
+# 6 rounds stale); the first 32 in registration order take the tail
+# slots and the other 12 (q_sample_stratified/weighted/split,
+# q_tpch_q2/q9/q11/q16/q17/q19/q20/q21/q22) queue for round 9. All 50
+# pre-verified locally against DuckDB at sf0.01 before the round ends.
 _VERIFY_FIRST = [
     # --- first-timers: registered after the round-7 window snapshot
     "q_join_asof_nearest", "q_dedup_clusters_star", "q_ts_rolling_median",
     "q_ts_hampel", "q_funnel_latency", "q_path_topk", "q_session_stats",
     "q_text_winnowing", "q_dedup_winnowing", "q_sink_partition_overwrite",
     "q_retention_days", "q_agg_gini", "q_histogram_equidepth",
-    # --- changed-code re-check
-    "q_sim_ivfpq",
-    # --- oldest evidence: round-2 rows, registration order (36 of 44)
+    # --- changed-code re-checks (round-8 fixes landed after last green row)
+    "q_sim_ivfpq", "q_sim_pq", "q_agg_stats", "q_scan_text",
+    "q_sink_parquet_roundtrip",
+    # --- oldest evidence: round-2 rows, registration order (32 of 44)
     "q_window_running", "q_window_ntile", "q_window_first_last",
     "q_topk_per_group", "q_window_tumbling", "q_window_sliding",
     "q_window_session", "q_stream_dedup", "q_sim_topk", "q_vector_agg",
@@ -91,8 +96,7 @@ _VERIFY_FIRST = [
     "q_text_tokens", "q_text_fingerprint", "q_udf_scalar", "q_udf_pandas",
     "q_udaf_pandas", "q_udtf", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6",
     "q_tpch_q10", "q_tpch_q14", "q_tpch_q4", "q_tpch_q7", "q_tpch_q13",
-    "q_tpch_q18", "q_tpch_q8", "q_tpch_q12", "q_tpch_q15", "q_tpch_q17",
-    "q_tpch_q19", "q_tpch_q21", "q_tpch_q22",
+    "q_tpch_q18", "q_tpch_q8", "q_tpch_q12", "q_tpch_q15",
 ]
 
 _loaded = False
