@@ -112,16 +112,24 @@ def quantize_embeddings(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
     floor(x + 0.5) (round-half-up toward +inf) is used instead of
     round() because round()'s half-rule differs across engines; this
-    exact formula reproduces bit-identically anywhere IEEE doubles do."""
+    exact formula reproduces bit-identically anywhere IEEE doubles do.
+
+    A NULL vector propagates NULL through every output, scale9 included
+    — pinned explicitly because Spark's greatest() SKIPS nulls while
+    DuckDB's GREATEST null-handling is version-dependent; neither
+    engine default is trusted."""
     absmax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x))).cast("double")
     scale = F.greatest(absmax, F.lit(1e-12)) / F.lit(127.0)
+    scale9 = F.when(F.col(vec_col).isNull(), F.lit(None).cast("double")).otherwise(
+        F.round(scale, 9)
+    )
     q = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
     )
     return df.select(
         F.col(id_col),
-        F.round(scale, 9).alias("scale9"),
+        scale9.alias("scale9"),
         q.alias("qvec"),
         F.aggregate(q, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
         F.aggregate(

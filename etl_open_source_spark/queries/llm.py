@@ -21,9 +21,15 @@ from etl_open_source_spark.operators import similarity as S
 from etl_open_source_spark.operators import text as T
 from etl_open_source_spark.registry import query
 
+# CASE-guarded: DuckDB's list_zip(NULL, NULL) yields [] and
+# list_reduce([]) is a hard error, so a bare fold crashes the oracle on
+# NULL embeddings (CASE is the only evaluation order SQL guarantees —
+# an AND conjunct is not). NULL in → NULL out, so norm filters drop the
+# row exactly like the engine's norm(NULL) > 0 predicate does.
 _DOT = (
-    "list_reduce(list_transform(list_zip({a}, {b}), "
-    "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+    "(CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL "
+    "ELSE list_reduce(list_transform(list_zip({a}, {b}), "
+    "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y) END)"
 )
 
 
@@ -318,6 +324,7 @@ SELECT label,
        COUNT(*) AS n_vecs,
        ROUND(CAST(SUM(CAST(embedding[s.i] AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6) AS mean_val
 FROM embeddings CROSS JOIN GENERATE_SERIES(1, 64) AS s(i)
+WHERE embedding IS NOT NULL
 GROUP BY label, s.i
 ORDER BY label, pos
 """,
@@ -330,7 +337,9 @@ def q_vector_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus spreads across the cluster instead of concentrating per label.
     Sums run in DECIMAL(18,8): float32 inputs are exact in 8 decimal
     digits of scale far beyond their precision, and fixed-point addition
-    is order-independent — both engines agree bit-for-bit pre-rounding."""
+    is order-independent — both engines agree bit-for-bit pre-rounding.
+    NULL-embedding rows are excluded from the centroid (posexplode emits
+    nothing for them; the oracle filters them explicitly)."""
     e = load_table(spark, sf_dir, "embeddings")
     return (
         e.select("label", F.posexplode("embedding").alias("pos", "val"))

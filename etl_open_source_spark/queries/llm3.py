@@ -99,8 +99,9 @@ def q_text_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH q AS (
   SELECT vec_id,
-         GREATEST(CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE),
-                  1e-12) / 127.0 AS scale,
+         CASE WHEN embedding IS NULL THEN NULL
+              ELSE GREATEST(CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE),
+                            1e-12) / 127.0 END AS scale,
          embedding
   FROM embeddings
 ),
@@ -289,8 +290,9 @@ _KNN_SIM = (
     "q_sim_knn_graph",
     oracle=f"""
 WITH nz AS (SELECT vec_id, embedding FROM embeddings
-            WHERE SQRT(list_reduce(list_transform(list_zip(embedding, embedding),
-                  s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)) > 0),
+            WHERE SQRT(CASE WHEN embedding IS NULL THEN NULL
+                  ELSE list_reduce(list_transform(list_zip(embedding, embedding),
+                  s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y) END) > 0),
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM nz),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM nz),
 scored AS (

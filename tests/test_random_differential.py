@@ -187,6 +187,90 @@ def documents_table(draw):
     return df
 
 
+EMB_QUERIES = [
+    "q_embedding_norm_stats",
+    "q_vector_agg",
+    "q_embedding_quantize",
+    "q_sim_topk",
+    "q_sim_knn_graph",
+    "q_dedup_embedding_planted",
+]
+
+_EMB_DIM = 64  # q_vector_agg's oracle enumerates positions 1..64
+
+
+@st.composite
+def embeddings_table(draw):
+    # Vectors are scalar multiples of 4 sparse base patterns: positive
+    # multiples of the same pattern have cosine EXACTLY 1 (top-k score
+    # ties — neighbor-id tiebreak must hold), negative multiples exactly
+    # -1 (sign-LSH edge), scale 0 gives the zero-norm drop case, 1e-6
+    # the tiny-but-nonzero case. NULL embeddings, NULL labels, and NULL
+    # vec_ids exercise the pinned NULL contracts.
+    n = draw(st.integers(2, 10))
+    pat = [
+        [1.0 if j == 0 else 0.0 for j in range(_EMB_DIM)],
+        [1.0 if j == 1 else 0.0 for j in range(_EMB_DIM)],
+        [1.0 if j < 2 else 0.0 for j in range(_EMB_DIM)],
+        [1.0] * _EMB_DIM,
+    ]
+    scales = [1.0, 1.0, 1.5, -2.0, 1e-6, 0.0]
+    rows = []
+    for i in range(n):
+        if draw(st.integers(0, 9)) == 0:
+            vec = None
+        else:
+            p = draw(st.sampled_from(pat))
+            s = draw(st.sampled_from(scales))
+            vec = [x * s for x in p]
+        vec_id = None if draw(st.integers(0, 11)) == 0 else i
+        label = draw(st.sampled_from([0, 1, None]))
+        rows.append((vec_id, vec, label))
+    df = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    df["vec_id"] = df["vec_id"].astype("Int64")
+    df["label"] = df["label"].astype("Int32")
+    return df
+
+
+def _write_embeddings(df: pd.DataFrame, path: str) -> None:
+    # explicit arrow schema: an all-NULL embedding draw must still land
+    # as list<double>, not the inferred null/int type
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float64())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=schema, preserve_index=False), path
+    )
+
+
+@given(tbl=embeddings_table())
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_random_embeddings_differential(spark_prop, tbl):
+    """Random embedding tables with exact cosine score ties (scalar
+    multiples), zero-norm and near-zero vectors, and NULL
+    embeddings/labels/ids — the similarity/centroid/quantize paths must
+    stay bit-identical to their oracles."""
+    d = tempfile.mkdtemp(prefix="randdiff_e_")
+    _write_embeddings(tbl, os.path.join(d, "embeddings.parquet"))
+    for name in EMB_QUERIES:
+        qd = REGISTRY[name]
+        got = qd.fn(spark_prop, d).toPandas()
+        want = run_oracle(qd.oracle, d)
+        try:
+            assert_frames_match(got, want)
+        except AssertionError as ex:  # pragma: no cover - diagnostic path
+            raise AssertionError(f"{name} diverged on random input:\n{ex}") from ex
+
+
 @given(tbl=documents_table())
 @settings(
     max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
