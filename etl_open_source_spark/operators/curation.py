@@ -114,18 +114,26 @@ def quantize_embeddings(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     round() because round()'s half-rule differs across engines; this
     exact formula reproduces bit-identically anywhere IEEE doubles do.
 
-    A NULL vector propagates NULL through every output, scale9 included
-    — pinned explicitly because Spark's greatest() SKIPS nulls while
-    DuckDB's GREATEST null-handling is version-dependent; neither
-    engine default is trusted."""
+    A NULL or non-finite vector propagates NULL through every output,
+    scale9 included — pinned explicitly because (a) Spark's greatest()
+    SKIPS nulls while DuckDB's GREATEST null-handling is
+    version-dependent, and (b) a NaN component makes scale NaN, and
+    casting floor(NaN) to int is an ANSI runtime error — the CASE gate
+    is what keeps the corrupt row from crashing the whole job."""
+    from etl_open_source_spark.operators.similarity import has_nonfinite
+
+    bad = F.coalesce(
+        F.col(vec_col).isNull() | has_nonfinite(vec_col), F.lit(True)
+    )
     absmax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x))).cast("double")
     scale = F.greatest(absmax, F.lit(1e-12)) / F.lit(127.0)
-    scale9 = F.when(F.col(vec_col).isNull(), F.lit(None).cast("double")).otherwise(
-        F.round(scale, 9)
-    )
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
+    scale9 = F.when(~bad, F.round(scale, 9))
+    q = F.when(
+        ~bad,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
+        ),
     )
     return df.select(
         F.col(id_col),

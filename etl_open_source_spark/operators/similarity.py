@@ -34,13 +34,35 @@ def norm(a) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def usable_norm(col) -> Column:
+    """Finite positive norm — the vector-usability predicate shared by
+    every similarity entry point. A bare ``norm > 0`` is NOT enough:
+    both Spark and DuckDB compare NaN (and +Inf) GREATER than 0, so a
+    corrupt vector sails through and its NaN similarity then sorts
+    FIRST under DESC — one poisoned vector becomes every query's top-1
+    neighbor. Any NaN/±Inf component (or a sum-of-squares overflow)
+    makes the norm non-finite, so this one check catches them all; NULL
+    vectors yield a NULL predicate and are dropped by filter()."""
+    return (~F.isnan(col)) & (col > 0) & (col != F.lit(float("inf")))
+
+
+def has_nonfinite(col) -> Column:
+    """True if any element of the array is NaN/±Inf; NULL for a NULL
+    array or an array containing NULL elements (exists() three-valued
+    semantics) — callers treating NULL as corrupt get the right drop
+    from a plain filter(~has_nonfinite)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.exists(c, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
+
+
 def _drop_zero_norm(df: DataFrame, vec: str = "v") -> DataFrame:
-    """Drop all-zero (and null) vectors before unit-normalization. A
-    zero-norm row divides to NaN/null array elements, which either fails
-    a downstream KMeans fit or silently emits null codes/distances — a
-    production encoder drops degenerate vectors at ingest, so every
+    """Drop degenerate (all-zero, non-finite, null) vectors before
+    unit-normalization. A zero-norm row divides to NaN/null array
+    elements, and a NaN/Inf component poisons every downstream distance
+    — either fails a KMeans fit or silently emits null codes/distances.
+    A production encoder drops degenerate vectors at ingest, so every
     normalizing entry point here does the same (ADVICE r6)."""
-    return df.filter(norm(F.col(vec)) > 0)
+    return df.filter(usable_norm(norm(F.col(vec))))
 
 
 def brute_force_topk(
@@ -56,15 +78,15 @@ def brute_force_topk(
     neighbor id as tiebreak (WindowGroupLimit keeps only k per partition
     pre-shuffle). ``sim_decimals`` rounds similarity so ranking is stable
     across engines/platforms (FP dot products differ in the last ulp).
-    Zero-norm vectors are dropped from both sides — cosine against them
-    is undefined (ANSI divide-by-zero), same policy as the PQ/IVF entry
-    points."""
+    Zero-norm and non-finite vectors are dropped from both sides —
+    cosine against them is undefined (ANSI divide-by-zero / NaN sorting
+    first), same policy as the PQ/IVF entry points."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    ).withColumn("qn", norm(F.col("qv"))).filter(F.col("qn") > 0)
+    ).withColumn("qn", norm(F.col("qv"))).filter(usable_norm(F.col("qn")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    ).withColumn("cn", norm(F.col("cv"))).filter(F.col("cn") > 0)
+    ).withColumn("cn", norm(F.col("cv"))).filter(usable_norm(F.col("cn")))
     sim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     if sim_decimals is not None:
         sim = F.round(sim, sim_decimals)
@@ -96,10 +118,10 @@ def ivf_assign(
     # drop both up front, same policy as the PQ entry points
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
         "vn", norm(F.col("v"))
-    ).filter(F.col("vn") > 0)
+    ).filter(usable_norm(F.col("vn")))
     cen = centroids.select(
         F.col("centroid_id"), as_double("centroid").alias("cv")
-    ).withColumn("cn", norm(F.col("cv"))).filter(F.col("cn") > 0)
+    ).withColumn("cn", norm(F.col("cv"))).filter(usable_norm(F.col("cn")))
     sim = dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
     w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("centroid_id"))
     return (
@@ -180,10 +202,10 @@ def ivf_topk(
     # being dropped per the _drop_zero_norm policy (self-review finding)
     cen = centroids.select(F.col("centroid_id"), as_double("centroid").alias("cv")).withColumn(
         "cn", norm(F.col("cv"))
-    ).filter(F.col("cn") > 0)
+    ).filter(usable_norm(F.col("cn")))
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")).withColumn(
         "qn", norm(F.col("qv"))
-    ).filter(F.col("qn") > 0)
+    ).filter(usable_norm(F.col("qn")))
     qsim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     wq = Window.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("centroid_id"))
     probes = (
@@ -245,7 +267,7 @@ def embedding_near_dup_pairs(
     # similarity entry points
     v = corpus.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v")).withColumn(
         "vn", norm(F.col("v"))
-    ).filter(F.col("vn") > 0)
+    ).filter(usable_norm(F.col("vn")))
     v = v.withColumn(
         "v",
         F.when(F.size("v") == dim, F.col("v")).otherwise(
@@ -510,7 +532,7 @@ def ivfpq_topk(
     # empty degenerate bucket.
     cen = centroids.select(
         F.col("centroid_id"), as_double("centroid").alias("cv")
-    ).withColumn("cn", norm(F.col("cv"))).filter(F.col("cn") > 0)
+    ).withColumn("cn", norm(F.col("cv"))).filter(usable_norm(F.col("cn")))
     q = _drop_zero_norm(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv0")

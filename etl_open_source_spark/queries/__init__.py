@@ -74,18 +74,20 @@ _MODULES = [
 # q_agg_stats — n=1 sample-variance NULL guard, q_scan_text —
 # octet_length byte semantics, q_sink_parquet_roundtrip — explicit
 # read-back schema for empty partitioned writes; then the randomized
-# embeddings differential's pins: q_embedding_quantize — NULL-vector
-# NULL-propagation contract, q_sim_knn_graph and
-# q_dedup_embedding_planted — CASE-guarded oracle dot folds, DuckDB's
-# list_zip(NULL,NULL) yields [] and list_reduce([]) is a hard error;
-# q_vector_agg and q_sim_topk got the same oracle fixes but already
-# hold r2 slots below), (3) re-checks of the oldest evidence: the
-# round-2 cohort is the oldest remaining (44 rows, 6 rounds stale); the
-# first 29 in registration order take the tail slots and the other 15
+# embeddings differential's pins: q_embedding_quantize — NULL/corrupt
+# vector NULL-propagation contract, q_sim_knn_graph and
+# q_dedup_embedding_planted — CASE-guarded oracle dot folds (DuckDB's
+# list_zip(NULL,NULL) yields [] and list_reduce([]) is a hard error),
+# q_embedding_norm_stats — non-finite norms count degenerate and a
+# NULL-propagating oracle fold replaces LIST_SUM; q_vector_agg and
+# q_sim_topk got the same engine/oracle fixes but already hold r2
+# slots below), (3) re-checks of the oldest evidence: the round-2
+# cohort is the oldest remaining (44 rows, 6 rounds stale); the first
+# 28 in registration order take the tail slots and the other 16
 # (q_sample_stratified/weighted/split,
-# q_tpch_q2/q8/q9/q11/q12/q15/q16/q17/q19/q20/q21/q22) queue for round
-# 9. All 50 pre-verified locally against DuckDB at sf0.01 before the
-# round ends.
+# q_tpch_q2/q8/q9/q11/q12/q15/q16/q17/q18/q19/q20/q21/q22) queue for
+# round 9. All 50 pre-verified locally against DuckDB at sf0.01 before
+# the round ends.
 _VERIFY_FIRST = [
     # --- first-timers: registered after the round-7 window snapshot
     "q_join_asof_nearest", "q_dedup_clusters_star", "q_ts_rolling_median",
@@ -95,8 +97,8 @@ _VERIFY_FIRST = [
     # --- changed-code re-checks (round-8 fixes landed after last green row)
     "q_sim_ivfpq", "q_sim_pq", "q_agg_stats", "q_scan_text",
     "q_sink_parquet_roundtrip", "q_embedding_quantize", "q_sim_knn_graph",
-    "q_dedup_embedding_planted",
-    # --- oldest evidence: round-2 rows, registration order (29 of 44)
+    "q_dedup_embedding_planted", "q_embedding_norm_stats",
+    # --- oldest evidence: round-2 rows, registration order (28 of 44)
     "q_window_running", "q_window_ntile", "q_window_first_last",
     "q_topk_per_group", "q_window_tumbling", "q_window_sliding",
     "q_window_session", "q_stream_dedup", "q_sim_topk", "q_vector_agg",
@@ -104,7 +106,6 @@ _VERIFY_FIRST = [
     "q_text_tokens", "q_text_fingerprint", "q_udf_scalar", "q_udf_pandas",
     "q_udaf_pandas", "q_udtf", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6",
     "q_tpch_q10", "q_tpch_q14", "q_tpch_q4", "q_tpch_q7", "q_tpch_q13",
-    "q_tpch_q18",
 ]
 
 _loaded = False

@@ -150,17 +150,24 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embedding_norm_stats",
     oracle="""
 WITH norms AS (
+  -- list_reduce, NOT LIST_SUM: LIST_SUM skips NULL elements (treating a
+  -- partially-NULL vector as a shorter one) while Spark's fold
+  -- propagates NULL — the fold is the pinned semantics. Empty arrays
+  -- fold to the engine's 0.0 init (list_reduce errors on []).
   SELECT label,
-         SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
-                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         SQRT(CASE WHEN embedding IS NULL THEN NULL
+                   WHEN LEN(embedding) = 0 THEN 0.0
+                   ELSE list_reduce(LIST_TRANSFORM(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          (x, y) -> x + y) END) AS nrm,
          LEN(embedding) AS dim
   FROM embeddings
 )
 SELECT label,
        COUNT(*) AS n,
        CAST(MIN(dim) AS BIGINT) AS min_dim, CAST(MAX(dim) AS BIGINT) AS max_dim,
-       CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm,
-       CAST(SUM(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
+       CAST(SUM(CASE WHEN isfinite(nrm) THEN CAST(nrm AS DECIMAL(18,6)) END) AS DOUBLE) AS sum_norm,
+       CAST(SUM(CASE WHEN nrm < 1e-6 OR NOT isfinite(nrm) THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
 FROM norms
 GROUP BY label
 """,
@@ -176,7 +183,11 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scan-local arithmetic via fold over the array column (no explode
     round-trip — same zero-exchange design as q_vector_agg), then one
     label-sized aggregate. Norms fold through DECIMAL(18,6) so the
-    per-label sum is order-independent and bit-identical to DuckDB's."""
+    per-label sum is order-independent and bit-identical to DuckDB's.
+    Non-finite norms (NaN/Inf components) count as degenerate — they
+    are exactly what this audit exists to surface — and are excluded
+    from the decimal sum explicitly (DuckDB hard-errors NaN→DECIMAL
+    where Spark yields NULL; neither default is trusted)."""
     emb = load_table(spark, sf_dir, "embeddings")
     sq = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
@@ -184,6 +195,7 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     nrm = F.sqrt(sq)
+    finite = (~F.isnan(F.col("nrm"))) & (F.col("nrm") != F.lit(float("inf")))
     return (
         emb.select("label", nrm.alias("nrm"), F.size("embedding").alias("dim"))
         .groupBy("label")
@@ -191,8 +203,10 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.min("dim").cast("bigint").alias("min_dim"),
             F.max("dim").cast("bigint").alias("max_dim"),
-            F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double").alias("sum_norm"),
-            F.sum(F.when(F.col("nrm") < 1e-6, 1).otherwise(0))
+            F.sum(F.when(finite, F.col("nrm").cast("decimal(18,6)")))
+            .cast("double")
+            .alias("sum_norm"),
+            F.sum(F.when((F.col("nrm") < 1e-6) | ~finite, 1).otherwise(0))
             .cast("bigint")
             .alias("n_degenerate"),
         )

@@ -23,11 +23,13 @@ from etl_open_source_spark.registry import query
 
 # CASE-guarded: DuckDB's list_zip(NULL, NULL) yields [] and
 # list_reduce([]) is a hard error, so a bare fold crashes the oracle on
-# NULL embeddings (CASE is the only evaluation order SQL guarantees —
-# an AND conjunct is not). NULL in → NULL out, so norm filters drop the
-# row exactly like the engine's norm(NULL) > 0 predicate does.
+# NULL *and* empty embeddings (CASE is the only evaluation order SQL
+# guarantees — an AND conjunct is not). NULL in → NULL out, empty in →
+# 0.0 (the engine fold's init, so the norm filter drops the row), both
+# exactly like the engine's aggregate + usable_norm path.
 _DOT = (
     "(CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL "
+    "WHEN LEN({a}) = 0 OR LEN({b}) = 0 THEN 0.0 "
     "ELSE list_reduce(list_transform(list_zip({a}, {b}), "
     "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y) END)"
 )
@@ -35,6 +37,16 @@ _DOT = (
 
 def _sql_dot(a: str, b: str) -> str:
     return _DOT.format(a=a, b=b)
+
+
+def _sql_usable_norm(v: str) -> str:
+    """Oracle twin of operators.similarity.usable_norm: finite positive
+    norm. DuckDB also compares NaN > 0 as true, so a bare norm filter
+    keeps corrupt vectors; worse, CAST(NaN AS DECIMAL) is a hard DuckDB
+    error where Spark yields NULL — non-finite rows must never reach a
+    decimal fold."""
+    d = _sql_dot(v, v)
+    return f"(isfinite(SQRT({d})) AND SQRT({d}) > 0)"
 
 
 # --------------------------------------------------------------- dedup
@@ -217,7 +229,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
-  WHERE SQRT({_sql_dot("embedding", "embedding")}) > 0
+  WHERE {_sql_usable_norm("embedding")}
 ),
 planted AS (
   SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x * 1.5) AS v
@@ -276,7 +288,7 @@ _SIM_EXPR = (
     "q_sim_topk",
     oracle=f"""
 WITH nz AS (SELECT vec_id, embedding AS qv, embedding AS cv FROM embeddings
-            WHERE SQRT({_sql_dot("embedding", "embedding")}) > 0),
+            WHERE {_sql_usable_norm("embedding")}),
 q AS (SELECT vec_id AS query_id, qv FROM nz WHERE vec_id < 50),
 c AS (SELECT vec_id AS neighbor_id, cv FROM nz),
 scored AS (
@@ -325,6 +337,9 @@ SELECT label,
        ROUND(CAST(SUM(CAST(embedding[s.i] AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6) AS mean_val
 FROM embeddings CROSS JOIN GENERATE_SERIES(1, 64) AS s(i)
 WHERE embedding IS NOT NULL
+  AND LEN(embedding) > 0
+  AND COALESCE(list_max(list_transform(embedding,
+        x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END)), 0) = 0
 GROUP BY label, s.i
 ORDER BY label, pos
 """,
@@ -338,11 +353,14 @@ def q_vector_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sums run in DECIMAL(18,8): float32 inputs are exact in 8 decimal
     digits of scale far beyond their precision, and fixed-point addition
     is order-independent — both engines agree bit-for-bit pre-rounding.
-    NULL-embedding rows are excluded from the centroid (posexplode emits
-    nothing for them; the oracle filters them explicitly)."""
+    NULL and non-finite vectors are excluded from the centroid whole — a
+    corrupt vector contributes to no position (one NaN would otherwise
+    poison its positions' means, and DuckDB hard-errors NaN→DECIMAL
+    where Spark yields NULL)."""
     e = load_table(spark, sf_dir, "embeddings")
     return (
-        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        e.filter(~S.has_nonfinite("embedding"))
+        .select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", "pos")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),

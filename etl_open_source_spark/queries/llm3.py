@@ -16,6 +16,7 @@ from etl_open_source_spark.catalog import load_table
 from etl_open_source_spark.operators import curation as C
 from etl_open_source_spark.operators import text as T
 from etl_open_source_spark.operators.sampling import sql_det_hash
+from etl_open_source_spark.queries.llm import _sql_usable_norm
 from etl_open_source_spark.registry import query
 
 # Deterministic benchmark membership for the decontamination demo: every
@@ -98,8 +99,16 @@ def q_text_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embedding_quantize",
     oracle="""
 WITH q AS (
+  -- scale pinned by CASE on every degenerate form: NULL vector,
+  -- NULL/NaN/Inf elements (-> all-NULL outputs), and the EMPTY vector,
+  -- whose absmax floor 1e-12 is written out rather than left to
+  -- GREATEST(NULL, ...) null-handling, which differs across engines
   SELECT vec_id,
-         CASE WHEN embedding IS NULL THEN NULL
+         CASE WHEN embedding IS NULL
+                OR COALESCE(list_max(list_transform(embedding,
+                     x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END)), 0) = 1
+              THEN NULL
+              WHEN LEN(embedding) = 0 THEN CAST(1e-12 AS DOUBLE) / 127.0
               ELSE GREATEST(CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE),
                             1e-12) / 127.0 END AS scale,
          embedding
@@ -107,16 +116,21 @@ WITH q AS (
 ),
 qv AS (
   SELECT vec_id, scale,
-         list_transform(embedding,
-                        x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER)) AS qvec
+         CASE WHEN scale IS NULL THEN NULL
+              ELSE list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER)) END AS qvec
   FROM q
 )
 SELECT vec_id,
        ROUND(scale, 9) AS scale9,
        CASE WHEN qvec IS NULL THEN NULL
             ELSE COALESCE(ARRAY_TO_STRING(qvec, ','), '') END AS qvec_csv,
-       CAST(list_sum(qvec) AS BIGINT) AS q_sum,
-       CAST(list_sum(list_transform(qvec, x -> abs(x))) AS BIGINT) AS q_l1,
+       -- COALESCE-to-0 only when the array EXISTS: the engine folds an
+       -- empty qvec to its 0 init where list_sum([]) is NULL
+       CASE WHEN qvec IS NULL THEN NULL
+            ELSE CAST(COALESCE(list_sum(qvec), 0) AS BIGINT) END AS q_sum,
+       CASE WHEN qvec IS NULL THEN NULL
+            ELSE CAST(COALESCE(list_sum(list_transform(qvec, x -> abs(x))), 0) AS BIGINT) END AS q_l1,
        CAST(list_min(qvec) AS INTEGER) AS q_min,
        CAST(list_max(qvec) AS INTEGER) AS q_max
 FROM qv
@@ -290,9 +304,7 @@ _KNN_SIM = (
     "q_sim_knn_graph",
     oracle=f"""
 WITH nz AS (SELECT vec_id, embedding FROM embeddings
-            WHERE SQRT(CASE WHEN embedding IS NULL THEN NULL
-                  ELSE list_reduce(list_transform(list_zip(embedding, embedding),
-                  s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y) END) > 0),
+            WHERE {_sql_usable_norm("embedding")}),
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM nz),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM nz),
 scored AS (

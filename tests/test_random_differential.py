@@ -205,8 +205,11 @@ def embeddings_table(draw):
     # multiples of the same pattern have cosine EXACTLY 1 (top-k score
     # ties — neighbor-id tiebreak must hold), negative multiples exactly
     # -1 (sign-LSH edge), scale 0 gives the zero-norm drop case, 1e-6
-    # the tiny-but-nonzero case. NULL embeddings, NULL labels, and NULL
-    # vec_ids exercise the pinned NULL contracts.
+    # the tiny-but-nonzero case. NaN/Inf scales produce corrupt vectors
+    # (0·Inf = NaN, so a sparse pattern × Inf mixes NaN and Inf
+    # components) — the usable_norm drop / NULL-propagation contracts.
+    # NULL embeddings, NULL labels, and NULL vec_ids exercise the
+    # pinned NULL contracts.
     n = draw(st.integers(2, 10))
     pat = [
         [1.0 if j == 0 else 0.0 for j in range(_EMB_DIM)],
@@ -214,11 +217,18 @@ def embeddings_table(draw):
         [1.0 if j < 2 else 0.0 for j in range(_EMB_DIM)],
         [1.0] * _EMB_DIM,
     ]
-    scales = [1.0, 1.0, 1.5, -2.0, 1e-6, 0.0]
+    scales = [1.0, 1.0, 1.5, -2.0, 1e-6, 0.0, float("nan"), float("inf")]
     rows = []
     for i in range(n):
-        if draw(st.integers(0, 9)) == 0:
+        kind = draw(st.integers(0, 13))
+        if kind == 0:
             vec = None
+        elif kind == 1:
+            vec = []                     # empty array: norm 0, no positions
+        elif kind == 2:
+            p = draw(st.sampled_from(pat))
+            vec = list(p)
+            vec[draw(st.integers(0, _EMB_DIM - 1))] = None  # NULL element
         else:
             p = draw(st.sampled_from(pat))
             s = draw(st.sampled_from(scales))
@@ -234,20 +244,30 @@ def embeddings_table(draw):
 
 def _write_embeddings(df: pd.DataFrame, path: str) -> None:
     # explicit arrow schema: an all-NULL embedding draw must still land
-    # as list<double>, not the inferred null/int type
+    # as list<double>, not the inferred null/int type. The embedding
+    # column is built from the raw python lists — Table.from_pandas
+    # applies nan_as_null and silently turns NaN components into NULL
+    # elements, which is a DIFFERENT hostile class than the NaN the
+    # strategy planted.
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    schema = pa.schema(
-        [
-            ("vec_id", pa.int64()),
-            ("embedding", pa.list_(pa.float64())),
-            ("label", pa.int32()),
-        ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(
+                [None if pd.isna(v) else int(v) for v in df["vec_id"]],
+                type=pa.int64(),
+            ),
+            "embedding": pa.array(
+                list(df["embedding"]), type=pa.list_(pa.float64())
+            ),
+            "label": pa.array(
+                [None if pd.isna(v) else int(v) for v in df["label"]],
+                type=pa.int32(),
+            ),
+        }
     )
-    pq.write_table(
-        pa.Table.from_pandas(df, schema=schema, preserve_index=False), path
-    )
+    pq.write_table(tbl, path)
 
 
 @given(tbl=embeddings_table())
