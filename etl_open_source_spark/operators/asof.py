@@ -3,7 +3,9 @@
 Semantics (backward as-of, inclusive): for each left row, attach the right
 row with the greatest ``right_on <= left_on`` within the same ``by`` keys;
 left rows with no earlier right row keep NULLs (left-join semantics).
-Matches DuckDB's ``ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts``.
+Matches DuckDB's ``ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts``,
+including NULL by-keys: equality never matches NULL, so NULL-key left
+rows come back unmatched (and skip the shuffle entirely — see below).
 
 Algorithm (union + ordered window, the scale-friendly plan):
   1. Tag right rows 0 and left rows 1, union by name.
@@ -19,7 +21,11 @@ Algorithm (union + ordered window, the scale-friendly plan):
 Cost: ONE shuffle of |L|+|R| rows by the equality keys + an in-partition
 sort — identical asymptotics to a sort-merge join, with no range-explosion
 (a naive theta-join would be |L|×|R| per key). Skewed ``by`` keys can be
-salted upstream; AQE handles moderate skew.
+salted upstream; AQE handles moderate skew. The NULL-key left route adds
+a second, ``key IS NULL``-pushed scan of the left side (parquet min/max
+stats prune it to near-zero on mostly-non-NULL keys) — cheap insurance
+against the alternative, which is shuffling every NULL-key row in the
+corpus onto one reducer.
 """
 
 from __future__ import annotations
@@ -80,14 +86,27 @@ def asof_join(
     # drop them up front (matches DuckDB ASOF NULL semantics — otherwise
     # they'd sort first under nulls-first and be carried onto every left
     # row in an otherwise-empty partition).
+    #
+    # NULL by-keys: SQL join equality never matches NULL, but
+    # Window.partitionBy groups all NULL keys into ONE partition — which
+    # is both wrong (NULL-key lefts would match NULL-key rights) and, at
+    # corpus scale, the worst skew hotspot in the plan (every NULL-key
+    # row on one reducer). So NULL-key right rows are dropped with the
+    # NULL-time ones, and NULL-key left rows BYPASS the window entirely
+    # and re-enter the output with NULL payloads (left-join semantics),
+    # never shuffling into a degenerate partition.
+    by_nonnull = F.lit(True)
+    for b in by:
+        by_nonnull = by_nonnull & F.col(b).isNotNull()
     payload = F.struct(F.col(right_on), *[F.col(c) for c in right_values])
-    r = right.filter(F.col(right_on).isNotNull()).select(
+    r = right.filter(F.col(right_on).isNotNull() & by_nonnull).select(
         *by,
         F.col(right_on).alias(c_rts),
         payload.alias(c_r),
         F.lit(0).alias(c_tag),
     )
-    l = left.withColumn(c_tag, F.lit(1))
+    l_null = left.filter(~by_nonnull)
+    l = left.filter(by_nonnull).withColumn(c_tag, F.lit(1))
     unioned = l.unionByName(r, allowMissingColumns=True).withColumn(
         c_ts, F.coalesce(F.col(left_on), F.col(c_rts))
     )
@@ -140,7 +159,15 @@ def asof_join(
         chosen = F.when(ok_b & (~ok_f | (d_b <= d_f)), F.col(c_b)).when(
             ok_f, F.col(c_f)
         )
-    return out.select(
+    matched = out.select(
         *left.columns,
         *[chosen[c].alias(c) for c in [right_on, *right_values]],
     )
+    unmatched = l_null.select(
+        *left.columns,
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in [right_on, *right_values]
+        ],
+    )
+    return matched.unionByName(unmatched)

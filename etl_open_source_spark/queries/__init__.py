@@ -81,13 +81,18 @@ _MODULES = [
 # q_embedding_norm_stats — non-finite norms count degenerate and a
 # NULL-propagating oracle fold replaces LIST_SUM; q_vector_agg and
 # q_sim_topk got the same engine/oracle fixes but already hold r2
-# slots below), (3) re-checks of the oldest evidence: the round-2
-# cohort is the oldest remaining (44 rows, 6 rounds stale); the first
-# 28 in registration order take the tail slots and the other 16
-# (q_sample_stratified/weighted/split,
-# q_tpch_q2/q8/q9/q11/q12/q15/q16/q17/q18/q19/q20/q21/q22) queue for
-# round 9. All 50 pre-verified locally against DuckDB at sf0.01 before
-# the round ends.
+# slots below; then the as-of NULL-by-key fix — asof_join now routes
+# NULL-key left rows around the window (SQL equality never matches
+# NULL; Window.partitionBy was grouping them) — re-checks its callers
+# q_join_asof, q_join_asof_forward, q_join_asof_tolerance,
+# q_attribution_last_touch, with q_join_asof_nearest already a
+# first-timer above), (3) re-checks of the oldest evidence: the
+# round-2 cohort is the oldest remaining (44 rows, 6 rounds stale);
+# the first 24 in registration order take the tail slots and the other
+# 20 (q_sample_stratified/weighted/split,
+# q_tpch_q2/q4/q7/q8/q9/q11/q12/q13/q14/q15/q16/q17/q18/q19/q20/q21/q22)
+# queue for round 9. All 50 pre-verified locally against DuckDB at
+# sf0.01 before the round ends.
 _VERIFY_FIRST = [
     # --- first-timers: registered after the round-7 window snapshot
     "q_join_asof_nearest", "q_dedup_clusters_star", "q_ts_rolling_median",
@@ -98,14 +103,16 @@ _VERIFY_FIRST = [
     "q_sim_ivfpq", "q_sim_pq", "q_agg_stats", "q_scan_text",
     "q_sink_parquet_roundtrip", "q_embedding_quantize", "q_sim_knn_graph",
     "q_dedup_embedding_planted", "q_embedding_norm_stats",
-    # --- oldest evidence: round-2 rows, registration order (28 of 44)
+    "q_join_asof", "q_join_asof_forward", "q_join_asof_tolerance",
+    "q_attribution_last_touch",
+    # --- oldest evidence: round-2 rows, registration order (24 of 44)
     "q_window_running", "q_window_ntile", "q_window_first_last",
     "q_topk_per_group", "q_window_tumbling", "q_window_sliding",
     "q_window_session", "q_stream_dedup", "q_sim_topk", "q_vector_agg",
     "q_text_stats", "q_text_tf", "q_text_langid", "q_text_quality",
     "q_text_tokens", "q_text_fingerprint", "q_udf_scalar", "q_udf_pandas",
     "q_udaf_pandas", "q_udtf", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6",
-    "q_tpch_q10", "q_tpch_q14", "q_tpch_q4", "q_tpch_q7", "q_tpch_q13",
+    "q_tpch_q10",
 ]
 
 _loaded = False

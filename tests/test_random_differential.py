@@ -33,6 +33,14 @@ QUERIES = [
     "q_gaps_islands",
     "q_ts_ewma",
     "q_retention_days",
+    # the as-of/range join family: equal-timestamp ties across the
+    # build/probe sides and NULL by-keys are THE as-of bug classes
+    "q_join_asof",
+    "q_join_asof_forward",
+    "q_join_asof_nearest",
+    "q_join_asof_tolerance",
+    "q_join_range_bucketed",
+    "q_join_interval_overlap",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -52,7 +60,10 @@ def events_table(draw):
             (
                 i,
                 draw(st.sampled_from(ts_pool)),
-                draw(st.integers(1, 3)),
+                # NULL user_ids: an as-of/sessionize NULL by-key must
+                # never MATCH (SQL equality), even though Spark windows
+                # group NULL partitions together
+                draw(st.one_of(st.just(None), st.integers(1, 3))),
                 draw(st.sampled_from(_TYPES)),
                 draw(
                     st.one_of(
@@ -67,7 +78,7 @@ def events_table(draw):
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
     )
     df["event_id"] = df["event_id"].astype("int64")
-    df["user_id"] = df["user_id"].astype("int64")
+    df["user_id"] = df["user_id"].astype("Int64")
     df["value"] = df["value"].astype("float64")
     df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
     return df
