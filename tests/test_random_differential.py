@@ -41,6 +41,7 @@ QUERIES = [
     "q_join_asof_tolerance",
     "q_join_range_bucketed",
     "q_join_interval_overlap",
+    "q_window_range_frame",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -107,6 +108,12 @@ ORDER_QUERIES = [
     "q_quality_ks",
     "q_cohort_retention",
     "q_ts_mom_change",
+    # window-function family over orders: frame boundaries under full-row
+    # price/date ties and NULL partition keys
+    "q_window_rank",
+    "q_window_lag_lead",
+    "q_window_first_last",
+    "q_topk_per_group",
 ]
 
 
