@@ -178,6 +178,24 @@ DOC_QUERIES = [
     "q_dedup_exact",
     "q_text_winnowing",
     "q_doc_chunk",
+    # hash/tokenizer/regex surfaces over the same hostile fragments
+    "q_text_fingerprint",
+    "q_text_normalize_ws",
+    "q_text_rep_ngram",
+    "q_text_dup_ngram_frac",
+    "q_text_bigrams",
+    "q_text_hashvec",
+    "q_text_tfidf",
+    "q_text_langid",
+    "q_text_quality",
+    "q_pii_redact",
+    "q_url_normalize",
+    # dedup miners + cluster/keep over duplicate-rich random corpora
+    "q_dedup_ngram",
+    "q_dedup_containment",
+    "q_dedup_clusters",
+    "q_dedup_keep",
+    "q_dedup_clusters_star",
 ]
 
 
@@ -192,6 +210,10 @@ def documents_table(draw):
         # U+0130: Java full-case-mapping EXPANDS this to 2 chars — the
         # ascii_fold contract must keep both engines in lockstep
         "İstanbul", "MIXED Case",
+        # PII- and URL-shaped fragments for the redact/normalize regexes
+        "a@b.co 555-123-4567",
+        "https://Ex.com:80/p?b=2&a=1#frag",
+        "ip 127.0.0.1 ssn 123-45-6789",
     ]
     rows = []
     for i in range(n):
