@@ -42,6 +42,7 @@ QUERIES = [
     "q_join_range_bucketed",
     "q_join_interval_overlap",
     "q_window_range_frame",
+    "q_cdc_apply",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -114,6 +115,11 @@ ORDER_QUERIES = [
     "q_window_lag_lead",
     "q_window_first_last",
     "q_topk_per_group",
+    # maintenance/merge family: upsert + diff + rollup under key ties
+    "q_subquery_correlated",
+    "q_merge_upsert",
+    "q_snapshot_diff",
+    "q_mv_incremental",
 ]
 
 
