@@ -283,15 +283,29 @@ ORDER BY l_returnflag
 )
 def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot-to-wide with an explicit value list (no extra discovery pass —
-    at 100 TB, always pass the pivot values explicitly)."""
+    at 100 TB, always pass the pivot values explicitly).
+
+    The counts frame joins back NULL-SAFE: GROUP BY keeps a NULL group
+    key, so a plain equi-join here would silently drop the NULL-flag row
+    that the oracle's single GROUP BY retains (caught by the randomized
+    lineitem differential). Both sides are group-cardinality-sized, so
+    the join stays a broadcast regardless of input scale."""
     l = load_table(spark, sf_dir, "lineitem")
     pivoted = (
         l.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.sum(dec("l_quantity")).cast("double"))
     )
-    counts = l.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))
-    return pivoted.join(counts, "l_returnflag").orderBy("l_returnflag")
+    counts = (
+        l.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumnRenamed("l_returnflag", "rf")  # avoid self-join ambiguity
+    )
+    return (
+        pivoted.join(counts, pivoted["l_returnflag"].eqNullSafe(F.col("rf")))
+        .select("l_returnflag", "O", "F", "cnt")
+        .orderBy("l_returnflag")
+    )
 
 
 @query(

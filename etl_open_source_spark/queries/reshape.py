@@ -122,7 +122,7 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH seg AS (
   SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
-  FROM customer GROUP BY 1, 2
+  FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2
 ),
 m AS (
   SELECT c_nationkey, c_mktsegment AS mode_segment
@@ -135,9 +135,9 @@ med AS (
   SELECT c_nationkey, c_acctbal AS median_bal
   FROM (SELECT c_nationkey, c_acctbal, c_custkey,
                ROW_NUMBER() OVER (PARTITION BY c_nationkey
-                                  ORDER BY c_acctbal, c_custkey) AS rn,
+                                  ORDER BY c_acctbal, c_custkey NULLS LAST) AS rn,
                COUNT(*) OVER (PARTITION BY c_nationkey) AS n
-        FROM customer)
+        FROM customer WHERE c_acctbal IS NOT NULL)
   WHERE rn = (n + 1) // 2
 )
 SELECT c_nationkey, mode_segment, median_bal
@@ -152,12 +152,21 @@ def q_agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mode()``/``median()``: their tie-breaking/interpolation differs
     between engines; this formulation is deterministic and exact in both.
 
+    NULL convention pinned explicitly: NULL segments and NULL balances
+    are excluded on BOTH sides, like the built-in ``mode()``/``median()``
+    aggregates ignore NULLs — without the filters, GROUP BY keeps a NULL
+    segment group (which can win the mode) and the window median counts
+    NULL balances in ``n`` (caught by the randomized relational
+    differential).
+
     Scale: mode is two grouped aggregations (the second over the already
     tiny (nation, segment) counts); median is one partitioned window — no
     global sort, no per-group collect."""
     c = load_table(spark, sf_dir, "customer")
-    seg = c.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count(F.lit(1)).alias("cnt")
+    seg = (
+        c.filter(F.col("c_mktsegment").isNotNull())
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w_mode = Window.partitionBy("c_nationkey").orderBy(
         F.desc("cnt"), "c_mktsegment"
@@ -170,7 +179,8 @@ def q_agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_med = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     w_cnt = Window.partitionBy("c_nationkey")
     med = (
-        c.select(
+        c.filter(F.col("c_acctbal").isNotNull())
+        .select(
             "c_nationkey",
             "c_acctbal",
             F.row_number().over(w_med).alias("rn"),
@@ -189,7 +199,8 @@ SELECT c_custkey, c_nationkey, c_acctbal,
        CUME_DIST() OVER w AS cd,
        NTH_VALUE(c_custkey, 2) OVER w AS second_key
 FROM customer
-WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY c_acctbal NULLS LAST, c_custkey NULLS LAST)
 """,
     tags=("window",),
 )
@@ -198,9 +209,16 @@ def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     key includes c_custkey so every row is its own peer group — cume_dist
     then equals rank/n in both engines and the default nth_value frame
     (unbounded preceding → current row) reads identically. One partitioned
-    sort, no global ordering."""
+    sort, no global ordering.
+
+    NULL ordering is pinned explicitly (NULLS LAST both sides): Spark
+    defaults ascending NULLS FIRST while DuckDB defaults NULLS LAST, so a
+    NULL balance silently shifts every cume_dist/nth_value in the
+    partition (caught by the randomized relational differential)."""
     c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc_nulls_last("c_acctbal"), F.asc_nulls_last("c_custkey")
+    )
     return c.select(
         "c_custkey",
         "c_nationkey",

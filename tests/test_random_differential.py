@@ -25,6 +25,20 @@ from tests.oracle_utils import assert_frames_match, run_oracle
 
 REGISTRY = get_registry()
 
+
+def _write_pinned(df, path, schema_cols):
+    """Write parquet with an explicit arrow schema. A hypothesis draw can
+    make a string column all-NULL; plain ``to_parquet`` then writes a
+    null-typed column and Spark's string comparisons blow up — the pinned
+    schema keeps the declared type regardless of the draw."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([(name, typ) for name, typ in schema_cols])
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=schema, preserve_index=False), path
+    )
+
 # order-sensitive queries whose input is ONLY the events table
 QUERIES = [
     "q_ts_sessionize",
@@ -231,6 +245,260 @@ def documents_table(draw):
     df["doc_id"] = df["doc_id"].astype("int64")
     df["n_chars"] = df["text"].str.len().astype("int64")
     return df
+
+
+REL_QUERIES = [
+    # join family under NULL keys, duplicate-key fanout, and orphans in
+    # BOTH directions (custkey 7 has no orders; custkey 99 no customer)
+    "q_join_inner",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_multikey",
+    "q_join_theta",
+    "q_tpch_q13",
+    # sorts / limits / set ops under NULL sort keys and duplicate rows
+    "q_sort_multi",
+    "q_limit",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_union_by_name",
+    # grouped aggregates with NULL group keys and NULL measures
+    "q_agg_distinct",
+    "q_agg_having",
+    "q_agg_filtered",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_groupingsets",
+    "q_agg_mode_median",
+    "q_window_cume_dist",
+    # three-valued NOT IN over NULL segments
+    "q_filter_not_in_nulls",
+]
+
+
+@st.composite
+def relational_tables(draw):
+    """customer + orders with every hostile class the static fixture lacks:
+    NULL keys on either side, duplicate customer keys (fanout), NULL
+    measures/segments, and values pinned to the queries' own filter
+    boundaries (5000/8000 acctbal; 100000/150000/300000/400000/1000000
+    price bands)."""
+    n_c = draw(st.integers(2, 10))
+    c_rows = []
+    for _ in range(n_c):
+        c_rows.append(
+            (
+                draw(st.sampled_from([None, 1, 2, 2, 3, 7])),
+                draw(st.sampled_from([None, "Customer#A", "Customer#A", "Cüst", ""])),
+                draw(st.integers(0, 2)),
+                draw(
+                    st.sampled_from(
+                        [None, -50.0, 0.0, 100.0, 100.0, 5000.0, 5000.5, 8000.0, 8000.5]
+                    )
+                ),
+                draw(
+                    st.sampled_from(
+                        [None, "BUILDING", "BUILDING", "MACHINERY", "AUTOMOBILE"]
+                    )
+                ),
+            )
+        )
+    cust = pd.DataFrame(
+        c_rows,
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    cust["c_custkey"] = cust["c_custkey"].astype("Int64")
+    cust["c_nationkey"] = cust["c_nationkey"].astype("int32")
+
+    n_o = draw(st.integers(3, 24))
+    date_pool = [
+        pd.Timestamp("1995-01-01"),
+        pd.Timestamp("1995-01-01"),
+        pd.Timestamp("1995-03-10"),
+    ]
+    o_rows = []
+    for i in range(n_o):
+        o_rows.append(
+            (
+                i,  # unique: the ordered-LIMIT tiebreak key must stay total
+                draw(st.sampled_from([None, 1, 1, 1, 2, 3, 99])),
+                draw(st.sampled_from([None, "F", "F", "O", "P"])),
+                draw(
+                    st.sampled_from(
+                        [
+                            None, 0.0, 100.0, 100000.0, 150000.0, 300000.0,
+                            400000.0, 400000.5, 999999.99, 1000000.0,
+                        ]
+                    )
+                ),
+                draw(st.sampled_from(date_pool)),
+                draw(st.sampled_from([None, "1-URGENT", "5-LOW", "5-LOW"])),
+            )
+        )
+    orders = pd.DataFrame(
+        o_rows,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        ],
+    )
+    orders["o_orderkey"] = orders["o_orderkey"].astype("int64")
+    orders["o_custkey"] = orders["o_custkey"].astype("Int64")
+    orders["o_orderdate"] = pd.to_datetime(orders["o_orderdate"]).astype(
+        "datetime64[us]"
+    )
+    return cust, orders
+
+
+@given(tbls=relational_tables())
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_random_relational_differential(spark_prop, tbls):
+    """Random customer+orders through the join/setop/grouped-agg core —
+    NULL join keys, duplicate-key fanout, NULL group keys, NULL sort keys,
+    and filter-boundary values."""
+    import pyarrow as pa
+
+    cust, orders = tbls
+    d = tempfile.mkdtemp(prefix="randdiff_r_")
+    _write_pinned(
+        cust,
+        os.path.join(d, "customer.parquet"),
+        [
+            ("c_custkey", pa.int64()),
+            ("c_name", pa.string()),
+            ("c_nationkey", pa.int32()),
+            ("c_acctbal", pa.float64()),
+            ("c_mktsegment", pa.string()),
+        ],
+    )
+    _write_pinned(
+        orders,
+        os.path.join(d, "orders.parquet"),
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderstatus", pa.string()),
+            ("o_totalprice", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ],
+    )
+    for name in REL_QUERIES:
+        qd = REGISTRY[name]
+        got = qd.fn(spark_prop, d).toPandas()
+        want = run_oracle(qd.oracle, d)
+        try:
+            assert_frames_match(got, want)
+        except AssertionError as ex:  # pragma: no cover - diagnostic path
+            raise AssertionError(f"{name} diverged on random input:\n{ex}") from ex
+
+
+LINE_QUERIES = [
+    "q_agg_groupby",
+    "q_agg_global",
+    "q_agg_pivot",
+    "q_agg_percentile",
+    "q_unpivot",
+    "q_histogram",
+    "q_winsorize",
+    "q_tpch_q6",
+]
+
+
+@st.composite
+def lineitem_table(draw):
+    """lineitem with NULLs in every measure and group key, and values on
+    the exact predicate boundaries (Q6's discount [0.05,0.07] / qty<24 /
+    shipdate half-open year; Q1's shipdate <= 1998-09-02; the histogram's
+    5000-wide bins and 19-cap)."""
+    n = draw(st.integers(2, 20))
+    ship_pool = [
+        None,
+        pd.Timestamp("1993-12-31"),
+        pd.Timestamp("1996-01-01"),
+        pd.Timestamp("1996-12-31"),
+        pd.Timestamp("1998-09-02"),
+        pd.Timestamp("1998-09-03"),
+    ]
+    rows = []
+    for _ in range(n):
+        rows.append(
+            (
+                draw(st.sampled_from([0, 1, 1, 2, 999])),
+                draw(st.integers(1, 2)),
+                draw(st.integers(1, 2)),
+                draw(st.integers(1, 3)),
+                draw(st.sampled_from([None, 0.0, 5.0, 23.99, 24.0, 50.0])),
+                draw(
+                    st.sampled_from(
+                        [None, 0.0, 100.0, 4999.99, 5000.0, 99999.0, 100001.0]
+                    )
+                ),
+                draw(st.sampled_from([None, 0.04, 0.05, 0.06, 0.07, 0.08])),
+                draw(st.sampled_from([None, 0.0, 0.02, 0.08])),
+                draw(st.sampled_from([None, "R", "N", "A"])),
+                draw(st.sampled_from([None, "O", "F"])),
+                draw(st.sampled_from(ship_pool)),
+            )
+        )
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    )
+    for c in ("l_orderkey", "l_partkey", "l_suppkey"):
+        df[c] = df[c].astype("int64")
+    df["l_linenumber"] = df["l_linenumber"].astype("int32")
+    df["l_shipdate"] = pd.to_datetime(df["l_shipdate"]).astype("datetime64[us]")
+    return df
+
+
+@given(tbl=lineitem_table())
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_random_lineitem_differential(spark_prop, tbl):
+    """Random lineitem with NULL measures/flags/dates and boundary values
+    through the scan-agg family (Q1/Q6 shapes, pivot/unpivot, histogram,
+    winsorize, exact percentiles)."""
+    import pyarrow as pa
+
+    d = tempfile.mkdtemp(prefix="randdiff_l_")
+    _write_pinned(
+        tbl,
+        os.path.join(d, "lineitem.parquet"),
+        [
+            ("l_orderkey", pa.int64()),
+            ("l_partkey", pa.int64()),
+            ("l_suppkey", pa.int64()),
+            ("l_linenumber", pa.int32()),
+            ("l_quantity", pa.float64()),
+            ("l_extendedprice", pa.float64()),
+            ("l_discount", pa.float64()),
+            ("l_tax", pa.float64()),
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("l_shipdate", pa.timestamp("us")),
+        ],
+    )
+    for name in LINE_QUERIES:
+        qd = REGISTRY[name]
+        got = qd.fn(spark_prop, d).toPandas()
+        want = run_oracle(qd.oracle, d)
+        try:
+            assert_frames_match(got, want)
+        except AssertionError as ex:  # pragma: no cover - diagnostic path
+            raise AssertionError(f"{name} diverged on random input:\n{ex}") from ex
 
 
 EMB_QUERIES = [
