@@ -501,6 +501,254 @@ def test_random_lineitem_differential(spark_prop, tbl):
             raise AssertionError(f"{name} diverged on random input:\n{ex}") from ex
 
 
+TPCH_QUERIES = [
+    "q_tpch_q2",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+]
+
+
+@st.composite
+def tpch_database(draw):
+    """A full 7-table TPC-H micro-database with the hostile classes the
+    static fixtures never produce: drawn nation→region membership (which
+    nations sit in ASIA/EUROPE/AMERICA varies per example), FK orphans in
+    both directions, NULL keys/measures/flags/dates, and values pinned to
+    every TPC-H predicate boundary — the 45-day (q12) and 90-day (q21)
+    late cuts, the q19 quantity/size bands, the q6/q20 date windows, the
+    q17 Brand#23/size<15 selector, and the q18 sum(qty)>150 threshold."""
+    region = pd.DataFrame(
+        [(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
+         (4, "MIDDLE EAST")],
+        columns=["r_regionkey", "r_name"],
+    )
+    nation = pd.DataFrame(
+        [(k, f"NATION_{k}", draw(st.integers(0, 4))) for k in range(8)],
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+
+    n_p = draw(st.integers(3, 6))
+    part = pd.DataFrame(
+        [
+            (
+                k,
+                draw(st.sampled_from(["cold widget", "small bolt", None])),
+                draw(
+                    st.sampled_from(
+                        ["Brand#3", "Brand#5", "Brand#14", "Brand#22",
+                         "Brand#23", "Brand#23", None]
+                    )
+                ),
+                draw(st.sampled_from(["ECONOMY", "ECONOMY", "PROMO",
+                                      "PROMO PACKED", "LARGE", None])),
+                draw(st.sampled_from([1, 9, 10, 14, 15, 20, 25, 50, None])),
+                draw(st.sampled_from([0.0, 900.0, 900.5, None])),
+            )
+            for k in range(n_p)
+        ],
+        columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"],
+    )
+
+    n_s = draw(st.integers(2, 4))
+    supplier = pd.DataFrame(
+        [
+            (
+                k,
+                f"Supplier#{k}",
+                draw(st.integers(0, 9)),  # 8/9: no such nation
+                draw(st.sampled_from([None, -10.0, 0.0, 100.0, 100.0, 4000.0])),
+            )
+            for k in range(n_s)
+        ],
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+
+    n_c = draw(st.integers(3, 7))
+    customer = pd.DataFrame(
+        [
+            (
+                k,
+                draw(st.sampled_from(["Customer#A", "Customer#A", None])),
+                draw(st.integers(0, 9)),
+                draw(st.sampled_from([None, -1.0, 0.0, 50.0, 50.0, 7000.0])),
+                draw(st.sampled_from(["BUILDING", "BUILDING", "MACHINERY",
+                                      None])),
+            )
+            for k in range(n_c)
+        ],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    )
+
+    odate_pool = [
+        None,
+        pd.Timestamp("1995-01-01"),
+        pd.Timestamp("1996-01-01"),
+        pd.Timestamp("1996-01-01"),
+        pd.Timestamp("1996-06-30"),
+        pd.Timestamp("1996-09-30"),
+        pd.Timestamp("1996-12-31"),
+        pd.Timestamp("1997-01-01"),
+        pd.Timestamp("1998-03-14"),
+        pd.Timestamp("1998-03-15"),
+        pd.Timestamp("1999-01-01"),
+    ]
+    n_o = draw(st.integers(4, 12))
+    orders = pd.DataFrame(
+        [
+            (
+                k,
+                draw(st.sampled_from([None, 0, 0, 1, 2, 99])),
+                draw(st.sampled_from([None, "F", "F", "O", "P"])),
+                draw(st.sampled_from([None, 0.0, 1000.0, 150000.0, 320000.0])),
+                draw(st.sampled_from(odate_pool)),
+                draw(st.sampled_from([None, "1-URGENT", "2-HIGH", "5-LOW",
+                                      "5-LOW"])),
+            )
+            for k in range(n_o)
+        ],
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    )
+    orders["o_custkey"] = orders["o_custkey"].astype("Int64")
+    orders["o_orderdate"] = pd.to_datetime(orders["o_orderdate"]).astype(
+        "datetime64[us]"
+    )
+
+    # against o_orderdate 1996-01-01: Feb 14 = +44d, Feb 15 = +45d (q12
+    # boundary), Mar 31 = +90d (q21 boundary), Apr 1 = +91d
+    sdate_pool = [
+        None,
+        pd.Timestamp("1996-01-01"),
+        pd.Timestamp("1996-02-14"),
+        pd.Timestamp("1996-02-15"),
+        pd.Timestamp("1996-03-31"),
+        pd.Timestamp("1996-04-01"),
+        pd.Timestamp("1996-06-01"),
+        pd.Timestamp("1996-06-30"),
+        pd.Timestamp("1996-12-31"),
+        pd.Timestamp("1997-01-01"),
+        pd.Timestamp("1997-06-01"),
+        pd.Timestamp("1997-12-31"),
+        pd.Timestamp("1998-03-15"),
+        pd.Timestamp("1998-03-16"),
+    ]
+    n_l = draw(st.integers(5, 20))
+    lineitem = pd.DataFrame(
+        [
+            (
+                draw(st.sampled_from([None, 0, 0, 1, 1, 2, 3, 999])),
+                draw(st.integers(0, n_p)),  # n_p itself: orphan part
+                draw(st.integers(0, n_s)),  # n_s itself: orphan supplier
+                ln + 1,
+                draw(st.sampled_from([None, 1.0, 10.0, 11.0, 20.0, 24.0,
+                                      30.0, 151.0])),
+                draw(st.sampled_from([None, 0.0, 100.0, 5000.0, 90000.0])),
+                draw(st.sampled_from([None, 0.0, 0.04, 0.05, 0.06, 0.07,
+                                      0.08])),
+                draw(st.sampled_from([None, 0.0, 0.02, 0.08])),
+                draw(st.sampled_from([None, "R", "N", "A"])),
+                draw(st.sampled_from([None, "O", "F"])),
+                draw(st.sampled_from(sdate_pool)),
+            )
+            for ln in range(n_l)
+        ],
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+    lineitem["l_orderkey"] = lineitem["l_orderkey"].astype("Int64")
+    lineitem["l_shipdate"] = pd.to_datetime(lineitem["l_shipdate"]).astype(
+        "datetime64[us]"
+    )
+    return region, nation, customer, supplier, part, orders, lineitem
+
+
+@given(db=tpch_database())
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_random_tpch_differential(spark_prop, db):
+    """Random TPC-H micro-database through all 21 registered TPC-H queries
+    (Q1's shape lives in q_agg_groupby, covered by the lineitem strategy) —
+    the multi-join/nested-subquery family whose static evidence never sees
+    NULL keys, orphan FKs, or predicate-boundary values."""
+    import pyarrow as pa
+
+    region, nation, customer, supplier, part, orders, lineitem = db
+    d = tempfile.mkdtemp(prefix="randdiff_t_")
+    _write_pinned(region, os.path.join(d, "region.parquet"),
+                  [("r_regionkey", pa.int32()), ("r_name", pa.string())])
+    _write_pinned(nation, os.path.join(d, "nation.parquet"),
+                  [("n_nationkey", pa.int32()), ("n_name", pa.string()),
+                   ("n_regionkey", pa.int32())])
+    _write_pinned(
+        customer,
+        os.path.join(d, "customer.parquet"),
+        [("c_custkey", pa.int64()), ("c_name", pa.string()),
+         ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+         ("c_mktsegment", pa.string())],
+    )
+    _write_pinned(
+        supplier,
+        os.path.join(d, "supplier.parquet"),
+        [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+         ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())],
+    )
+    _write_pinned(
+        part,
+        os.path.join(d, "part.parquet"),
+        [("p_partkey", pa.int64()), ("p_name", pa.string()),
+         ("p_brand", pa.string()), ("p_type", pa.string()),
+         ("p_size", pa.int32()), ("p_retailprice", pa.float64())],
+    )
+    _write_pinned(
+        orders,
+        os.path.join(d, "orders.parquet"),
+        [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+         ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+         ("o_orderdate", pa.timestamp("us")),
+         ("o_orderpriority", pa.string())],
+    )
+    _write_pinned(
+        lineitem,
+        os.path.join(d, "lineitem.parquet"),
+        [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+         ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+         ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+         ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+         ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+         ("l_shipdate", pa.timestamp("us"))],
+    )
+    for name in TPCH_QUERIES:
+        qd = REGISTRY[name]
+        got = qd.fn(spark_prop, d).toPandas()
+        want = run_oracle(qd.oracle, d)
+        try:
+            assert_frames_match(got, want)
+        except AssertionError as ex:  # pragma: no cover - diagnostic path
+            raise AssertionError(f"{name} diverged on random input:\n{ex}") from ex
+
+
 EMB_QUERIES = [
     "q_embedding_norm_stats",
     "q_vector_agg",
