@@ -25,9 +25,17 @@ def cooccurring_pairs(
     on the basket key (collect_set), pair generation scan-local from the
     per-basket array (no self-join — a join formulation re-shuffles or
     duplicates the dedup subtree), then the pair-count aggregate.
-    Baskets larger than ``max_basket_size`` are dropped whole."""
-    baskets = df.groupBy(basket_col).agg(
-        F.collect_set(item_col).alias("__items")
+    Baskets larger than ``max_basket_size`` are dropped whole.
+
+    A NULL basket key is NOT a basket: SQL equality never matches NULL,
+    so the self-join formulation this mirrors can never pair rows with a
+    NULL key — but groupBy would collect them into one phantom basket
+    (caught by the randomized relational-agg differential; same contract
+    as the as-of join's NULL by-key)."""
+    baskets = (
+        df.filter(F.col(basket_col).isNotNull())
+        .groupBy(basket_col)
+        .agg(F.collect_set(item_col).alias("__items"))
     )
     if max_basket_size is not None:
         baskets = baskets.filter(F.size("__items") <= max_basket_size)
@@ -72,12 +80,15 @@ def association_rules(
     unguarded denominators).
     """
     # NULL items can never appear in a rule (collect_set in
-    # cooccurring_pairs drops them) — exclude them from EVERY universe up
-    # front, so the per-basket size below counts exactly what the pair
+    # cooccurring_pairs drops them) and a NULL basket key is not a basket
+    # (cooccurring_pairs excludes it) — exclude both from EVERY universe
+    # up front, so the per-basket size below counts exactly what the pair
     # guard counts (a NULL item row must not push a basket over the cap
     # here while the pair mine keeps it — self-review finding)
     items = (
-        df.filter(F.col(item_col).isNotNull())
+        df.filter(
+            F.col(item_col).isNotNull() & F.col(basket_col).isNotNull()
+        )
         .select(basket_col, item_col)
         .distinct()
     )

@@ -312,7 +312,9 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
 SELECT o_orderstatus,
-       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderpriority)), ',') AS priorities,
+       COALESCE(ARRAY_TO_STRING(LIST_SORT(
+           LIST(DISTINCT o_orderpriority) FILTER (WHERE o_orderpriority IS NOT NULL)
+       ), ','), '') AS priorities,
        COUNT(*) AS cnt
 FROM orders
 GROUP BY o_orderstatus
@@ -322,7 +324,13 @@ ORDER BY o_orderstatus
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/set aggregation, rendered as a sorted CSV string so the result
-    is deterministic and hashable (collect_set order is not)."""
+    is deterministic and hashable (collect_set order is not).
+
+    NULL handling pinned: Spark's collect_set silently drops NULLs and
+    array_join renders the empty set as '' — DuckDB's LIST(DISTINCT)
+    keeps a NULL entry and ARRAY_TO_STRING maps the all-NULL list to
+    NULL, so the oracle filters NULLs and coalesces to '' to match
+    (caught by the randomized relational-agg differential)."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")

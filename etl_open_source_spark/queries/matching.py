@@ -65,7 +65,10 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     blk = p.select(
         "p_partkey",
         "p_name",
-        F.split("p_name", " ").getItem(1).alias("blk_word"),
+        # F.get, not getItem: a one-word name has no second token, and
+        # ANSI getItem raises INVALID_ARRAY_INDEX where DuckDB's list
+        # index yields NULL (caught by the randomized differential)
+        F.get(F.split("p_name", " "), 1).alias("blk_word"),
         F.length("p_name").alias("blk_len"),
     )
     a = blk.select(

@@ -22,6 +22,7 @@ from etl_open_source_spark.registry import query
     oracle="""
 WITH items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
 ),
 nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
 supp AS (SELECT l_partkey, COUNT(*) AS s FROM items GROUP BY 1),
@@ -57,7 +58,10 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape (operators/baskets.py): the single-shuffle pair mine, one
     item-support aggregate joined back on the item key, and the 1-row
     basket count broadcast. ``max_basket_size=64`` is the degenerate-
-    basket guard (no effect on this data — baskets <= ~13 items)."""
+    basket guard (no effect on this data — baskets <= ~13 items).
+    NULL basket keys and NULL items are excluded from every universe on
+    both sides — a NULL key is not a basket under SQL equality (pinned
+    by the randomized relational-agg differential)."""
     from etl_open_source_spark.operators.baskets import association_rules
 
     items = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")

@@ -62,7 +62,8 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_map",
     oracle="""
 SELECT o_orderkey,
-       ARRAY_TO_STRING(LIST_SORT(['priority=' || o_orderpriority, 'status=' || o_orderstatus]), ',') AS props_str,
+       ARRAY_TO_STRING(LIST_SORT(['priority=' || COALESCE(o_orderpriority, 'NULL'),
+                                  'status=' || COALESCE(o_orderstatus, 'NULL')]), ',') AS props_str,
        CAST(2 AS BIGINT) AS n_keys
 FROM orders
 """,
@@ -70,14 +71,24 @@ FROM orders
 )
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map column surface: create_map → map_entries/map_keys, rendered as a
-    sorted k=v string (raw MapType can't be order-stably hashed)."""
+    sorted k=v string (raw MapType can't be order-stably hashed).
+
+    NULL map values render as the literal 'NULL' — pinned on both sides
+    because an entry that concatenates to NULL is handled differently by
+    the engines' join folds: Spark's array_join skips NULL elements (''
+    for an all-NULL array) while DuckDB's ARRAY_TO_STRING returns NULL
+    for an all-NULL array (caught by the randomized scalar-fn
+    differential)."""
     o = load_table(spark, sf_dir, "orders")
     m = F.create_map(
         F.lit("status"), F.col("o_orderstatus"),
         F.lit("priority"), F.col("o_orderpriority"),
     )
     entries = F.transform(
-        F.map_entries(m), lambda e: F.concat(e["key"], F.lit("="), e["value"])
+        F.map_entries(m),
+        lambda e: F.concat(
+            e["key"], F.lit("="), F.coalesce(e["value"], F.lit("NULL"))
+        ),
     )
     return o.select(
         "o_orderkey",
@@ -90,7 +101,8 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_explode_outer",
     oracle="""
 SELECT p_partkey,
-       UNNEST(CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(p_name, ' '), x -> LENGTH(x) > 6)) = 0
+       UNNEST(CASE WHEN p_name IS NULL
+                     OR LEN(LIST_FILTER(STRING_SPLIT(p_name, ' '), x -> LENGTH(x) > 6)) = 0
                    THEN [CAST(NULL AS VARCHAR)]
                    ELSE LIST_FILTER(STRING_SPLIT(p_name, ' '), x -> LENGTH(x) > 6) END) AS long_word
 FROM part
@@ -98,8 +110,11 @@ FROM part
     tags=("fn", "array"),
 )
 def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """explode_outer: rows with an empty array survive with NULL (plain
-    explode silently drops them — a classic data-loss bug)."""
+    """explode_outer: rows with an empty OR NULL array survive with NULL
+    (plain explode silently drops them — a classic data-loss bug). The
+    oracle's NULL-name branch is explicit: DuckDB's UNNEST(NULL) emits
+    zero rows where explode_outer keeps the row (caught by the randomized
+    differential)."""
     p = load_table(spark, sf_dir, "part")
     long_words = F.filter(F.split("p_name", " "), lambda x: F.length(x) > 6)
     return p.select("p_partkey", F.explode_outer(long_words).alias("long_word"))
@@ -226,35 +241,57 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_argmax",
     oracle="""
-WITH r AS (
+WITH nn AS (
+  SELECT l_returnflag, l_orderkey, l_extendedprice
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_orderkey IS NOT NULL
+),
+r AS (
   SELECT l_returnflag, l_orderkey, l_extendedprice,
          ROW_NUMBER() OVER (PARTITION BY l_returnflag
                             ORDER BY l_extendedprice DESC, l_orderkey DESC) AS rx,
          ROW_NUMBER() OVER (PARTITION BY l_returnflag
                             ORDER BY l_extendedprice ASC, l_orderkey ASC) AS rn
-  FROM lineitem
+  FROM nn
 )
-SELECT l_returnflag,
-       MAX(CASE WHEN rx = 1 THEN l_orderkey END) AS top_order,
-       CAST(MAX(CASE WHEN rx = 1 THEN l_extendedprice END) AS DOUBLE) AS top_price,
-       MAX(CASE WHEN rn = 1 THEN l_orderkey END) AS bottom_order
-FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+SELECT g.l_returnflag,
+       MAX(CASE WHEN r.rx = 1 THEN r.l_orderkey END) AS top_order,
+       CAST(MAX(CASE WHEN r.rx = 1 THEN r.l_extendedprice END) AS DOUBLE) AS top_price,
+       MAX(CASE WHEN r.rn = 1 THEN r.l_orderkey END) AS bottom_order
+FROM (SELECT DISTINCT l_returnflag FROM lineitem) g
+LEFT JOIN r ON r.l_returnflag IS NOT DISTINCT FROM g.l_returnflag
+GROUP BY g.l_returnflag ORDER BY g.l_returnflag
 """,
     tags=("agg",),
 )
 def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by/min_by argmax aggregates with deterministic tie-break: the
-    ordinal is struct(value, key), so equal prices resolve by key instead
-    of Spark's arbitrary-winner default. One hash aggregate — no window,
-    no self-join (the oracle uses the window formulation; same result).
-    At scale this is THE pattern for 'latest row per key' without a sort."""
+    """Argmax/argmin aggregates with deterministic tie-break: max/min over
+    a NULL-masked struct(value, key) ordinal, so equal prices resolve by
+    key instead of Spark's arbitrary-winner max_by default, and a row
+    with a NULL price or NULL key never becomes the argmax (max_by's
+    struct ordinal is never NULL even when its fields are, so struct-NULL
+    field ordering would otherwise decide — pinned by the randomized
+    relational-agg differential; the oracle filters the same rows and
+    preserves empty groups via a null-safe left join). One hash aggregate
+    — no window, no self-join. At scale this is THE pattern for 'latest
+    row per key' without a sort."""
     l = load_table(spark, sf_dir, "lineitem")
+    usable = F.col("l_extendedprice").isNotNull() & F.col("l_orderkey").isNotNull()
+    pair = F.when(
+        usable,
+        F.struct(
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_orderkey").alias("key"),
+        ),
+    )
     return (
         l.groupBy("l_returnflag")
-        .agg(
-            F.expr("max_by(l_orderkey, struct(l_extendedprice, l_orderkey))").alias("top_order"),
-            F.max("l_extendedprice").cast("double").alias("top_price"),
-            F.expr("min_by(l_orderkey, struct(l_extendedprice, l_orderkey))").alias("bottom_order"),
+        .agg(F.max(pair).alias("top"), F.min(pair).alias("bot"))
+        .select(
+            "l_returnflag",
+            F.col("top.key").alias("top_order"),
+            F.col("top.price").cast("double").alias("top_price"),
+            F.col("bot.key").alias("bottom_order"),
         )
         .orderBy("l_returnflag")
     )
@@ -278,12 +315,29 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     group in one pass (partial moments combine map-side — no second scan,
     no window). Rounded because the double moment sums fold in partition
     order (corr/covar cannot go through the decimal-exact path — they are
-    ratios of co-moments)."""
+    ratios of co-moments).
+
+    The correlation is NOT the built-in ``F.corr``: under ANSI mode
+    (Spark 4 default) it raises DIVIDE_BY_ZERO on a zero-variance or
+    single-row group, where DuckDB's corr returns NaN (caught by the
+    randomized relational-agg differential). Pearson is computed on
+    pairwise-complete rows (both measures non-NULL, masked before the
+    moments — corr semantics) as try_divide(covar, sd·sd), which yields
+    NULL on the degenerate groups in both engines."""
     l = load_table(spark, sf_dir, "lineitem")
+    both = F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    qp = F.when(both, F.col("l_quantity"))
+    ep = F.when(both, F.col("l_extendedprice"))
     return (
         l.groupBy("l_returnflag")
         .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(
+                F.try_divide(
+                    F.covar_samp(qp, ep),
+                    F.stddev_samp(qp) * F.stddev_samp(ep),
+                ),
+                6,
+            ).alias("qty_price_corr"),
             F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qty_price_covp"),
             F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covs"),
             F.round(F.stddev_pop("l_quantity"), 6).alias("qty_sd"),

@@ -23,7 +23,7 @@ SELECT p_partkey,
        LOWER(p_brand) AS brand_lower,
        TRIM(p_name) AS name_trim,
        SUBSTRING(p_name, 1, 8) AS name_prefix,
-       CONCAT(p_brand, ':', p_type) AS brand_type,
+       p_brand || ':' || p_type AS brand_type,
        CAST(LENGTH(p_name) AS BIGINT) AS name_len,
        CAST(LEN(STRING_SPLIT(p_name, ' ')) AS BIGINT) AS name_words,
        REGEXP_REPLACE(p_name, 'a', '@', 'g') AS name_sub,
@@ -34,7 +34,12 @@ FROM part
 )
 def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Core string-function pack (upper/lower/length/substr/concat/trim
-    family) — all codegen'd JVM builtins, scan-local."""
+    family) — all codegen'd JVM builtins, scan-local.
+
+    The oracle concatenates with ``||``, not CONCAT: Spark's concat
+    propagates NULL while DuckDB's CONCAT skips NULL arguments — ``||``
+    NULL-propagates in both engines (caught by the randomized scalar-fn
+    differential)."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",

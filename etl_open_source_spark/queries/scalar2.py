@@ -79,15 +79,21 @@ SELECT o_orderkey, o_orderstatus, o_totalprice,
        PERCENT_RANK() OVER w AS pct_rank,
        CUME_DIST() OVER w AS cume
 FROM orders
-WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice NULLS LAST, o_orderkey NULLS LAST)
 """,
     tags=("window",),
 )
 def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-rank analytics: percent_rank = (rank-1)/(n-1) and cume_dist
-    — both exact rational arithmetic on identical inputs in both engines."""
+    — both exact rational arithmetic on identical inputs in both engines.
+    NULL ordering pinned NULLS LAST on both sides (Spark defaults
+    ascending NULLS FIRST, DuckDB NULLS LAST — a NULL price shifts every
+    rank in the partition; caught by the randomized differential)."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc_nulls_last("o_totalprice"), F.asc_nulls_last("o_orderkey")
+    )
     return o.select(
         "o_orderkey",
         "o_orderstatus",

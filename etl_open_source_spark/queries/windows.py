@@ -80,7 +80,9 @@ SELECT l_orderkey, l_linenumber,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_qty,
        CAST(COUNT(*) OVER w AS BIGINT) AS running_cnt
 FROM lineitem
-WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_extendedprice
+WINDOW w AS (PARTITION BY l_orderkey
+             ORDER BY l_linenumber NULLS LAST, l_quantity NULLS LAST,
+                      l_extendedprice NULLS LAST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
     tags=("window",),
@@ -90,11 +92,18 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (l_orderkey, l_linenumber) is NOT unique in the fixtures, so the sort
     carries value tiebreaks — rows tying on all sort keys then produce an
-    identical output multiset under any physical order."""
+    identical output multiset under any physical order. NULL ordering is
+    pinned NULLS LAST on both sides: a NULL quantity row placed first
+    (Spark's ascending default) instead of last (DuckDB's) changes every
+    prefix sum after it."""
     l = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy(
+            F.asc_nulls_last("l_linenumber"),
+            F.asc_nulls_last("l_quantity"),
+            F.asc_nulls_last("l_extendedprice"),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return l.select(

@@ -550,7 +550,8 @@ def tpch_database(draw):
         [
             (
                 k,
-                draw(st.sampled_from(["cold widget", "small bolt", None])),
+                draw(st.sampled_from(["cold widget", "cold widget",
+                                      "Bölt  #1", "", None])),
                 draw(
                     st.sampled_from(
                         ["Brand#3", "Brand#5", "Brand#14", "Brand#22",
@@ -683,15 +684,8 @@ def tpch_database(draw):
     return region, nation, customer, supplier, part, orders, lineitem
 
 
-@given(db=tpch_database())
-@settings(
-    max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
-)
-def test_random_tpch_differential(spark_prop, db):
-    """Random TPC-H micro-database through all 21 registered TPC-H queries
-    (Q1's shape lives in q_agg_groupby, covered by the lineitem strategy) —
-    the multi-join/nested-subquery family whose static evidence never sees
-    NULL keys, orphan FKs, or predicate-boundary values."""
+def _write_tpch(db) -> str:
+    """Materialize a drawn 7-table micro-database as pinned-schema parquet."""
     import pyarrow as pa
 
     region, nation, customer, supplier, part, orders, lineitem = db
@@ -739,7 +733,121 @@ def test_random_tpch_differential(spark_prop, db):
          ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
          ("l_shipdate", pa.timestamp("us"))],
     )
+    return d
+
+
+@given(db=tpch_database())
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_random_tpch_differential(spark_prop, db):
+    """Random TPC-H micro-database through all 21 registered TPC-H queries
+    (Q1's shape lives in q_agg_groupby, covered by the lineitem strategy) —
+    the multi-join/nested-subquery family whose static evidence never sees
+    NULL keys, orphan FKs, or predicate-boundary values."""
+    d = _write_tpch(db)
     for name in TPCH_QUERIES:
+        qd = REGISTRY[name]
+        got = qd.fn(spark_prop, d).toPandas()
+        want = run_oracle(qd.oracle, d)
+        try:
+            assert_frames_match(got, want)
+        except AssertionError as ex:  # pragma: no cover - diagnostic path
+            raise AssertionError(f"{name} diverged on random input:\n{ex}") from ex
+
+
+RELFN_QUERIES = [
+    # filters / projections on boundary values and NULLs
+    "q_filter_between",
+    "q_filter_compare",
+    "q_filter_compound",
+    "q_filter_in",
+    "q_filter_like",
+    "q_filter_null",
+    "q_project_select",
+    "q_project_rename",
+    "q_project_computed",
+    # scalar-function surfaces: NULL propagation, cast edges, non-ASCII,
+    # LN(0)/negative-log guards, regex over empty/None names
+    "q_fn_cast",
+    "q_fn_cond",
+    "q_fn_date",
+    "q_fn_hash",
+    "q_fn_math",
+    "q_fn_string",
+    "q_fn_string2",
+    "q_fn_regex",
+    "q_fn_bitwise",
+    "q_fn_lambda",
+    "q_fn_map",
+    "q_subquery_scalar",
+    # windows over NULL order keys
+    "q_window_ntile",
+    "q_window_percent_rank",
+    "q_window_running",
+]
+
+
+@given(db=tpch_database())
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_random_relfn_differential(spark_prop, db):
+    """The scalar-function/filter/window family over the random TPC-H
+    micro-database: NULL propagation through every expression surface,
+    boundary predicates, non-ASCII and empty strings, NULL window keys."""
+    d = _write_tpch(db)
+    for name in RELFN_QUERIES:
+        qd = REGISTRY[name]
+        got = qd.fn(spark_prop, d).toPandas()
+        want = run_oracle(qd.oracle, d)
+        try:
+            assert_frames_match(got, want)
+        except AssertionError as ex:  # pragma: no cover - diagnostic path
+            raise AssertionError(f"{name} diverged on random input:\n{ex}") from ex
+
+
+RELAGG_QUERIES = [
+    # aggregate edges: argmax ties, n<2 corr/stddev, multiset set ops
+    "q_agg_argmax",
+    "q_agg_collect",
+    "q_agg_corr",
+    "q_agg_stats",
+    "q_agg_salted",
+    "q_except_all",
+    "q_intersect_all",
+    "q_explode_outer",
+    "q_fuzzy_match",
+    "q_histogram_equidepth",
+    "q_join_null_safe",
+    "q_join_cross",
+    "q_join_broadcast",
+    "q_pair_cooccurrence",
+    "q_quality_benford",
+    "q_quality_checks",
+    "q_profile_columns",
+    "q_recursive_cte",
+    "q_sanitize_nulls",
+    "q_scd2",
+    "q_scd2_lookup",
+    "q_skyline_pareto",
+    "q_skew_key_stats",
+    "q_graph_link_jaccard",
+    "q_graph_triangles",
+]
+
+
+@given(db=tpch_database())
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_random_relagg_differential(spark_prop, db):
+    """The misc relational family over the random TPC-H micro-database:
+    argmax/corr/stats aggregate edges, multiset EXCEPT/INTERSECT ALL with
+    NULL rows, null-safe joins, SCD2 under key ties, graph miners on
+    orphan-heavy edges, Benford/profile/quality on NULL-ridden columns."""
+    d = _write_tpch(db)
+    for name in RELAGG_QUERIES:
         qd = REGISTRY[name]
         got = qd.fn(spark_prop, d).toPandas()
         want = run_oracle(qd.oracle, d)
