@@ -86,15 +86,30 @@ _MODULES = [
 # NULL; Window.partitionBy was grouping them) — re-checks its callers
 # q_join_asof, q_join_asof_forward, q_join_asof_tolerance,
 # q_attribution_last_touch, with q_join_asof_nearest already a
-# first-timer above), (3) re-checks of the oldest evidence: the
-# round-2 cohort is the oldest remaining (44 rows, 6 rounds stale);
-# the first 24 in registration order take the tail slots and the other
-# 20 (q_sample_stratified/weighted/split,
-# q_tpch_q2/q4/q7/q8/q9/q11/q12/q13/q14/q15/q16/q17/q18/q19/q20/q21/q22)
-# queue for round 9. All 50 pre-verified locally against DuckDB at
-# sf0.01 before the round ends — and, new for round 8, the full window
-# also swept at sf0.1 (10x the driver's correctness scale): 48
-# exact-pass + 2 rows-only by design, 0 failures, 442 s wall.
+# first-timer above). The late-round randomized differential expansion
+# (relational/lineitem/TPC-H/scalar-fn/relagg/IO families) fixed 12
+# more cross-engine divergences, whose queries take the next slots:
+# q_agg_pivot (NULL-group counts join now null-safe),
+# q_agg_mode_median (NULL segment/balance exclusion pinned),
+# q_window_cume_dist + q_window_percent_rank (NULLS LAST pinned both
+# sides), q_agg_argmax (NULL-masked struct extrema), q_agg_corr
+# (ANSI-safe masked Pearson), q_agg_collect (all-NULL collect_set
+# contract), q_fn_map (NULL map-value rendering), q_fn_string (oracle
+# || for NULL-propagating concat), q_explode_outer (oracle NULL-name
+# branch), q_fuzzy_match (F.get for out-of-bounds token),
+# q_pair_cooccurrence + q_graph_link_jaccard + q_assoc_rules (NULL
+# basket keys excluded in operators/baskets.py), q_compact_files
+# (row-count-aware oracle file counts), q_udf_scalar + q_udtf (NULL
+# input guards in the Python fns), q_udaf_pandas (NULL-drop + FLOOR
+# before the int fold), q_sink_orc_roundtrip (explicit read-back
+# schema + FLOOR-before-cast pin). (3) re-checks of the oldest
+# evidence: the round-2 cohort is the oldest remaining (44 rows, 6
+# rounds stale); the first 5 in registration order take the tail slots
+# (q_window_running doubles as a changed-code re-check — NULLS LAST
+# pinning) and the other 39 r2 rows queue for round 9. All 50
+# pre-verified locally against DuckDB at sf0.01 before the round ends
+# — and, new for round 8, the full window also swept at sf0.1 (10x
+# the driver's correctness scale).
 _VERIFY_FIRST = [
     # --- first-timers: registered after the round-7 window snapshot
     "q_join_asof_nearest", "q_dedup_clusters_star", "q_ts_rolling_median",
@@ -107,14 +122,17 @@ _VERIFY_FIRST = [
     "q_dedup_embedding_planted", "q_embedding_norm_stats",
     "q_join_asof", "q_join_asof_forward", "q_join_asof_tolerance",
     "q_attribution_last_touch",
-    # --- oldest evidence: round-2 rows, registration order (24 of 44)
+    # --- changed-code re-checks (randomized-differential fixes, late r8)
+    "q_agg_pivot", "q_agg_mode_median", "q_window_cume_dist",
+    "q_window_percent_rank", "q_agg_argmax", "q_agg_corr",
+    "q_agg_collect", "q_fn_map", "q_fn_string", "q_explode_outer",
+    "q_fuzzy_match", "q_pair_cooccurrence", "q_graph_link_jaccard",
+    "q_assoc_rules", "q_compact_files",
+    "q_udf_scalar", "q_udaf_pandas", "q_udtf", "q_sink_orc_roundtrip",
+    # --- oldest evidence: round-2 rows, registration order (5 of 44;
+    #     q_window_running is also a changed-code re-check)
     "q_window_running", "q_window_ntile", "q_window_first_last",
-    "q_topk_per_group", "q_window_tumbling", "q_window_sliding",
-    "q_window_session", "q_stream_dedup", "q_sim_topk", "q_vector_agg",
-    "q_text_stats", "q_text_tf", "q_text_langid", "q_text_quality",
-    "q_text_tokens", "q_text_fingerprint", "q_udf_scalar", "q_udf_pandas",
-    "q_udaf_pandas", "q_udtf", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6",
-    "q_tpch_q10",
+    "q_topk_per_group", "q_window_tumbling",
 ]
 
 _loaded = False

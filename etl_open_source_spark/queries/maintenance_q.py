@@ -202,8 +202,8 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_compact_files",
     oracle="""
-SELECT CAST(64 AS INT) AS files_small,
-       CAST(4 AS INT) AS files_compacted,
+SELECT CAST(LEAST(64, COUNT(*)) AS INT) AS files_small,
+       CAST(LEAST(4, COUNT(*)) AS INT) AS files_compacted,
        COUNT(*) AS n_rows,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
 FROM lineitem
@@ -222,7 +222,10 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     (supported by the operator; the query pins n=4 for determinism) is
     what keeps scan task counts and file-listing costs sane. Round-robin
     repartition — not coalesce — so output files are even-sized under
-    input skew."""
+    input skew. The oracle's file counts are LEAST(n, rows): an empty
+    round-robin partition writes no file, so a table smaller than the
+    partition count produces one file per row (seen on the randomized
+    micro-fixtures; at any real scale the counts are 64/4)."""
     small_dir = _tmp(sf_dir, "lineitem_small")
     compact_dir = _tmp(sf_dir, "lineitem_compacted")
     src = load_table(spark, sf_dir, "lineitem").select(

@@ -139,7 +139,7 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag, l_linestatus,
        COUNT(*) AS cnt,
-       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem
 WHERE l_shipdate >= DATE '1995-01-01'
 GROUP BY l_returnflag, l_linestatus
@@ -153,7 +153,12 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar format (OrcFileFormat: same pushdown + pruning contract as
     parquet) — the roundtrip is lossless for int/string/date columns, so
     the oracle aggregates the original table. Rounds out the reference's
-    stubbed loader matrix (core/loaders/*.py are all 0-byte)."""
+    stubbed loader matrix (core/loaders/*.py are all 0-byte).
+
+    The read-back passes the source schema explicitly (same empty-
+    partitioned-write contract as q_sink_parquet_roundtrip), and both
+    sides FLOOR before the bigint cast — Spark's cast truncates where
+    DuckDB's rounds (randomized IO differential)."""
     src = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") >= "1995-01-01")
@@ -161,12 +166,12 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _tmp(sf_dir, "lineitem_orc_sink")
     write_orc(src, path, mode="replace", partition_by=["l_returnflag"])
-    back = read_orc(spark, path)
+    back = read_orc(spark, path, schema=src.schema)
     return (
         back.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+            F.sum(F.floor("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

@@ -39,6 +39,11 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udf(StringType())
     def tier(price: float) -> str:
+        # NULL price falls through every CASE WHEN in the oracle (NULL >=
+        # x is not TRUE) and lands in the ELSE arm — mirror that, don't
+        # TypeError on None (caught by the randomized IO differential)
+        if price is None:
+            return "low"
         if price >= 300000:
             return "high"
         if price >= 100000:
@@ -79,7 +84,7 @@ SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n_rows,
        MIN(l_extendedprice) AS min_price,
        MAX(l_extendedprice) AS max_price,
-       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS qty_total
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """,
@@ -90,9 +95,19 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     Outputs are order-independent (count/min/max/int-sum) because the rows
     of a group arrive in nondeterministic order. At scale: groups must fit
     in executor memory — use built-in aggs unless the logic truly needs
-    whole-group access."""
+    whole-group access.
+
+    NULL/fraction contracts pinned (randomized IO differential): NULL
+    quantities are dropped before the integer fold (astype('int64') on
+    NaN raises; SQL SUM skips NULLs), an all-NULL group sums to NULL
+    (SQL SUM over zero values), and both sides FLOOR before casting —
+    pandas astype truncates where DuckDB's CAST rounds."""
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf["l_quantity"].dropna()
+        qty = (
+            int(qs.apply(lambda v: int(v // 1)).sum()) if len(qs) else None
+        )
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
@@ -100,7 +115,7 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_rows": [len(pdf)],
                 "min_price": [pdf["l_extendedprice"].min()],
                 "max_price": [pdf["l_extendedprice"].max()],
-                "qty_total": [int(pdf["l_quantity"].astype("int64").sum())],
+                "qty_total": pd.array([qty], dtype="Int64"),
             }
         )
 
@@ -127,6 +142,10 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="part string")
     class SplitParts:
         def eval(self, s: str):
+            # NULL input → zero rows, matching the oracle's UNNEST(NULL)
+            # (caught by the randomized IO differential)
+            if s is None:
+                return
             for part in s.split("-"):
                 yield (part,)
 

@@ -81,9 +81,14 @@ def read_parquet(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return df
 
 
-def read_orc(spark: SparkSession, path: str) -> DataFrame:
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """ORC scan — same predicate-pushdown/column-pruning contract as
-    parquet (Spark's OrcFileFormat is a first-class columnar source)."""
+    parquet (Spark's OrcFileFormat is a first-class columnar source).
+    ``schema`` skips inference, exactly as in :func:`read_parquet` — an
+    empty partitioned write leaves no ORC files, and inference on the
+    bare directory raises UNABLE_TO_INFER_SCHEMA."""
+    if schema is not None:
+        return spark.read.schema(schema).orc(path)
     return spark.read.orc(path)
 
 

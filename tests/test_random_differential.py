@@ -834,6 +834,7 @@ RELAGG_QUERIES = [
     "q_skew_key_stats",
     "q_graph_link_jaccard",
     "q_graph_triangles",
+    "q_assoc_rules",
 ]
 
 
@@ -848,6 +849,64 @@ def test_random_relagg_differential(spark_prop, db):
     orphan-heavy edges, Benford/profile/quality on NULL-ridden columns."""
     d = _write_tpch(db)
     for name in RELAGG_QUERIES:
+        qd = REGISTRY[name]
+        got = qd.fn(spark_prop, d).toPandas()
+        want = run_oracle(qd.oracle, d)
+        try:
+            assert_frames_match(got, want)
+        except AssertionError as ex:  # pragma: no cover - diagnostic path
+            raise AssertionError(f"{name} diverged on random input:\n{ex}") from ex
+
+
+IO_QUERIES = [
+    # deterministic-hash samplers under hostile keys
+    "q_sample_uniform",
+    "q_sample_stratified",
+    "q_sample_split",
+    "q_sample_reservoir",
+    # scan/sink roundtrips: empty-string-vs-NULL, unicode, NULL partition
+    # values, merged schemas — the serialization bug classes
+    "q_scan_csv",
+    "q_scan_csv_permissive",
+    "q_scan_merge_schema",
+    "q_scan_partition_pruned",
+    "q_sink_csv_roundtrip",
+    "q_sink_parquet_roundtrip",
+    "q_sink_orc_roundtrip",
+    "q_sink_xml_roundtrip",
+    "q_sink_append",
+    "q_sink_replace",
+    "q_sink_partition_overwrite",
+    # q_compact_files is deliberately absent: its file-count columns are
+    # deterministic only when every write partition is non-empty (true at
+    # sf0.001+, where the driver checks it) — at micro scale the writer's
+    # empty-partition file behavior makes the layout columns fixture-
+    # dependent; the data-integrity columns are covered by the sinks above
+    # Python surfaces: NULL propagation through UDF/UDAF/UDTF
+    "q_udf_scalar",
+    "q_udf_pandas",
+    "q_udaf_pandas",
+    "q_udtf",
+    # layout/scale operators + iterative pagerank on orphan-heavy edges
+    "q_catalog_table_schema",
+    "q_join_skew_salted",
+    "q_join_bucketed_colocated",
+    "q_graph_pagerank",
+]
+
+
+@given(db=tpch_database())
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_random_io_differential(spark_prop, db):
+    """The IO/sampling/UDF/maintenance family over the random TPC-H
+    micro-database: format roundtrips under empty strings, non-ASCII and
+    NULLs (the empty-vs-NULL CSV ambiguity), partitioned writes with NULL
+    partition values, hash samplers on hostile keys, Python UDF surfaces,
+    and iterative pagerank on orphan-heavy edges."""
+    d = _write_tpch(db)
+    for name in IO_QUERIES:
         qd = REGISTRY[name]
         got = qd.fn(spark_prop, d).toPandas()
         want = run_oracle(qd.oracle, d)
