@@ -10,6 +10,12 @@ Policy, in priority order: (1) queries never yet inside a driver window,
 last green row, (4) re-checks of the oldest evidence. Every rotation is
 pre-verified locally against DuckDB at sf0.01 before the round ends.
 
+Round-8 evidence: full-registry sf0.01 CLOSING sweep after every
+randomized-differential fix landed — 239 exact-pass + 11 rows-only by
+design, 0 failures of 250, 276 s; the rotated 50-slot window also swept
+clean at sf0.01 (48+2/50) and at sf0.1 (10x driver scale, 573 s); full
+pytest suite 1494 passed.
+
 Round-7 evidence: TWO full-registry sf0.01 parity sweeps (run from
 /root/repo, as the driver does — launching from another cwd false-fails
 the mapInPandas queries on the executor worker import path): the opening
