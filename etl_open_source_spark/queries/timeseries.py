@@ -851,14 +851,15 @@ w AS (
                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
   FROM daily
 ),
-m AS (SELECT *, list_sort(win) AS sw, len(win) AS n FROM w),
+f AS (SELECT event_type, day, x, list_filter(win, v -> v IS NOT NULL) AS fw FROM w),
+m AS (SELECT *, list_sort(fw) AS sw, len(fw) AS n FROM f),
 med AS (
-  SELECT event_type, day, x, win, n,
+  SELECT event_type, day, x, fw, n,
          CASE WHEN n % 2 = 1 THEN sw[(n + 1) // 2]
               ELSE (sw[n // 2] + sw[n // 2 + 1]) / 2 END AS med7
   FROM m
 ),
-dev AS (SELECT *, list_sort([abs(v - med7) FOR v IN win]) AS sd FROM med)
+dev AS (SELECT *, list_sort([abs(v - med7) FOR v IN fw]) AS sd FROM med)
 SELECT event_type, day,
        ROUND(x, 4) AS daily_value,
        ROUND(med7, 4) AS med7,
@@ -884,7 +885,12 @@ def q_ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
     same explicit sorted-array median — (n+1)//2 or the mean of the two
     middle elements — on decimal-exact daily sums, so the unrounded
     comparison arithmetic is bit-identical. A zero-MAD window (constant
-    values) flags only genuine deviations (|x − med| > 0).
+    values) flags only genuine deviations (|x − med| > 0). NULL daily
+    sums (a day whose every value is NULL) are excluded from the window
+    on BOTH sides — Spark's collect_list skips NULLs where DuckDB's
+    list() keeps them, which silently shifts the median (caught by the
+    randomized timeseries differential); an all-NULL window yields NULL
+    med/MAD (engine n>0 guard; DuckDB's out-of-range list index).
 
     Shape: the daily pre-aggregate bounds the window input at |types| ×
     |days| rows, and the ROWS-7 frame bounds per-row state at 7 values.
@@ -913,14 +919,20 @@ def q_ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.withColumn("win", F.collect_list("x").over(w7))
         .withColumn("sw", F.sort_array(F.col("win")))
         .withColumn("n", F.size("win"))
-        .withColumn("med7", arr_median(F.col("sw"), F.col("n")))
+        .withColumn(
+            "med7",
+            F.when(F.col("n") > 0, arr_median(F.col("sw"), F.col("n"))),
+        )
         .withColumn(
             "sd",
             F.sort_array(
                 F.transform(F.col("win"), lambda v: F.abs(v - F.col("med7")))
             ),
         )
-        .withColumn("mad7", arr_median(F.col("sd"), F.col("n")))
+        .withColumn(
+            "mad7",
+            F.when(F.col("n") > 0, arr_median(F.col("sd"), F.col("n"))),
+        )
     )
     return stepped.select(
         "event_type",

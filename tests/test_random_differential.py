@@ -117,6 +117,90 @@ def test_random_events_differential(spark_prop, tbl):
             raise AssertionError(f"{name} diverged on random input:\n{ex}") from ex
 
 
+TS_QUERIES = [
+    # per-series timeseries/drift statistics: rolling windows, robust
+    # filters, decomposition, resampling — all order-sensitive under
+    # equal timestamps and NULL values/users
+    "q_agg_skew_kurt",
+    "q_attribution_last_touch",
+    "q_fn_date2",
+    "q_fn_json",
+    "q_fn_null_pack",
+    "q_fn_variant",
+    "q_funnel",
+    "q_funnel_latency",
+    "q_path_topk",
+    "q_quality_chisq",
+    "q_quality_psi",
+    "q_session_stats",
+    "q_ts_anomaly",
+    "q_ts_autocorr",
+    "q_ts_cusum",
+    "q_ts_gapfill",
+    "q_ts_hampel",
+    "q_ts_interpolate",
+    "q_ts_resample_ohlc",
+    "q_ts_rolling_median",
+    "q_ts_rollup",
+    "q_ts_stl_decompose",
+    "q_window_distinct_rolling",
+]
+
+
+@given(tbl=events_table())
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_random_ts_differential(spark_prop, tbl):
+    """The timeseries/drift family over random events: rolling medians and
+    Hampel windows on tied timestamps, STL/autocorr on constant series,
+    chi-square/PSI on degenerate distributions, funnels and journeys with
+    NULL users."""
+    d = tempfile.mkdtemp(prefix="randdiff_ts_")
+    tbl.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    for name in TS_QUERIES:
+        qd = REGISTRY[name]
+        got = qd.fn(spark_prop, d).toPandas()
+        want = run_oracle(qd.oracle, d)
+        try:
+            assert_frames_match(got, want)
+        except AssertionError as ex:  # pragma: no cover - diagnostic path
+            raise AssertionError(f"{name} diverged on random input:\n{ex}") from ex
+
+
+EV_MISC_QUERIES = [
+    # batch-form streaming windows + event-table IO/layout
+    "q_window_tumbling",
+    "q_window_sliding",
+    "q_window_session",
+    "q_stream_dedup",
+    "q_stream_interval_join",
+    "q_scan_json",
+    "q_sink_json_roundtrip",
+    "q_layout_zorder",
+]
+
+
+@given(tbl=events_table())
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_random_events_misc_differential(spark_prop, tbl):
+    """Streaming-window expressions (batch form) and events IO/layout over
+    random events: tumbling/sliding/session windows on tied timestamps,
+    dedup keys with NULL users, JSON roundtrips of NULL-ridden rows."""
+    d = tempfile.mkdtemp(prefix="randdiff_ev_")
+    tbl.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    for name in EV_MISC_QUERIES:
+        qd = REGISTRY[name]
+        got = qd.fn(spark_prop, d).toPandas()
+        want = run_oracle(qd.oracle, d)
+        try:
+            assert_frames_match(got, want)
+        except AssertionError as ex:  # pragma: no cover - diagnostic path
+            raise AssertionError(f"{name} diverged on random input:\n{ex}") from ex
+
+
 ORDER_QUERIES = [
     "q_rfm_segments",
     "q_agg_gini",
