@@ -196,11 +196,13 @@ WITH e AS (
   SELECT event_id AS err_id, ts AS es,
          ts + CAST(FLOOR(value) AS BIGINT) * INTERVAL 1 MINUTE AS ee
   FROM events WHERE event_type = 'error'
+    AND ts + CAST(FLOOR(value) AS BIGINT) * INTERVAL 1 MINUTE >= ts
 ),
 p AS (
   SELECT event_id AS buy_id, ts AS ps,
          ts + CAST(FLOOR(value) AS BIGINT) * INTERVAL 1 MINUTE AS pe
   FROM events WHERE event_type = 'purchase'
+    AND ts + CAST(FLOOR(value) AS BIGINT) * INTERVAL 1 MINUTE >= ts
 )
 SELECT err_id, buy_id,
        EPOCH_MS(LEAST(ee, pe)) - EPOCH_MS(GREATEST(es, ps)) AS overlap_ms
@@ -217,7 +219,11 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, equi-join on the bucket id, exact predicate as residual,
     first-shared-bucket arithmetic dedup (no distinct shuffle). A theta
     join is O(|L|*|R|) at any scale; this is one equi-shuffle on a dense
-    key."""
+    key. Inverted windows (a negative value makes end < start) are
+    invalid intervals and DROPPED — the operator's documented contract
+    (rangejoin.py) — and the oracle now mirrors the drop (caught by the
+    randomized events differential: a naive theta join would still match
+    them)."""
     from etl_open_source_spark.operators.rangejoin import interval_overlap_join
 
     ev = load_table(spark, sf_dir, "events")

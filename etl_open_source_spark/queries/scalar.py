@@ -233,19 +233,22 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_json",
     oracle="""
 SELECT event_id,
-       CAST(JSON_EXTRACT_STRING(props, 'k') AS BIGINT) AS k_val,
+       TRY_CAST(JSON_EXTRACT_STRING(props, 'k') AS BIGINT) AS k_val,
        JSON_EXTRACT_STRING(props, 'k') AS k_str
 FROM events
 """,
     tags=("fn", "json"),
 )
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON extraction from the events.props string column."""
+    """JSON extraction from the events.props string column. The numeric
+    view is TRY_CAST on both sides: a non-numeric "k" must yield NULL,
+    not an ANSI CAST_INVALID_INPUT error — extracted JSON is untrusted
+    input by definition (caught by the randomized events differential)."""
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
     return e.select(
         "event_id",
-        k.cast("bigint").alias("k_val"),
+        k.try_cast("bigint").alias("k_val"),
         k.alias("k_str"),
     )
 

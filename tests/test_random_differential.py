@@ -59,7 +59,26 @@ QUERIES = [
     "q_cdc_apply",
 ]
 
-_TYPES = ["view", "click", "purchase", "signup", "error"]
+_TYPES = ["view", "click", "purchase", "signup", "error", None]
+# hostile props: NULL, missing key, JSON-null k, non-numeric k
+_PROPS = ["{}", "{}", None, '{"k": 3}', '{"k": null}', '{"k": "x"}']
+
+
+def _write_events(df, d):
+    import pyarrow as pa
+
+    _write_pinned(
+        df,
+        os.path.join(d, "events.parquet"),
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ],
+    )
 
 
 @st.composite
@@ -87,7 +106,7 @@ def events_table(draw):
                         st.sampled_from([0.0, -1.5, 7.0, 123.45]),
                     )
                 ),
-                "{}",
+                draw(st.sampled_from(_PROPS)),
             )
         )
     df = pd.DataFrame(
@@ -106,7 +125,7 @@ def events_table(draw):
 )
 def test_random_events_differential(spark_prop, tbl):
     d = tempfile.mkdtemp(prefix="randdiff_")
-    tbl.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    _write_events(tbl, d)
     for name in QUERIES:
         qd = REGISTRY[name]
         got = qd.fn(spark_prop, d).toPandas()
@@ -157,7 +176,7 @@ def test_random_ts_differential(spark_prop, tbl):
     chi-square/PSI on degenerate distributions, funnels and journeys with
     NULL users."""
     d = tempfile.mkdtemp(prefix="randdiff_ts_")
-    tbl.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    _write_events(tbl, d)
     for name in TS_QUERIES:
         qd = REGISTRY[name]
         got = qd.fn(spark_prop, d).toPandas()
@@ -190,7 +209,7 @@ def test_random_events_misc_differential(spark_prop, tbl):
     random events: tumbling/sliding/session windows on tied timestamps,
     dedup keys with NULL users, JSON roundtrips of NULL-ridden rows."""
     d = tempfile.mkdtemp(prefix="randdiff_ev_")
-    tbl.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    _write_events(tbl, d)
     for name in EV_MISC_QUERIES:
         qd = REGISTRY[name]
         got = qd.fn(spark_prop, d).toPandas()
