@@ -165,7 +165,13 @@ def domain_mixture(
     the keep/drop decision is then a scan-local filter — the 100-TB corpus
     is never shuffled. The rate threshold is materialized as an *integer*
     bucket count (floor after a 3-dp round) so engines that sum the
-    domain weights in different orders cannot flip a boundary row."""
+    domain weights in different orders cannot flip a boundary row.
+
+    Zero total mass (every document empty) leaves the temperature weights
+    undefined: the rate is pinned NULL → every row dropped, identically in
+    both engines — without the guard Spark ANSI raises DIVIDE_BY_ZERO
+    while DuckDB's 0/0 = NaN silently keeps everything (caught by the
+    randomized documents differential)."""
     stats = df.groupBy(domain_col).agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum(F.col(size_col)).cast("double").alias("mass"),
@@ -177,10 +183,13 @@ def domain_mixture(
         "w_tot", F.sum("w").over(w_all)
     )
     total_docs = F.sum("docs").over(w_all)
-    rate = F.least(
-        F.lit(1.0),
-        (F.lit(budget_frac) * total_docs * (F.col("w") / F.col("w_tot")))
-        / F.col("docs"),
+    rate = F.when(
+        F.col("w_tot") > 0,
+        F.least(
+            F.lit(1.0),
+            (F.lit(budget_frac) * total_docs * (F.col("w") / F.col("w_tot")))
+            / F.col("docs"),
+        ),
     )
     stats = stats.withColumn(
         "keep_buckets",

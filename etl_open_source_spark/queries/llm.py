@@ -459,7 +459,7 @@ WITH h AS (
   FROM documents
 )
 SELECT doc_id, hits_en, hits_fr, hits_de, hits_es, hits_zh,
-       CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_zh) = 0 THEN 'und'
+       CASE WHEN COALESCE(GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_zh), 0) = 0 THEN 'und'
             WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'de'
             WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'en'
             WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'es'
@@ -471,7 +471,10 @@ FROM h
 )
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID (argmax of per-language hit counts,
-    deterministic lang-code tiebreak)."""
+    deterministic lang-code tiebreak). A NULL document is 'und' like an
+    empty one — the oracle's argmax COALESCEs its NULL hit counts, which
+    would otherwise fall through every CASE arm to the last language
+    (caught by the randomized documents differential)."""
     d = load_table(spark, sf_dir, "documents")
     return T.lang_scores(d, "doc_id", "text")
 
@@ -550,6 +553,7 @@ SELECT doc_id AS id,
        CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
        MD5(text) AS content_md5
 FROM documents
+WHERE text IS NOT NULL
 """,
     tags=("llm", "multimodal"),
 )
@@ -557,7 +561,9 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing end-to-end: text → binary payload →
     Arrow-batched mapInPandas metadata extraction (bytes + md5). The Python
     hop is real (one crossing per Arrow batch); the oracle verifies the
-    round-trip byte-exactly."""
+    round-trip byte-exactly. NULL payloads emit no row — the operator's
+    documented corrupt-media contract (multimodal.py), mirrored by the
+    oracle's NULL filter (randomized documents differential)."""
     d = load_table(spark, sf_dir, "documents")
     binary = M.with_binary_column(d, "doc_id", "text")
     return M.extract_binary_metadata(binary)

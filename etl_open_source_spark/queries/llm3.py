@@ -169,10 +169,12 @@ WITH stats AS (
 ),
 rates AS (
   SELECT source, docs,
-         CAST(FLOOR(ROUND(
-           LEAST(1.0, (0.6 * (SELECT SUM(docs) FROM stats) * w
-                        / (SELECT SUM(w) FROM stats)) / docs) * 10000, 3))
-           AS BIGINT) AS keep_buckets
+         CASE WHEN (SELECT SUM(w) FROM stats) > 0 THEN
+           CAST(FLOOR(ROUND(
+             LEAST(1.0, (0.6 * (SELECT SUM(docs) FROM stats) * w
+                          / (SELECT SUM(w) FROM stats)) / docs) * 10000, 3))
+             AS BIGINT)
+         END AS keep_buckets
   FROM stats
 )
 SELECT d.doc_id, d.source, r.keep_buckets
@@ -227,6 +229,7 @@ WITH dims AS (
          CAST(64 + (STRLEN(text) % 512) AS INTEGER) AS src_w,
          CAST(64 + ((STRLEN(text) * 31) % 512) AS INTEGER) AS src_h
   FROM documents
+  WHERE text IS NOT NULL
 ),
 fit AS (
   SELECT doc_id, src_w, src_h,
@@ -252,7 +255,9 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     aspect-preserving letterbox fit into 256×256. The stub decode and
     resized-payload bytes are deterministic arithmetic on the payload, so
     the WHOLE Python stage — batch plumbing included — value-hash matches
-    an exact SQL oracle; a real decoder swaps in as one argument."""
+    an exact SQL oracle; a real decoder swaps in as one argument. NULL
+    payloads emit no row (multimodal.py corrupt-media contract; the
+    oracle's NULL filter mirrors it)."""
     from etl_open_source_spark.operators.multimodal import (
         resize_images,
         with_binary_column,

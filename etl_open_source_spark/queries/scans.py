@@ -196,8 +196,15 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     split — for true multi-line docs use wholetext=True or a
     record-separator format), and n_bytes is octet_length (UTF-8 bytes,
     what the file actually stores — char-counting length() silently
-    undercounts non-ASCII)."""
-    src = load_table(spark, sf_dir, "documents").select("text")
+    undercounts non-ASCII). NULL documents are excluded before the write
+    on both sides: a text file has no NULL representation — Spark writes
+    an empty line that reads back as '' (silent NULL→'' corruption,
+    caught by the randomized documents differential)."""
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("text")
+    )
     path = _tmp(sf_dir, "documents_txt")
     src.write.mode("overwrite").text(path)
     back = spark.read.text(path)

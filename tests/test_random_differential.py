@@ -340,13 +340,23 @@ def documents_table(draw):
     ]
     rows = []
     for i in range(n):
-        text = "".join(
-            draw(st.lists(st.sampled_from(frags), min_size=0, max_size=6))
+        if draw(st.integers(0, 9)) == 0:
+            text = None  # NULL documents must flow through, not crash
+        else:
+            text = "".join(
+                draw(st.lists(st.sampled_from(frags), min_size=0, max_size=6))
+            )
+        rows.append(
+            (
+                i,
+                text,
+                draw(st.sampled_from(["en", "en", "fr", None])),
+                draw(st.sampled_from(["src0", "src0", "src1", None])),
+            )
         )
-        rows.append((i, text, "en", "src0"))
     df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
     df["doc_id"] = df["doc_id"].astype("int64")
-    df["n_chars"] = df["text"].str.len().astype("int64")
+    df["n_chars"] = df["text"].str.len().astype("Int64")
     return df
 
 
@@ -1132,8 +1142,70 @@ def test_random_documents_differential(spark_prop, tbl):
     whitespace runs, multibyte chars, punctuation, repeats, newlines,
     the empty string — through the text pipeline queries."""
     d = tempfile.mkdtemp(prefix="randdiff_d_")
-    tbl.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    _write_documents(tbl, d)
     for name in DOC_QUERIES:
+        qd = REGISTRY[name]
+        got = qd.fn(spark_prop, d).toPandas()
+        want = run_oracle(qd.oracle, d)
+        try:
+            assert_frames_match(got, want)
+        except AssertionError as ex:  # pragma: no cover - diagnostic path
+            raise AssertionError(f"{name} diverged on random input:\n{ex}") from ex
+
+
+def _write_documents(df, d):
+    import pyarrow as pa
+
+    _write_pinned(
+        df,
+        os.path.join(d, "documents.parquet"),
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ],
+    )
+
+
+DOC2_QUERIES = [
+    # curation / sharding / multimodal-plumbing / dedup miners over
+    # documents — the families the first documents list doesn't reach
+    "q_dedup_snm_multikey",
+    "q_dedup_sorted_neighborhood",
+    "q_dedup_winnowing",
+    "q_mix_domains",
+    "q_pack_concat",
+    "q_multimodal_meta",
+    "q_multimodal_decode",
+    "q_multimodal_resize",
+    "q_multimodal_framesample",
+    "q_multimodal_audio_chunks",
+    "q_quality_outliers",
+    "q_sample_weighted",
+    "q_shard_assign",
+    "q_split_leakage_safe",
+    "q_text_bpe_step",
+    "q_text_decontaminate",
+    "q_text_lm_score",
+    "q_text_tf",
+    "q_scan_text",
+]
+
+
+@given(tbl=documents_table())
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_random_documents2_differential(spark_prop, tbl):
+    """The curation/sharding/multimodal/dedup-miner families over the same
+    hostile random documents: sorted-neighborhood and winnowing miners on
+    near-identical fragments, domain mixing, deterministic sharding and
+    weighted sampling, BPE steps and LM scoring on edge-fragment text."""
+    d = tempfile.mkdtemp(prefix="randdiff_d2_")
+    _write_documents(tbl, d)
+    for name in DOC2_QUERIES:
         qd = REGISTRY[name]
         got = qd.fn(spark_prop, d).toPandas()
         want = run_oracle(qd.oracle, d)
