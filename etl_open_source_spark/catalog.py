@@ -79,9 +79,17 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
     """Register every fixture table as a temp view so `spark.sql` queries
     (the engine's SQL-transformer surface, SURVEY §2.B) can address them by
-    name — the Spark analog of the reference's per-DBMS table addressing."""
+    name — the Spark analog of the reference's per-DBMS table addressing.
+
+    Tables absent from ``sf_dir`` are skipped — the same partial-catalog
+    contract as the test oracle harness: a query that references an
+    unregistered view still fails loudly at bind time, while a dataset
+    that ships only the tables it uses registers cleanly."""
+    import os
+
     for t in tables:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        if os.path.exists(table_path(sf_dir, t)):
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
 def list_tables(spark: SparkSession) -> list[str]:

@@ -204,18 +204,23 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_fn_array",
     oracle="""
-SELECT e.vec_id,
-       CAST(s.i - 1 AS BIGINT) AS pos,
-       CAST(e.embedding[s.i] AS DOUBLE) AS val,
-       CAST(LEN(e.embedding) AS BIGINT) AS dim
-FROM embeddings e CROSS JOIN GENERATE_SERIES(1, 64) AS s(i)
-WHERE e.vec_id < 20
+SELECT vec_id,
+       CAST(GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS BIGINT) AS pos,
+       CAST(UNNEST(embedding) AS DOUBLE) AS val,
+       CAST(LEN(embedding) AS BIGINT) AS dim
+FROM embeddings
+WHERE vec_id < 20
 """,
     tags=("fn", "array"),
 )
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array surface: posexplode over the embedding vectors (plus size).
-    Lateral explode is the row-generation primitive for vector columns."""
+    Lateral explode is the row-generation primitive for vector columns.
+    The oracle unnests the ACTUAL array (lockstep UNNEST +
+    GENERATE_SUBSCRIPTS), not a fixed 1..64 series: a NULL or empty
+    vector explodes to zero rows in both engines (posexplode semantics;
+    caught by the randomized embeddings differential on degenerate
+    vectors)."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
     return e.select(
         "vec_id",

@@ -1005,6 +1005,11 @@ IO_QUERIES = [
     "q_join_skew_salted",
     "q_join_bucketed_colocated",
     "q_graph_pagerank",
+    # the FK audit is at its best on this database: orphans in both
+    # directions and NULL child keys (MATCH SIMPLE: not orphans)
+    "q_quality_fk",
+    "q_scan_parquet",
+    "q_sql_transform",
 ]
 
 
@@ -1031,6 +1036,7 @@ def test_random_io_differential(spark_prop, db):
 
 EMB_QUERIES = [
     "q_embedding_norm_stats",
+    "q_fn_array",
     "q_vector_agg",
     "q_embedding_quantize",
     "q_sim_topk",
