@@ -28,7 +28,7 @@ WITH pts AS (
   SELECT o_orderpriority AS prio, o_totalprice AS x,
          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c_f,
          CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c_o
-  FROM orders GROUP BY 1, 2
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
 ),
 cum AS (
   SELECT prio, x, c_f, c_o,
@@ -70,8 +70,13 @@ def q_quality_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-value set per group is what the window sorts — for
     continuous doubles cap it by pre-rounding x (ECDF on a 1e-2 grid
     changes D by at most the grid mass), the same quantize-then-exact
-    trade as q_sim_pq."""
-    o = load_table(spark, sf_dir, "orders")
+    trade as q_sim_pq. NULL prices are not sample points (an ECDF has no
+    NULL abscissa) and are excluded on both sides — the NULL group's
+    cumulative position otherwise differs with the engines' NULL sort
+    defaults (caught by the randomized orders differential)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     pts = (
         o.groupBy(
             F.col("o_orderpriority").alias("prio"),
@@ -331,7 +336,7 @@ WITH ranked AS (
          CAST(o_totalprice AS DECIMAL(18,4)) AS x,
          CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
                                  ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS i
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 ),
 s AS (
   SELECT prio,
@@ -365,8 +370,14 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULLIF). Shape: one per-group ranking window + one aggregate; the
     window's sort is per-priority (bounded partitions), and at 100 TB
     the same formula runs on pre-binned value counts (Σ over distinct
-    values of rank-weighted mass) to avoid ranking raw facts."""
-    o = load_table(spark, sf_dir, "orders")
+    values of rank-weighted mass) to avoid ranking raw facts. NULL
+    prices are excluded on BOTH sides before ranking: a NULL contributes
+    nothing to Σx, but its row_number position differs between Spark's
+    NULLS FIRST and DuckDB's NULLS LAST, shifting every non-NULL rank
+    (caught by the randomized orders differential)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     wr = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     ranked = o.select(
         F.col("o_orderpriority").alias("prio"),

@@ -553,7 +553,7 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH act AS (
   SELECT DISTINCT o_custkey, DATE_TRUNC('month', o_orderdate) AS act_month
-  FROM orders
+  FROM orders WHERE o_orderdate IS NOT NULL
 ),
 c AS (
   SELECT o_custkey, act_month,
@@ -583,7 +583,10 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     second exchange because distinct hashes on (customer, month) while
     the window partitions on customer alone.) Month arithmetic is
     explicit year*12+month on both engines (months_between/date_diff
-    have per-engine day-of-month semantics)."""
+    have per-engine day-of-month semantics). A NULL order date is no
+    activity: collect_set drops it naturally, and the oracle filters it
+    — SQL DISTINCT would otherwise keep a NaT cohort row (caught by the
+    randomized orders differential)."""
     o = load_table(spark, sf_dir, "orders")
     act = o.select(
         "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")

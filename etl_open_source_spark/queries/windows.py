@@ -53,15 +53,21 @@ SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
        LEAD(o_totalprice) OVER w AS next_price,
        LAG(o_totalprice, 2, -1.0) OVER w AS prev2_price
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST)
 """,
     tags=("window",),
 )
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead neighbor access over a partitioned order — one shuffle;
-    unique tiebreak keeps neighbors deterministic at equal timestamps."""
+    unique tiebreak keeps neighbors deterministic at equal timestamps.
+    NULL ordering pinned NULLS LAST both sides: a NULL-date row's
+    neighbors flip between the engines' ascending NULL defaults
+    otherwise (caught by the randomized orders differential)."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), F.asc_nulls_last("o_orderkey")
+    )
     return o.select(
         "o_orderkey",
         "o_custkey",
@@ -174,18 +180,22 @@ SELECT o_orderkey, o_orderstatus, o_orderdate, o_totalprice,
        FIRST_VALUE(o_totalprice) OVER w AS first_price,
        LAST_VALUE(o_totalprice) OVER w AS last_price
 FROM orders
-WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
     tags=("window",),
 )
 def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last over the full partition (explicit unbounded frame — the
-    default frame stops at CURRENT ROW, a classic silent-wrong-answer)."""
+    default frame stops at CURRENT ROW, a classic silent-wrong-answer).
+    NULL ordering pinned NULLS LAST both sides: with Spark's ascending
+    NULLS FIRST default a NULL-date row becomes first_value while DuckDB
+    makes it last_value (caught by the randomized orders differential)."""
     o = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_orderstatus")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_last("o_orderdate"), F.asc_nulls_last("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return o.select(

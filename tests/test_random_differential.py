@@ -244,6 +244,7 @@ ORDER_QUERIES = [
 def orders_table(draw):
     n = draw(st.integers(3, 25))
     date_pool = [
+        None,  # NULL dates: no cohort/activity, and a window-sort hazard
         pd.Timestamp("1995-01-01"),
         pd.Timestamp("1995-01-01"),  # duplicate: date ties
         pd.Timestamp("1995-02-15"),
@@ -255,10 +256,11 @@ def orders_table(draw):
             (
                 i,
                 draw(st.one_of(st.just(None), st.integers(1, 3))),
-                draw(st.sampled_from(["F", "O", "P"])),
-                draw(st.sampled_from([0.0, 100.0, 100.0, 250.5])),  # price ties
+                draw(st.sampled_from([None, "F", "O", "P"])),
+                # price ties + NULLs (excluded from Gini/KS by contract)
+                draw(st.sampled_from([None, 0.0, 100.0, 100.0, 250.5])),
                 draw(st.sampled_from(date_pool)),
-                draw(st.sampled_from(["1-URGENT", "5-LOW"])),
+                draw(st.sampled_from([None, "1-URGENT", "5-LOW"])),
             )
         )
     df = pd.DataFrame(
@@ -282,8 +284,21 @@ def test_random_orders_differential(spark_prop, tbl):
     """Random orders tables with NULL customer keys, full-row price/date
     ties, and single-sided status populations — the ntile/Gini/KS/cohort
     paths must stay bit-identical to their oracles."""
+    import pyarrow as pa
+
     d = tempfile.mkdtemp(prefix="randdiff_o_")
-    tbl.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+    _write_pinned(
+        tbl,
+        os.path.join(d, "orders.parquet"),
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderstatus", pa.string()),
+            ("o_totalprice", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ],
+    )
     for name in ORDER_QUERIES:
         qd = REGISTRY[name]
         got = qd.fn(spark_prop, d).toPandas()
