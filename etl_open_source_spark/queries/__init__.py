@@ -141,7 +141,11 @@ _VERIFY_FIRST = [
     # q_sql_transform (partial-catalog register_views); q_ts_hampel
     # (NULL-day window) already holds a first-timer slot above, and the
     # oracle-only pins keep their prior driver evidence (same engine
-    # computation)
+    # computation). The late NULL-path-only engine changes (gini/KS NULL
+    # exclusion, first_last/lag_lead NULLS LAST) are likewise invisible
+    # at driver scale — the fixtures contain ZERO NULLs (verified per
+    # column at sf0.01) — so their prior rows stay valid; the NULL-path
+    # evidence is the randomized differential itself.
     "q_fn_json", "q_mix_domains", "q_sql_transform",
     # --- oldest evidence: round-2 rows (q_window_running is also a
     #     changed-code re-check; q_window_tumbling is the bench watch)
