@@ -1121,24 +1121,34 @@ def q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = sessioned.withColumn("rn", F.row_number().over(w_sess)).filter(
         F.col("rn") <= 8
     )
+    # NULL contract (randomized-differential catch): STRING_AGG yields NULL
+    # for a group with zero non-NULL inputs, while concat_ws renders ''.
+    # Pin the SQL semantics: a session whose every event type is NULL has
+    # NO path (NULL), not an empty one — and mid-path NULL steps are
+    # skipped by both engines alike. (NULLIF('') would be wrong: a single
+    # ''-typed event is a real, empty-string path in both engines.)
     paths = (
         capped.groupBy("user_id", "session_num")
         .agg(
-            F.concat_ws(
-                ">",
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("ts", "event_id", "event_type"))
-                    ),
-                    lambda s: s["event_type"],
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.when(
+                F.exists(F.col("evs"), lambda s: s["event_type"].isNotNull()),
+                F.concat_ws(
+                    ">", F.transform(F.col("evs"), lambda s: s["event_type"])
                 ),
             ).alias("path")
         )
     )
+    # asc_nulls_last: DuckDB sorts NULL last under ASC, Spark first — the
+    # tiebreak decides WHICH paths survive the LIMIT 10, so pin it.
     return (
         paths.groupBy("path")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
-        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc_nulls_last())
         .limit(10)
     )
 
