@@ -1,0 +1,112 @@
+"""Partition-hostility differential: every query re-proven under a
+deliberately different physical plan.
+
+Why this suite exists: the driver fixtures and the default test session
+read each table as a handful of input splits and shuffle into 8
+partitions. A 1000-executor cluster reading 100 TB does neither — scans
+split into tens of thousands of tasks, shuffles fan out to thousands of
+partitions, and AQE rewrites the plan at runtime. Any query whose RESULT
+depends on the physical partitioning (partition-merge order, per-partition
+tiebreaks, unordered limits, collect order, first/last without a frame)
+passes the default-config parity suite deterministically every time, yet
+becomes run-to-run flaky the day it executes on a real cluster. This
+suite pins the engine contract directly: result values are a pure
+function of the input DATA, never of the plan that computed them.
+
+Mechanics: re-run each registered query under a hostile runtime config —
+64 KB input splits with zero file-open cost (every fixture table scans as
+many partitions as Spark will give it), ``shuffle.partitions=3`` (a
+different, odd merge fan-in than the suite-wide 8), and AQE OFF (every
+other suite runs AQE on, so the physical operators themselves differ) —
+then compare against the same DuckDB oracle with the driver-faithful
+comparator. The oracle is plan-independent by construction, so any
+partition sensitivity surfaces as a value mismatch. Rows-only queries
+(no SQL oracle) instead self-differentiate: hostile run vs default run,
+exact canonical-frame equality.
+
+Queries that are plan-sensitive BY DESIGN are listed in PLAN_SENSITIVE
+with the reason; they still must hold schema + row-count under the
+hostile plan (the weak contract the driver's rows-only check enforces).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_open_source_spark.registry import get_registry
+from tests.oracle_utils import assert_frames_match, canon_frame, run_oracle
+
+REGISTRY = get_registry()
+
+# A physical plan as unlike the default-session one as runtime conf allows:
+# many tiny input splits, a different shuffle fan-in, no adaptive re-plan.
+HOSTILE_CONFS = {
+    "spark.sql.files.maxPartitionBytes": str(64 * 1024),
+    "spark.sql.files.openCostInBytes": "0",
+    "spark.sql.shuffle.partitions": "3",
+    "spark.sql.adaptive.enabled": "false",
+}
+
+# Plan-sensitive by design (reason per entry). These hold the weak
+# contract only: same columns, same row count under the hostile plan.
+PLAN_SENSITIVE: dict[str, str] = {
+    # QuantileSummaries compaction is merge-order dependent: the estimate
+    # moves (within eps) when the partition fan-in changes. The accuracy
+    # invariant is pinned in the adversarial suite instead.
+    "q_agg_approx_percentile": "approx_percentile merge-order estimate drift",
+    # KMeans|| seeding samples per-partition, so trained centroids (and
+    # therefore bucket/code assignments) legitimately shift with input
+    # splits. The recall floors are pinned in planted-recall tests.
+    "q_sim_ann": "KMeans|| centroid training is partition-seeded",
+    "q_sim_pq": "KMeans|| codebook training is partition-seeded",
+    "q_sim_ivfpq": "KMeans|| coarse+PQ training is partition-seeded",
+}
+
+
+@pytest.fixture
+def hostile_conf(spark):
+    old = {k: spark.conf.get(k, None) for k in HOSTILE_CONFS}
+    for k, v in HOSTILE_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_partition_hostility(hostile_conf, spark, sf_dir, name):
+    qd = REGISTRY[name]
+    if qd.oracle is not None:
+        # Oracle is plan-independent: hostile Spark run vs DuckDB directly.
+        hostile = qd.fn(spark, sf_dir).toPandas()
+        assert_frames_match(hostile, run_oracle(qd.oracle, sf_dir))
+        return
+    hostile = qd.fn(spark, sf_dir).toPandas()
+    # Run the same query under the default session config for comparison.
+    saved = {k: spark.conf.get(k, None) for k in HOSTILE_CONFS}
+    for k in HOSTILE_CONFS:
+        spark.conf.unset(k)
+    try:
+        default = qd.fn(spark, sf_dir).toPandas()
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    if name in PLAN_SENSITIVE:
+        # Weak contract: the hostile plan may move estimates/assignments
+        # but never the shape of the result.
+        h_cols, h_rows = canon_frame(hostile)
+        d_cols, d_rows = canon_frame(default)
+        assert h_cols == d_cols, f"column drift under hostile plan: {h_cols} vs {d_cols}"
+        assert len(h_rows) == len(d_rows), (
+            f"row-count drift under hostile plan: {len(h_rows)} vs {len(d_rows)}"
+        )
+        return
+    # Rows-only but still required deterministic: hostile run must equal
+    # the default-config run exactly (self-differential).
+    assert_frames_match(hostile, default)
