@@ -35,6 +35,10 @@ import pytest
 
 from etl_open_source_spark.registry import get_registry
 from tests.oracle_utils import assert_frames_match, canon_frame, run_oracle
+from tests.test_adversarial_parity import (  # noqa: F401  (adv_dir is a fixture)
+    ADVERSARIAL_QUERIES,
+    adv_dir,
+)
 
 REGISTRY = get_registry()
 
@@ -110,3 +114,18 @@ def test_partition_hostility(hostile_conf, spark, sf_dir, name):
     # Rows-only but still required deterministic: hostile run must equal
     # the default-config run exactly (self-differential).
     assert_frames_match(hostile, default)
+
+
+@pytest.mark.parametrize("name", ADVERSARIAL_QUERIES)
+def test_partition_hostility_adversarial(hostile_conf, spark, adv_dir, name):
+    """The composed axes: hostile PLAN over hostile DATA. Partition-order
+    bugs manifest exactly where sort keys tie and group keys are NULL —
+    inputs the benign sf fixtures never contain — so running the
+    adversarial fixture under the hostile plan is the direct test of
+    every "this ORDER BY carries a key tiebreak" claim: with 3-way
+    shuffle fan-in and no AQE, an untied window or top-k boundary row
+    lands on a different partition than the default plan and the oracle
+    comparison flags it."""
+    qd = REGISTRY[name]
+    hostile = qd.fn(spark, adv_dir).toPandas()
+    assert_frames_match(hostile, run_oracle(qd.oracle, adv_dir))
