@@ -180,7 +180,7 @@ SELECT CAST(
          100.00 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
                THEN {sql_money('l.l_extendedprice')} * ({SQL_ONE} - {sql_rate('l.l_discount')})
                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-         / CAST(SUM({sql_money('l.l_extendedprice')} * ({SQL_ONE} - {sql_rate('l.l_discount')})) AS DOUBLE)
+         / CAST(NULLIF(SUM({sql_money('l.l_extendedprice')} * ({SQL_ONE} - {sql_rate('l.l_discount')})), 0) AS DOUBLE)
        AS DOUBLE) AS promo_revenue_pct
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
@@ -203,9 +203,16 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
-            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(net).cast("double")).alias(
-                "promo_revenue_pct"
-            )
+            # try_divide + oracle NULLIF: a month whose net revenue sums to
+            # exactly 0 must yield NULL in both engines (Spark ANSI would
+            # hard-error, DuckDB would emit NaN/Inf) — randomized-TPC-H catch.
+            # The ×100 stays INSIDE the numerator: (100·promo)/net is one
+            # op order, 100·(promo/net) another — they differ in the last
+            # ulp and the oracle computes the former.
+            F.try_divide(
+                F.lit(100.0) * F.sum(promo).cast("double"),
+                F.sum(net).cast("double"),
+            ).alias("promo_revenue_pct")
         )
     )
 
@@ -372,7 +379,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_year,
        CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume
                      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+       / CAST(NULLIF(SUM(volume), 0) AS DOUBLE) AS mkt_share
 FROM (
   SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
          {sql_money('l.l_extendedprice')} * ({SQL_ONE} - {sql_rate('l.l_discount')}) AS volume,
@@ -429,13 +436,16 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("volume", vol)
         .groupBy("o_year")
         .agg(
-            (
+            # try_divide + oracle NULLIF: a year whose total volume sums to
+            # exactly 0 must yield NULL share in both engines (ANSI vs
+            # NaN/Inf divergence otherwise) — randomized-TPC-H pin.
+            F.try_divide(
                 F.sum(
                     F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(
                         F.lit(0).cast("decimal(12,2)")
                     )
-                ).cast("double")
-                / F.sum("volume").cast("double")
+                ).cast("double"),
+                F.sum("volume").cast("double"),
             ).alias("mkt_share")
         )
         .orderBy("o_year")

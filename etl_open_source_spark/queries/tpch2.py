@@ -37,7 +37,7 @@ from etl_open_source_spark.registry import query
 WITH cost AS (
   SELECT l_partkey, l_suppkey,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-           / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS unit_cost
+           / CAST(NULLIF(SUM(CAST(l_quantity AS DECIMAL(18,4))), 0) AS DOUBLE) AS unit_cost
   FROM lineitem
   GROUP BY l_partkey, l_suppkey
 ),
@@ -72,10 +72,16 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, p, s, n, r = load_tables(
         spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
     )
+    # try_divide + oracle NULLIF: a (part, supplier) whose quantities sum
+    # to exactly 0 has no unit cost — NULL in both engines (Spark ANSI
+    # would hard-error, DuckDB would emit NaN/Inf). NULL-cost rows then
+    # drop from the argmin equality identically on both sides (MIN skips
+    # NULLs; NULL = NULL never matches) — randomized-TPC-H pin.
     cost = l.groupBy("l_partkey", "l_suppkey").agg(
-        (F.sum(money("l_extendedprice")).cast("double") / F.sum(dec("l_quantity")).cast("double")).alias(
-            "unit_cost"
-        )
+        F.try_divide(
+            F.sum(money("l_extendedprice")).cast("double"),
+            F.sum(dec("l_quantity")).cast("double"),
+        ).alias("unit_cost")
     )
     dims = (
         s.join(broadcast(n), s.s_nationkey == n.n_nationkey)
