@@ -145,7 +145,14 @@ _VERIFY_FIRST = [
     # exclusion, first_last/lag_lead NULLS LAST) are likewise invisible
     # at driver scale — the fixtures contain ZERO NULLs (verified per
     # column at sf0.01) — so their prior rows stay valid; the NULL-path
-    # evidence is the randomized differential itself.
+    # evidence is the randomized differential itself. Same adjudication
+    # for the soak-run catches landed after the window froze: the TPC-H
+    # q2/q8/q14 try_divide guards fire only on zero-sum denominators
+    # (impossible on the all-positive driver fixtures; op order on the
+    # non-zero path is unchanged — q14's ×100 stays in the numerator
+    # precisely so sf0.01 values are bit-identical, re-verified locally),
+    # and q_path_topk's all-NULL-path fold needs NULL event types; it
+    # holds a first-timer slot above regardless.
     "q_fn_json", "q_mix_domains", "q_sql_transform",
     # --- oldest evidence: round-2 rows (q_window_running is also a
     #     changed-code re-check; q_window_tumbling is the bench watch)
