@@ -82,6 +82,14 @@ def _events() -> pd.DataFrame:
     # like 4.25 cancels exactly and would mask the bug)
     for i in range(3):
         add(_ts(9, hours=i), 8, "ping", 123.45)
+    # u9: a session whose EVERY event type is NULL — the all-NULL string
+    # fold: STRING_AGG yields NULL where concat_ws renders '' (the
+    # q_path_topk catch); equality predicates must never match it
+    add(_ts(10), 9, None, 1.0)
+    add(_ts(10, minutes=10), 9, None, 2.0)
+    # u10: an EMPTY-STRING event type — a real '' path, distinct from
+    # u9's NULL path (pins why NULLIF(path, '') would be the wrong fix)
+    add(_ts(11), 10, "", 3.0)
     df = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
     )
@@ -144,6 +152,14 @@ def _lineitem() -> pd.DataFrame:
     # a genuine FK orphan: no order 999 exists (n_orphans must be > 0,
     # distinguishing the NULL-key non-orphan from a real violation)
     rows.append((999, 1, 1, 1, 2.0, 10.0, 0.0, 0.0, "R", "F", d + dt.timedelta(days=3)))
+    # zero-SUM (not zero-row) aggregate denominators: discount 1.0 makes
+    # net revenue price·(1−disc) = 0 for TPC-H q14's 1996-06 window (the
+    # only row in it), and quantity 0.0 on a fresh (part 2, supp 2) pair
+    # zeroes q2's unit-cost denominator — Spark ANSI hard-errors both
+    # divisions without try_divide while DuckDB emits NaN/Inf without
+    # NULLIF (the randomized-TPC-H soak catch, pinned deterministically;
+    # price stays positive: SQRT(l_extendedprice) is unguarded by design)
+    rows.append((1, 2, 2, 2, 0.0, 40.0, 1.0, 0.0, "N", "O", dt.datetime(1996, 6, 15)))
     df = pd.DataFrame(
         rows,
         columns=[
@@ -632,14 +648,14 @@ def test_adversarial_ivf_and_bpe_invariants(spark, adv_dir):
 def test_adversarial_compact_invariants(spark, adv_dir):
     """q_compact_files in invariant form: its oracle pins physical file
     counts (64 small → 4 compacted), which only hold when rows ≥ files —
-    on the 7-row fixture the writer emits one file per non-empty
+    on the 8-row fixture the writer emits one file per non-empty
     partition, a writer-version-dependent count not worth modeling. The
     adversarial content that matters is data integrity through the
     rewrite: no row lost or duplicated, exact checksum preserved, and the
     compaction never EXPANDS the layout."""
     got = REGISTRY["q_compact_files"].fn(spark, adv_dir).toPandas()
     row = got.iloc[0]
-    assert row["n_rows"] == 7
+    assert row["n_rows"] == 8
     assert row["sum_qty"] == 23.0
     assert 1 <= row["files_compacted"] <= 4
     assert row["files_compacted"] <= row["files_small"]
