@@ -59,7 +59,10 @@ QUERIES = [
     "q_cdc_apply",
 ]
 
-_TYPES = ["view", "click", "purchase", "signup", "error", None]
+_TYPES = ["view", "click", "purchase", "signup", "error", None, ""]
+# "" is NOT NULL: an empty-string event type is a real group/path step in
+# both engines (STRING_AGG of [''] is '', of [NULL] is NULL) — the two
+# must never be conflated (q_path_topk catch).
 # hostile props: NULL, missing key, JSON-null k, non-numeric k
 _PROPS = ["{}", "{}", None, '{"k": 3}', '{"k": null}', '{"k": "x"}']
 
