@@ -259,11 +259,13 @@ def orders_table(draw):
             (
                 i,
                 draw(st.one_of(st.just(None), st.integers(1, 3))),
-                draw(st.sampled_from([None, "F", "O", "P"])),
+                # "" is a real status group, distinct from NULL (it
+                # survives string folds and groupBy where NULL may not)
+                draw(st.sampled_from([None, "", "F", "O", "P"])),
                 # price ties + NULLs (excluded from Gini/KS by contract)
                 draw(st.sampled_from([None, 0.0, 100.0, 100.0, 250.5])),
                 draw(st.sampled_from(date_pool)),
-                draw(st.sampled_from([None, "1-URGENT", "5-LOW"])),
+                draw(st.sampled_from([None, "", "1-URGENT", "5-LOW"])),
             )
         )
     df = pd.DataFrame(
@@ -458,7 +460,7 @@ def relational_tables(draw):
             (
                 i,  # unique: the ordered-LIMIT tiebreak key must stay total
                 draw(st.sampled_from([None, 1, 1, 1, 2, 3, 99])),
-                draw(st.sampled_from([None, "F", "F", "O", "P"])),
+                draw(st.sampled_from([None, "", "F", "F", "O", "P"])),
                 draw(
                     st.sampled_from(
                         [
@@ -750,7 +752,7 @@ def tpch_database(draw):
             (
                 k,
                 draw(st.sampled_from([None, 0, 0, 1, 2, 99])),
-                draw(st.sampled_from([None, "F", "F", "O", "P"])),
+                draw(st.sampled_from([None, "", "F", "F", "O", "P"])),
                 draw(st.sampled_from([None, 0.0, 1000.0, 150000.0, 320000.0])),
                 draw(st.sampled_from(odate_pool)),
                 draw(st.sampled_from([None, "1-URGENT", "2-HIGH", "5-LOW",
