@@ -43,12 +43,17 @@ from tests.test_adversarial_parity import (  # noqa: F401  (adv_dir is a fixture
 REGISTRY = get_registry()
 
 # A physical plan as unlike the default-session one as runtime conf allows:
-# many tiny input splits, a different shuffle fan-in, no adaptive re-plan.
+# many tiny input splits, a different shuffle fan-in, no adaptive re-plan,
+# and 2-row Arrow batches — mapInPandas receives ARBITRARY batch splits,
+# so an operator that aggregates across rows inside one pandas batch is
+# batch-size-dependent and this flushes it out (applyInPandas groups are
+# exempt: they always arrive whole).
 HOSTILE_CONFS = {
     "spark.sql.files.maxPartitionBytes": str(64 * 1024),
     "spark.sql.files.openCostInBytes": "0",
     "spark.sql.shuffle.partitions": "3",
     "spark.sql.adaptive.enabled": "false",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2",
 }
 
 # Plan-sensitive by design (reason per entry). These hold the weak
