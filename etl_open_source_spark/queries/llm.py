@@ -334,7 +334,8 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT label,
        CAST(s.i - 1 AS BIGINT) AS pos,
        COUNT(*) AS n_vecs,
-       ROUND(CAST(SUM(CAST(embedding[s.i] AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6) AS mean_val
+       FLOOR((CAST(SUM(CAST(embedding[s.i] AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*))
+             * 1000000 + 0.5) / 1000000 AS mean_val
 FROM embeddings CROSS JOIN GENERATE_SERIES(1, 64) AS s(i)
 WHERE embedding IS NOT NULL
   AND LEN(embedding) > 0
@@ -366,10 +367,23 @@ def q_vector_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
             # decimal sum (exact) → ONE double division; a decimal division
             # would make the output DecimalType, which Spark's pandas
-            # bridge returns as Decimal objects vs DuckDB's float64
-            F.round(
-                F.sum(F.col("val").cast("decimal(18,8)")).cast("double") / F.count(F.lit(1)),
-                6,
+            # bridge returns as Decimal objects vs DuckDB's float64.
+            # FLOOR(x·1e6 + 0.5)/1e6, NOT round(x, 6): at a .xxxxxx5 tie
+            # (mean of {1.0, 1e-06} = 0.5000005) Java's round goes through
+            # BigDecimal.valueOf's SHORTEST decimal repr and HALF_UP (→
+            # 0.500001) while DuckDB multiplies-then-rounds the binary
+            # value (→ 0.5) — the floor form is the same IEEE op sequence
+            # in both engines (randomized embeddings catch).
+            (
+                F.floor(
+                    (
+                        F.sum(F.col("val").cast("decimal(18,8)")).cast("double")
+                        / F.count(F.lit(1))
+                    )
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("mean_val"),
         )
         .select(
