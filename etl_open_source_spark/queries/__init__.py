@@ -152,7 +152,11 @@ _VERIFY_FIRST = [
     # non-zero path is unchanged — q14's ×100 stays in the numerator
     # precisely so sf0.01 values are bit-identical, re-verified locally),
     # and q_path_topk's all-NULL-path fold needs NULL event types; it
-    # holds a first-timer slot above regardless.
+    # holds a first-timer slot above regardless. q_vector_agg's floor-form
+    # rounding (engine+oracle changed together) moves values only at exact
+    # .xxxxxx5 rounding ties — measure-zero on the continuous fixture
+    # embeddings, and the driver re-runs BOTH sides fresh each round, so
+    # correctness is re-proven by construction wherever it sits.
     "q_fn_json", "q_mix_domains", "q_sql_transform",
     # --- oldest evidence: round-2 rows (q_window_running is also a
     #     changed-code re-check; q_window_tumbling is the bench watch)
