@@ -301,14 +301,14 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sink_partition_overwrite",
     oracle="""
-SELECT o_orderstatus,
+SELECT NULLIF(o_orderstatus, '') AS o_orderstatus,
        COUNT(*) AS n_rows,
        CAST(SUM(CASE WHEN o_orderstatus = 'F'
                      THEN CAST(o_totalprice AS DECIMAL(18,4)) * 2
                      ELSE CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
          AS sum_price
 FROM orders
-GROUP BY o_orderstatus
+GROUP BY NULLIF(o_orderstatus, '')
 """,
     tags=("maintenance", "sink"),
 )
@@ -335,18 +335,21 @@ def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q_scan_binary_files (self-review finding)
     import tempfile as _tf
 
+    from etl_open_source_spark.sources.writers import write_parquet
+
+    # the engine writer is the spec layer's primitive — using it here
+    # also applies the documented Hive-layout contract: '' partition
+    # values canonicalize to NULL (a Hive directory layout cannot
+    # represent an empty-string partition; the oracle mirrors NULLIF)
     dest = _tf.mkdtemp(prefix="etl_orders_backfill_")
     src = load_table(spark, sf_dir, "orders")
-    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(dest)
+    write_parquet(src, dest, mode="replace", partition_by=["o_orderstatus"])
     fixed = src.filter(F.col("o_orderstatus") == "F").withColumn(
         "o_totalprice",
         (F.col("o_totalprice").cast("decimal(18,4)") * 2).cast("double"),
     )
-    (
-        fixed.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("o_orderstatus")
-        .parquet(dest)
+    write_parquet(
+        fixed, dest, mode="overwrite_partitions", partition_by=["o_orderstatus"]
     )
     back = spark.read.parquet(dest)
     return back.groupBy("o_orderstatus").agg(

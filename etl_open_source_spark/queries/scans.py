@@ -85,10 +85,10 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sink_parquet_roundtrip",
     oracle="""
-SELECT o_orderstatus, COUNT(*) AS cnt
+SELECT NULLIF(o_orderstatus, '') AS o_orderstatus, COUNT(*) AS cnt
 FROM orders
 WHERE o_totalprice > 100000
-GROUP BY o_orderstatus
+GROUP BY NULLIF(o_orderstatus, '')
 ORDER BY o_orderstatus
 """,
     tags=("sink",),
@@ -100,7 +100,13 @@ def q_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     The read-back passes the source schema explicitly: an EMPTY filtered
     input writes no part files under partitionBy, and schema inference on
     the bare directory would crash where the schema-carrying read returns
-    a correct empty frame (adversarial fixture pins this)."""
+    a correct empty frame (adversarial fixture pins this).
+
+    Partition-key contract (randomized IO catch): a Hive directory layout
+    cannot represent an empty-string partition value — Spark writes ''
+    and NULL alike as __HIVE_DEFAULT_PARTITION__ and reads back NULL.
+    The engine writer canonicalizes '' → NULL explicitly at write time
+    (sources/writers.py) and the oracle mirrors with NULLIF."""
     src = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
     path = _tmp(sf_dir, "orders_sink")
     write_parquet(src, path, mode="replace", partition_by=["o_orderstatus"])
@@ -137,12 +143,12 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sink_orc_roundtrip",
     oracle="""
-SELECT l_returnflag, l_linestatus,
+SELECT NULLIF(l_returnflag, '') AS l_returnflag, l_linestatus,
        COUNT(*) AS cnt,
        CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem
 WHERE l_shipdate >= DATE '1995-01-01'
-GROUP BY l_returnflag, l_linestatus
+GROUP BY NULLIF(l_returnflag, ''), l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
     tags=("sink",),

@@ -100,7 +100,13 @@ def read_csv(
     **options: str,
 ) -> DataFrame:
     """CSV scan. Always pass an explicit schema in production — schema
-    inference is an extra full pass over 100 TB."""
+    inference is an extra full pass over 100 TB.
+
+    NULL token defaults to ``\\N`` to match ``write_csv`` (lossless
+    NULL-vs-'' round trip — Spark's bare-empty default conflates them);
+    override with ``nullValue=''`` for foreign files using the bare
+    dialect (their empty string fields then read as NULL, as before)."""
+    options.setdefault("nullValue", "\\N")
     reader = spark.read.option("header", str(header).lower())
     if schema is not None:
         reader = reader.schema(schema)

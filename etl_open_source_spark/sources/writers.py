@@ -20,6 +20,25 @@ VALID_MODES = {"append", "replace", "overwrite_partitions"}
 VALID_BASIC_MODES = {"append", "replace"}
 
 
+def _canonicalize_partition_keys(df: DataFrame, partition_by: list[str]) -> DataFrame:
+    """Hive-style directory layouts cannot represent an EMPTY-STRING
+    partition value: Spark writes both ``''`` and NULL as
+    ``__HIVE_DEFAULT_PARTITION__``, and the read-back yields NULL for
+    both — silently merging two distinct groups. Make the conflation an
+    explicit, documented contract instead: ``''`` on a string partition
+    column is canonicalized to NULL at write time, so the round trip is
+    value-faithful to what the layout can actually store (randomized IO
+    differential catch: '' order statuses came back NULL and collapsed
+    into the NULL partition's counts)."""
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    for c in partition_by:
+        if dtypes.get(c) == "string":
+            df = df.withColumn(c, F.nullif(F.col(c), F.lit("")))
+    return df
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "append", partition_by: list[str] | None = None) -> None:
     """``overwrite_partitions`` = overwrite mode with per-write
     ``partitionOverwriteMode=dynamic``: ONLY the partitions present in
@@ -35,24 +54,41 @@ def write_parquet(df: DataFrame, path: str, mode: str = "append", partition_by: 
                 "partitions, dynamic overwrite degenerates to a full truncate"
             )
         (
-            df.write.mode("overwrite")
+            _canonicalize_partition_keys(df, partition_by)
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*partition_by)
             .parquet(path)
         )
         return
+    if partition_by:
+        df = _canonicalize_partition_keys(df, partition_by)
     writer = df.write.mode("overwrite" if mode == "replace" else "append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
 
 
-def write_csv(df: DataFrame, path: str, mode: str = "replace", header: bool = True) -> None:
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "replace",
+    header: bool = True,
+    null_value: str = "\\N",
+) -> None:
+    """CSV dialect: NULL is written as ``\\N`` (the Hive/MySQL dump
+    convention) and empty string as ``""`` — Spark's default writes BOTH
+    as an empty field, so ``''`` silently becomes NULL on read-back
+    (randomized IO differential catch). ``read_csv`` defaults to the
+    same token, making the engine round trip lossless; pass
+    ``null_value=""`` to emit the lossy bare-empty dialect for foreign
+    consumers that require it."""
     if mode not in VALID_BASIC_MODES:
         raise ValueError(f"mode must be one of {VALID_BASIC_MODES}, got {mode!r}")
     (
         df.write.mode("overwrite" if mode == "replace" else "append")
         .option("header", str(header).lower())
+        .option("nullValue", null_value)
         .csv(path)
     )
 
@@ -71,6 +107,8 @@ def write_orc(
     matrix (core/loaders/*.py, all 0-byte)."""
     if mode not in VALID_BASIC_MODES:
         raise ValueError(f"mode must be one of {VALID_BASIC_MODES}, got {mode!r}")
+    if partition_by:
+        df = _canonicalize_partition_keys(df, partition_by)
     writer = df.write.mode("overwrite" if mode == "replace" else "append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

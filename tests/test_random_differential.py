@@ -576,7 +576,7 @@ def lineitem_table(draw):
                 ),
                 draw(st.sampled_from([None, 0.04, 0.05, 0.06, 0.07, 0.08])),
                 draw(st.sampled_from([None, 0.0, 0.02, 0.08])),
-                draw(st.sampled_from([None, "R", "N", "A"])),
+                draw(st.sampled_from([None, "", "R", "N", "A"])),
                 draw(st.sampled_from([None, "O", "F"])),
                 draw(st.sampled_from(ship_pool)),
             )
@@ -800,7 +800,7 @@ def tpch_database(draw):
                 draw(st.sampled_from([None, 0.0, 0.04, 0.05, 0.06, 0.07,
                                       0.08])),
                 draw(st.sampled_from([None, 0.0, 0.02, 0.08])),
-                draw(st.sampled_from([None, "R", "N", "A"])),
+                draw(st.sampled_from([None, "", "R", "N", "A"])),
                 draw(st.sampled_from([None, "O", "F"])),
                 draw(st.sampled_from(sdate_pool)),
             )
