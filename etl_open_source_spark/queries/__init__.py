@@ -156,7 +156,11 @@ _VERIFY_FIRST = [
     # rounding (engine+oracle changed together) moves values only at exact
     # .xxxxxx5 rounding ties — measure-zero on the continuous fixture
     # embeddings, and the driver re-runs BOTH sides fresh each round, so
-    # correctness is re-proven by construction wherever it sits.
+    # correctness is re-proven by construction wherever it sits. The ''
+    # representation fixes (partition-key '' → NULL canonicalization, CSV
+    # \N dialect) change behavior only for ''/NULL values the fixtures
+    # don't contain; q_sink_parquet_roundtrip and q_sink_partition_overwrite
+    # hold window slots anyway and were re-verified at sf0.01 post-change.
     "q_fn_json", "q_mix_domains", "q_sql_transform",
     # --- oldest evidence: round-2 rows (q_window_running is also a
     #     changed-code re-check; q_window_tumbling is the bench watch)
