@@ -370,8 +370,10 @@ def documents_table(draw):
             (
                 i,
                 text,
-                draw(st.sampled_from(["en", "en", "fr", None])),
-                draw(st.sampled_from(["src0", "src0", "src1", None])),
+                # "" lang/source are real groups and domain keys,
+                # distinct from NULL (same contract as event types)
+                draw(st.sampled_from(["en", "en", "fr", None, ""])),
+                draw(st.sampled_from(["src0", "src0", "src1", None, ""])),
             )
         )
     df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
