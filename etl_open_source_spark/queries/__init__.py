@@ -16,6 +16,15 @@ design, 0 failures of 250, 278 s (run twice this round; both clean); the
 final rotated 50-slot window swept clean at sf0.01 (within the registry
 sweep) and at sf0.1 (10x driver scale: 48 exact + 2 rows-only, 0
 failures, 533 s); full pytest suite green after each fix batch.
+The round-8 continuation session then soaked the randomized differential
+(9 full-file iterations, fresh draws each) plus three generator
+enrichments (empty-string event types / statuses / flags / lang+source),
+caught and fixed six more divergences (path fold, TPC-H zero-sum
+divisions, ROUND-at-tie, Hive-partition and CSV '' representation), and
+re-closed everything: full suite 1985/1985 (now including the new
+partition-hostility axis: hostile plan × benign and adversarial
+fixtures, 488 cases), full-registry sf0.01 sweep 250/250 re-run AFTER
+the last engine fix, and the 50-slot window re-swept at sf0.1 50/50.
 
 Round-7 evidence: TWO full-registry sf0.01 parity sweeps (run from
 /root/repo, as the driver does — launching from another cwd false-fails
