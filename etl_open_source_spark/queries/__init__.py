@@ -17,8 +17,9 @@ final rotated 50-slot window swept clean at sf0.01 (within the registry
 sweep) and at sf0.1 (10x driver scale: 48 exact + 2 rows-only, 0
 failures, 533 s); full pytest suite green after each fix batch.
 The round-8 continuation session then soaked the randomized differential
-(9 full-file iterations, fresh draws each) plus three generator
-enrichments (empty-string event types / statuses / flags / lang+source),
+(12 full-file iterations, fresh draws each — the 8 after the last fix
+all clean) plus four generator enrichments (empty-string event types /
+statuses / flags / lang+source),
 caught and fixed six more divergences (path fold, TPC-H zero-sum
 divisions, ROUND-at-tie, Hive-partition and CSV '' representation), and
 re-closed everything: full suite 1985/1985 (now including the new
