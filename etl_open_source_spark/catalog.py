@@ -84,12 +84,20 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
     Tables absent from ``sf_dir`` are skipped — the same partial-catalog
     contract as the test oracle harness: a query that references an
     unregistered view still fails loudly at bind time, while a dataset
-    that ships only the tables it uses registers cleanly."""
+    that ships only the tables it uses registers cleanly. But if NO
+    requested table exists, ``sf_dir`` is almost certainly mistyped —
+    raise here instead of deferring to a confusing 'table not found' at
+    SQL bind time (ADVICE r8)."""
     import os
 
-    for t in tables:
-        if os.path.exists(table_path(sf_dir, t)):
-            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    found = [t for t in tables if os.path.exists(table_path(sf_dir, t))]
+    if tables and not found:
+        raise FileNotFoundError(
+            f"register_views: none of {list(tables)} exist under {sf_dir!r} — "
+            "is the data directory path correct?"
+        )
+    for t in found:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
 def list_tables(spark: SparkSession) -> list[str]:

@@ -144,6 +144,24 @@ def sample_centroids(corpus: DataFrame, n: int = 16, id_col: str = "vec_id", vec
     )
 
 
+def _k_clamped_to_distinct(train: DataFrame, col, k: int) -> int:
+    """``min(k, countDistinct(col))`` — but cheap on healthy inputs.
+
+    Spark 4.x block-mode KMeans throws ArrayIndexOutOfBounds when ``k``
+    exceeds the distinct training points, so every fit clamps. The
+    degenerate case (a collapsed/near-constant training column) is tiny
+    by definition, so don't pay a full distinct aggregation per fit on
+    every healthy call (ADVICE r8): one approx_count_distinct pass (HLL++
+    sketch merge — no distinct-row shuffle) settles the healthy case.
+    The sketch's relative error is ~2-5%, so an estimate ≥ 2k cannot be
+    hiding a true count < k; only estimates under 2k (degenerate or
+    near-degenerate) fall through to the exact distinct count."""
+    est = train.agg(F.approx_count_distinct(col).alias("c")).first()["c"]
+    if est >= 2 * k:
+        return k
+    return max(1, min(k, train.select(col.alias("__d")).distinct().count()))
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n: int = 16,
@@ -168,9 +186,15 @@ def kmeans_centroids(
     if sample_fraction is not None:
         v = v.sample(fraction=sample_fraction, seed=seed)
     ds = v.select(array_to_vector(F.col("__v")).alias("features")).persist()
-    # clamp k to the distinct training points: Spark 4.x block-mode KMeans
-    # throws ArrayIndexOutOfBounds past that (degenerate tiny corpus).
-    n_eff = max(1, min(n, ds.distinct().count()))
+    n_eff = _k_clamped_to_distinct(v, F.col("__v"), n)
+    if n_eff < 2:
+        # fully constant training set: KMeans rejects k=1, and the single
+        # distinct point IS the centroid
+        centers = [(0, [float(x) for x in ds.first()["features"]])]
+        ds.unpersist()
+        return corpus.sparkSession.createDataFrame(
+            centers, "centroid_id int, centroid array<double>"
+        )
     model = KMeans(k=n_eff, seed=seed, maxIter=max_iter, initMode="k-means||").fit(ds)
     ds.unpersist()
     centers = [
@@ -352,12 +376,17 @@ def pq_train(
         ds = v.select(
             array_to_vector(F.slice("v", s * dsub + 1, dsub)).alias("features")
         ).persist()
-        # Spark 4.x block-mode KMeans throws ArrayIndexOutOfBounds when k
-        # exceeds the distinct training points (a collapsed/degenerate
-        # subspace — e.g. a corpus of near-identical vectors — hits this
-        # in the wild). Training input is sample-sized, so the distinct
-        # count is cheap; clamp k to it.
-        k_eff = max(1, min(k, ds.distinct().count()))
+        # A collapsed/degenerate subspace (e.g. a corpus of near-identical
+        # vectors) has fewer than k distinct points and crashes block-mode
+        # KMeans — clamp, via the sketch-first guard (ADVICE r8). A FULLY
+        # constant subspace (1 distinct point) can't go through KMeans at
+        # all (parameter k requires >= 2): its codebook is trivially that
+        # one point.
+        k_eff = _k_clamped_to_distinct(v, F.slice("v", s * dsub + 1, dsub), k)
+        if k_eff < 2:
+            books.append([[float(x) for x in ds.first()["features"]]])
+            ds.unpersist()
+            continue
         model = KMeans(
             k=k_eff, seed=seed + s, maxIter=max_iter, initMode="k-means||"
         ).fit(ds)

@@ -200,7 +200,15 @@ class PipelineRunner:
         if fmt == "parquet":
             return read_parquet(self.spark, path)
         if fmt == "csv":
-            return read_csv(self.spark, path, schema=opts.get("schema") or cfg.get("schema"))
+            # Foreign-file dialect by default (bare empty field = NULL);
+            # plans reading engine-written CSV opt into the \N dialect
+            # explicitly via `"dialect": "engine"` (ADVICE r8).
+            return read_csv(
+                self.spark,
+                path,
+                schema=opts.get("schema") or cfg.get("schema"),
+                dialect=cfg.get("dialect", opts.get("dialect", "foreign")),
+            )
         if fmt == "json":
             return read_json(self.spark, path, schema=opts.get("schema") or cfg.get("schema"))
         raise ValueError(f"unsupported extract format: {fmt}")

@@ -82,99 +82,56 @@ _MODULES = [
     "drift",
 ]
 
-# Round-8 rotation (VERDICT r7 item #1). Policy, in priority order:
-# (1) the 13 round-7 queries registered after the r7 window snapshot that
-# have never received a driver row, (2) the 5 queries whose engine code
-# changed this round after their last green row (q_sim_ivfpq — zero-norm
-# centroid guard in ivfpq_topk, ADVICE r7; then the adversarial-sweep
-# fixes: q_sim_pq — KMeans k clamp + zero-norm training drop,
-# q_agg_stats — n=1 sample-variance NULL guard, q_scan_text —
-# octet_length byte semantics, q_sink_parquet_roundtrip — explicit
-# read-back schema for empty partitioned writes; then the randomized
-# embeddings differential's pins: q_embedding_quantize — NULL/corrupt
-# vector NULL-propagation contract, q_sim_knn_graph and
-# q_dedup_embedding_planted — CASE-guarded oracle dot folds (DuckDB's
-# list_zip(NULL,NULL) yields [] and list_reduce([]) is a hard error),
-# q_embedding_norm_stats — non-finite norms count degenerate and a
-# NULL-propagating oracle fold replaces LIST_SUM; q_vector_agg and
-# q_sim_topk got the same engine/oracle fixes but already hold r2
-# slots below; then the as-of NULL-by-key fix — asof_join now routes
-# NULL-key left rows around the window (SQL equality never matches
-# NULL; Window.partitionBy was grouping them) — re-checks its callers
-# q_join_asof, q_join_asof_forward, q_join_asof_tolerance,
-# q_attribution_last_touch, with q_join_asof_nearest already a
-# first-timer above). The late-round randomized differential expansion
-# (relational/lineitem/TPC-H/scalar-fn/relagg/IO families) fixed 12
-# more cross-engine divergences, whose queries take the next slots:
-# q_agg_pivot (NULL-group counts join now null-safe),
-# q_agg_mode_median (NULL segment/balance exclusion pinned),
-# q_window_cume_dist + q_window_percent_rank (NULLS LAST pinned both
-# sides), q_agg_argmax (NULL-masked struct extrema), q_agg_corr
-# (ANSI-safe masked Pearson), q_agg_collect (all-NULL collect_set
-# contract), q_fn_map (NULL map-value rendering), q_fn_string (oracle
-# || for NULL-propagating concat), q_explode_outer (oracle NULL-name
-# branch), q_fuzzy_match (F.get for out-of-bounds token),
-# q_pair_cooccurrence + q_graph_link_jaccard + q_assoc_rules (NULL
-# basket keys excluded in operators/baskets.py), q_compact_files
-# (row-count-aware oracle file counts), q_udf_scalar + q_udtf (NULL
-# input guards in the Python fns), q_udaf_pandas (NULL-drop + FLOOR
-# before the int fold), q_sink_orc_roundtrip (explicit read-back
-# schema + FLOOR-before-cast pin). (3) re-checks of the oldest
-# evidence: the round-2 cohort is the oldest remaining (44 rows, 6
-# rounds stale); the first 5 in registration order take the tail slots
-# (q_window_running doubles as a changed-code re-check — NULLS LAST
-# pinning) and the other 39 r2 rows queue for round 9. All 50
-# pre-verified locally against DuckDB at sf0.01 before the round ends
-# — and, new for round 8, the full window also swept at sf0.1 (10x
-# the driver's correctness scale).
+# Round-9 rotation (VERDICT r8 item #1). Policy, in priority order:
+# (1) queries whose engine/oracle code changed this round after their
+# last green row, (2) first-timers, (3) re-checks of the oldest
+# evidence. This round the oldest-evidence cohort IS the headline item:
+# all 21 TPC-H queries carry round-2 driver evidence while tpch.py/
+# tpch2.py changed in round 8 (zero-sum try_divide guards touched
+# q_tpch_q2/q8/q14's own expressions — they lead the window), and the
+# other 18 r2-vintage rows (windows/llm text pack, samplers, streaming
+# windows, q_sim_topk, q_vector_agg, q_udf_pandas) fill the tail: all
+# 39 remaining r<=2 rows rotate in, clearing the r2 cohort entirely.
+# Changed-code slots: q_agg_stats (all-NULL-group NULL-variance guard
+# replaces GREATEST(0.0,NULL) — ADVICE r8), q_udf_scalar (NULL-in/
+# NULL-out contract — ADVICE r8), q_sink_json_roundtrip +
+# q_sink_xml_roundtrip (pre-sink filters removed so ''/NULL/padded
+# values pass THROUGH the serializers; XML read-back pins
+# ignoreSurroundingSpaces=false — VERDICT r8 item 4), q_scan_csv +
+# q_sink_csv_roundtrip (read_csv foreign-vs-engine NULL dialect split —
+# ADVICE r8), q_sim_ann/q_sim_pq/q_sim_ivfpq (sketch-first KMeans
+# k-clamp + constant-input bypass in kmeans_centroids/pq_train — ADVICE
+# r8; rows-only by design). First-timer: q_sim_pq_codes (PQ encode vs a
+# LITERAL codebook — the exact driver-hashable half of the PQ pipeline,
+# VERDICT r8 item 5). The 50th slot starts the r4 cohort (oldest after
+# this rotation): q_agg_filtered; the remaining 39 r4 rows queue for
+# round 10. All 50 pre-verified locally against DuckDB at sf0.01 before
+# the round ends, and the window swept at sf0.1 (10x driver scale).
 _VERIFY_FIRST = [
-    # --- first-timers: registered after the round-7 window snapshot
-    "q_join_asof_nearest", "q_dedup_clusters_star", "q_ts_rolling_median",
-    "q_ts_hampel", "q_funnel_latency", "q_path_topk", "q_session_stats",
-    "q_text_winnowing", "q_dedup_winnowing", "q_sink_partition_overwrite",
-    "q_retention_days", "q_agg_gini", "q_histogram_equidepth",
-    # --- changed-code re-checks (round-8 fixes landed after last green row)
-    "q_sim_ivfpq", "q_sim_pq", "q_agg_stats", "q_scan_text",
-    "q_sink_parquet_roundtrip", "q_embedding_quantize", "q_sim_knn_graph",
-    "q_dedup_embedding_planted", "q_embedding_norm_stats",
-    "q_join_asof", "q_join_asof_forward", "q_join_asof_tolerance",
-    "q_attribution_last_touch",
-    # --- changed-code re-checks (randomized-differential fixes, late r8)
-    "q_agg_pivot", "q_agg_mode_median", "q_window_cume_dist",
-    "q_window_percent_rank", "q_agg_argmax", "q_agg_corr",
-    "q_agg_collect", "q_fn_map", "q_fn_string", "q_explode_outer",
-    "q_fuzzy_match", "q_pair_cooccurrence", "q_graph_link_jaccard",
-    "q_assoc_rules", "q_compact_files",
-    "q_udf_scalar", "q_udaf_pandas", "q_udtf", "q_sink_orc_roundtrip",
-    # --- engine-behavior changes from the late documents/events sweeps:
-    # q_fn_json (try_cast), q_mix_domains (zero-mass rate guard),
-    # q_sql_transform (partial-catalog register_views); q_ts_hampel
-    # (NULL-day window) already holds a first-timer slot above, and the
-    # oracle-only pins keep their prior driver evidence (same engine
-    # computation). The late NULL-path-only engine changes (gini/KS NULL
-    # exclusion, first_last/lag_lead NULLS LAST) are likewise invisible
-    # at driver scale — the fixtures contain ZERO NULLs (verified per
-    # column at sf0.01) — so their prior rows stay valid; the NULL-path
-    # evidence is the randomized differential itself. Same adjudication
-    # for the soak-run catches landed after the window froze: the TPC-H
-    # q2/q8/q14 try_divide guards fire only on zero-sum denominators
-    # (impossible on the all-positive driver fixtures; op order on the
-    # non-zero path is unchanged — q14's ×100 stays in the numerator
-    # precisely so sf0.01 values are bit-identical, re-verified locally),
-    # and q_path_topk's all-NULL-path fold needs NULL event types; it
-    # holds a first-timer slot above regardless. q_vector_agg's floor-form
-    # rounding (engine+oracle changed together) moves values only at exact
-    # .xxxxxx5 rounding ties — measure-zero on the continuous fixture
-    # embeddings, and the driver re-runs BOTH sides fresh each round, so
-    # correctness is re-proven by construction wherever it sits. The ''
-    # representation fixes (partition-key '' → NULL canonicalization, CSV
-    # \N dialect) change behavior only for ''/NULL values the fixtures
-    # don't contain; q_sink_parquet_roundtrip and q_sink_partition_overwrite
-    # hold window slots anyway and were re-verified at sf0.01 post-change.
-    "q_fn_json", "q_mix_domains", "q_sql_transform",
-    # --- oldest evidence: round-2 rows (q_window_running is also a
-    #     changed-code re-check; q_window_tumbling is the bench watch)
-    "q_window_running", "q_window_tumbling",
+    # --- changed-code + oldest-evidence leads (VERDICT r8: these three
+    #     TPC-H divisions changed under r2-vintage driver evidence)
+    "q_tpch_q2", "q_tpch_q8", "q_tpch_q14",
+    # --- rest of the TPC-H pack (r2 evidence, file edited r8)
+    "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
+    "q_tpch_q9", "q_tpch_q10", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13",
+    "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19",
+    "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
+    # --- changed-code re-checks (round-9 ADVICE/representation fixes)
+    "q_agg_stats", "q_udf_scalar",
+    "q_sink_json_roundtrip", "q_sink_xml_roundtrip",
+    "q_scan_csv", "q_sink_csv_roundtrip",
+    "q_sim_ann", "q_sim_pq", "q_sim_ivfpq",
+    # --- first-timer: exact-oracle PQ encode (VERDICT r8 item 5)
+    "q_sim_pq_codes",
+    # --- remaining r2-evidence rows (clears the r2 cohort)
+    "q_sample_split", "q_sample_stratified", "q_sample_weighted",
+    "q_sim_topk", "q_stream_dedup", "q_text_fingerprint", "q_text_langid",
+    "q_text_quality", "q_text_stats", "q_text_tf", "q_text_tokens",
+    "q_topk_per_group", "q_udf_pandas", "q_vector_agg",
+    "q_window_first_last", "q_window_ntile", "q_window_session",
+    "q_window_sliding",
+    # --- oldest-after-rotation: r4 cohort head
+    "q_agg_filtered",
 ]
 
 _loaded = False

@@ -173,6 +173,96 @@ def q_text_normalize_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_codes_codebook(m: int = 4, k: int = 4, dsub: int = 16) -> list[list[list[float]]]:
+    """Deterministic literal PQ codebook shared by the Spark query and its
+    DuckDB oracle: every value is n/16 (4 fractional bits — exactly
+    representable in binary AND in its shortest decimal repr), so the SQL
+    literal parses to the bit-identical double on both engines."""
+    return [
+        [
+            [((s * 131 + c * 17 + d * 7) % 97 - 48) / 16.0 for d in range(dsub)]
+            for c in range(k)
+        ]
+        for s in range(m)
+    ]
+
+
+def _pq_codes_oracle(m: int = 4, k: int = 4, dsub: int = 16) -> str:
+    """DuckDB SQL mirroring pq_encode step for step over the literal
+    codebook — cast-to-double, left-to-right sum-of-squares fold (IEEE:
+    the 0.0 seed is exact, so the fold equals Spark's aggregate), finite
+    positive-norm filter, unit-normalize, per-subspace L2 argmin with
+    first-minimum tie break (list_position == array_position: both return
+    the FIRST match, 1-indexed)."""
+    cb = _pq_codes_codebook(m, k, dsub)
+    cb_sql = (
+        "["
+        + ", ".join(
+            "[" + ", ".join("[" + ", ".join(repr(x) for x in code) + "]" for code in sub) + "]"
+            for sub in cb
+        )
+        + "]"
+    )
+    code_exprs = [
+        f"CAST(list_position(d{s}, list_aggregate(d{s}, 'min')) - 1 AS INTEGER)"
+        for s in range(m)
+    ]
+    # per-subspace distance arrays, one projection layer
+    dist_cols = ", ".join(
+        "["
+        + ", ".join(
+            "list_reduce([(un[{b}+CAST(i AS INT)] - cb[{s1}][{c1}][CAST(i AS INT)])"
+            " * (un[{b}+CAST(i AS INT)] - cb[{s1}][{c1}][CAST(i AS INT)])"
+            " FOR i IN generate_series(1, {dsub})], (a, b) -> a + b)".format(
+                b=s * dsub, s1=s + 1, c1=c + 1, dsub=dsub
+            )
+            for c in range(k)
+        )
+        + f"] AS d{s}"
+        for s in range(m)
+    )
+    return f"""
+WITH cbt AS (SELECT {cb_sql} AS cb),
+v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb FROM embeddings
+),
+n AS (
+  SELECT vec_id, emb,
+         sqrt(list_reduce([x * x FOR x IN emb], (a, b) -> a + b)) AS nrm
+  FROM v
+),
+u AS (
+  SELECT vec_id, [x / nrm FOR x IN emb] AS un
+  FROM n WHERE isfinite(nrm) AND nrm > 0
+),
+d AS (
+  SELECT vec_id, {dist_cols} FROM u CROSS JOIN cbt
+)
+SELECT vec_id, [{", ".join(code_exprs)}] AS codes
+FROM d
+"""
+
+
+@query(
+    "q_sim_pq_codes",
+    oracle=_pq_codes_oracle(),
+    tags=("llm", "similarity"),
+)
+def q_sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode against a LITERAL codebook (m=4 x 4 codes) — the exact,
+    driver-hashable half of the PQ pipeline (VERDICT r8 item 5): encode is
+    deterministic scan-local arithmetic (slice → L2 fold → first-min
+    argmin), so with the trained-k-means codebook replaced by a fixed
+    literal, a DuckDB oracle can replay it bit-for-bit. q_sim_pq /
+    q_sim_ivfpq keep the trained codebooks (rows-only by design); this row
+    proves the encode arithmetic they share. Zero exchanges: codebook
+    ships as a literal expression, the encode fuses into the scan."""
+    from etl_open_source_spark.operators import similarity as S2
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return S2.pq_encode(e, _pq_codes_codebook())
+
+
 @query("q_sim_pq", oracle=None, tags=("llm", "similarity", "approx"))
 def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-5 (m=8 subspaces x 16 codes): corpus

@@ -141,9 +141,9 @@ WITH m AS (
 )
 SELECT l_returnflag,
        n,
-       ROUND(CASE WHEN n > 1
+       ROUND(CASE WHEN n > 1 AND ssq IS NOT NULL
                   THEN GREATEST(0.0, (ssq - s * s / n) / (n - 1)) END, 6) AS qty_var,
-       ROUND(CASE WHEN n > 1
+       ROUND(CASE WHEN n > 1 AND ssq IS NOT NULL
                   THEN SQRT(GREATEST(0.0, (ssq - s * s / n) / (n - 1))) END, 6) AS qty_stddev
 FROM m
 ORDER BY l_returnflag
@@ -156,18 +156,23 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles in partition order (nondeterministic), so the engine computes
     moments exactly and derives the statistics deterministically.
 
-    Two pinned contracts (adversarial fixture): a single-row group has
-    UNDEFINED sample variance — NULL, never divide-by-zero (Spark ANSI
-    errors, DuckDB emits inf without the guard) — and a constant series
-    at a non-dyadic value can cancel to ~-1e-12, so the variance is
-    clamped at 0 before sqrt (DuckDB SQRT(negative) hard-errors)."""
+    Three pinned contracts (adversarial fixture + ADVICE r8): a
+    single-row group has UNDEFINED sample variance — NULL, never
+    divide-by-zero (Spark ANSI errors, DuckDB emits inf without the
+    guard); a constant series at a non-dyadic value can cancel to
+    ~-1e-12, so the variance is clamped at 0 before sqrt (DuckDB
+    SQRT(negative) hard-errors); and an ALL-NULL group (SUM → NULL)
+    reports NULL variance via an explicit ``ssq IS NOT NULL`` guard on
+    BOTH sides — never ``GREATEST(0.0, NULL)``, whose NULL handling is
+    DuckDB-version-dependent (NULL-skip vs NULL-propagate) where Spark's
+    ``greatest`` always NULL-skips to 0.0."""
     l = load_table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity").cast("decimal(18,4)")
     n = F.count(F.lit(1))
     ssq = F.sum(q * q).cast("double")
     s = F.sum(q).cast("double")
     var = F.when(
-        n > F.lit(1),
+        (n > F.lit(1)) & ssq.isNotNull(),
         F.greatest(F.lit(0.0), (ssq - s * s / n) / (n - F.lit(1))),
     )
     return (

@@ -26,7 +26,8 @@ from etl_open_source_spark.registry import query
     "q_udf_scalar",
     oracle="""
 SELECT o_orderkey,
-       CASE WHEN o_totalprice >= 300000 THEN 'high'
+       CASE WHEN o_totalprice IS NULL THEN NULL
+            WHEN o_totalprice >= 300000 THEN 'high'
             WHEN o_totalprice >= 100000 THEN 'mid'
             ELSE 'low' END AS tier
 FROM orders
@@ -35,15 +36,19 @@ FROM orders
 )
 def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python UDF (the 10-100× slow path — kept for parity
-    with the reference's custom-code transformer; never used internally)."""
+    with the reference's custom-code transformer; never used internally).
+
+    NULL contract (ADVICE r8): NULL-in → NULL-out. A missing price has
+    no tier — the UDF returns None and the oracle's first CASE arm
+    mirrors it, rather than silently classifying missing prices as a
+    real 'low' tier."""
 
     @udf(StringType())
-    def tier(price: float) -> str:
-        # NULL price falls through every CASE WHEN in the oracle (NULL >=
-        # x is not TRUE) and lands in the ELSE arm — mirror that, don't
-        # TypeError on None (caught by the randomized IO differential)
+    def tier(price):
+        # NULL-in -> NULL-out (ADVICE r8); plain args — a `float | None`
+        # hint defeats pyspark's eval-type inference and warns
         if price is None:
-            return "low"
+            return None
         if price >= 300000:
             return "high"
         if price >= 100000:

@@ -97,16 +97,28 @@ def read_csv(
     path: str,
     schema: StructType | str | None = None,
     header: bool = True,
+    dialect: str = "foreign",
     **options: str,
 ) -> DataFrame:
     """CSV scan. Always pass an explicit schema in production — schema
     inference is an extra full pass over 100 TB.
 
-    NULL token defaults to ``\\N`` to match ``write_csv`` (lossless
-    NULL-vs-'' round trip — Spark's bare-empty default conflates them);
-    override with ``nullValue=''`` for foreign files using the bare
-    dialect (their empty string fields then read as NULL, as before)."""
-    options.setdefault("nullValue", "\\N")
+    Two NULL dialects (ADVICE r8 — the \\N default must not leak onto
+    foreign files):
+
+    - ``dialect="foreign"`` (default): bare empty field reads as NULL —
+      the convention of most external CSV writers. This is what the
+      generic plan runner (plans/runner.py) gets for user-supplied files.
+    - ``dialect="engine"``: NULL token is ``\\N`` to match
+      :func:`~etl_open_source_spark.sources.writers.write_csv` (lossless
+      NULL-vs-'' round trip — Spark's bare-empty default conflates them).
+      Use for files this engine wrote.
+
+    An explicit ``nullValue`` in ``options`` overrides either dialect."""
+    if dialect not in ("foreign", "engine"):
+        raise ValueError(f"dialect must be 'foreign' or 'engine', got {dialect!r}")
+    if dialect == "engine":
+        options.setdefault("nullValue", "\\N")
     reader = spark.read.option("header", str(header).lower())
     if schema is not None:
         reader = reader.schema(schema)
@@ -130,10 +142,22 @@ def read_xml(
     path: str,
     schema: StructType | str | None = None,
     row_tag: str = "row",
+    ignore_surrounding_spaces: bool = True,
 ) -> DataFrame:
     """XML scan (Spark-4 built-in). Explicit schema in production — XML
-    inference is an extra full parse pass, worse than JSON's."""
-    reader = spark.read.option("rowTag", row_tag)
+    inference is an extra full parse pass, worse than JSON's.
+
+    ``ignore_surrounding_spaces``: Spark's default (True) TRIMS leading/
+    trailing whitespace inside element text — right for foreign
+    pretty-printed XML (``<tag>\\n  value\\n</tag>``), but it mutates
+    values: ``' lead'`` → ``'lead'`` and an all-whitespace value →
+    ``''``. Engine round-trips pass False — the engine writer never
+    pads element text, so False reads back the exact bytes written
+    (the XML arm of the ''/whitespace representation class, VERDICT r8
+    item 4; same dialect split as read_csv's foreign-vs-engine)."""
+    reader = spark.read.option("rowTag", row_tag).option(
+        "ignoreSurroundingSpaces", str(ignore_surrounding_spaces).lower()
+    )
     if schema is not None:
         reader = reader.schema(schema)
     return reader.format("xml").load(path)

@@ -184,3 +184,24 @@ def test_jdbc_query_pushdown_live(spark, sf_dir, derby_url):
         for r in src.groupBy("l_returnflag").count().withColumnRenamed("count", "cnt").collect()
     }
     assert rows == expected
+
+
+def test_jdbc_empty_string_vs_null_roundtrip(spark, derby_url):
+    """The JDBC arm of the ''/NULL representation class (VERDICT r8
+    item 4): a VARCHAR column holding '', NULL, and whitespace-padded
+    values must come back EXACTLY — JDBC is a typed protocol
+    (setString(null) vs setString("")), so unlike CSV's bare dialect or
+    Hive partition directories there is no legitimate conflation point;
+    any merge would be an engine bug. Derby is the live engine; the same
+    write_jdbc path drives postgres/mysql/sqlserver with only a URL
+    change. (Oracle-the-DBMS is the known offender that stores '' AS
+    NULL — that's a per-dialect contract to pin if a jar ever appears.)"""
+    from etl_open_source_spark.sources.readers import read_jdbc
+    from etl_open_source_spark.sources.writers import write_jdbc
+
+    rows = [(1, "x"), (2, ""), (3, None), (4, " lead"), (5, "trail "), (6, "  ")]
+    src = spark.createDataFrame(rows, "id int, s string")
+    write_jdbc(src, url=derby_url, table="rep_es", mode="replace", driver=DRIVER)
+    back = read_jdbc(spark, url=derby_url, table="rep_es", driver=DRIVER)
+    got = {r[0]: r[1] for r in back.collect()}
+    assert got == dict(rows), got

@@ -596,3 +596,29 @@ def test_funnel_latency_shares_funnel_exchange_shape(spark, sf_dir):
     plan = _formatted_plan(spark, sf_dir, "q_funnel_latency")
     n_exchanges = _n_exchanges(plan)
     assert n_exchanges <= 2, plan
+
+
+def test_asof_null_route_pruned_scan_single_window_exchange(spark, sf_dir):
+    """Pins the round-8 as-of NULL-key bypass cost model (VERDICT r8 #2):
+
+    1. The NULL-key left branch must compile to its own scan with
+       ``IsNull(user_id)`` PUSHED — parquet min/max stats then prune it to
+       near-zero files on mostly-non-NULL keys. A regression to a
+       post-scan filter (or a cached re-scan of the full left side) makes
+       the bypass a full second pass over the corpus.
+    2. The matched branch stays ONE single-key exchange for the as-of
+       window itself — hashpartitioning on user_id alone. (The views-side
+       groupBy dedup legitimately owns a second exchange on
+       (user_id, ts); nothing else may appear.)
+    3. The NULL route must not add exchanges: 2 total.
+    """
+    import re
+
+    plan = _formatted_plan(spark, sf_dir, "q_join_asof")
+    # (1) isnull pushed to the storage layer, not just a Filter node
+    assert re.search(r"PushedFilters: \[[^\]]*IsNull\(user_id\)", plan), plan
+    # (2) exactly one single-key window exchange on user_id
+    single_key = re.findall(r"hashpartitioning\(user_id#\d+L?, \d+\)", plan)
+    assert len(single_key) == 1, plan
+    # (3) NULL bypass adds zero exchanges: window + views-dedup only
+    assert _n_exchanges(plan) == 2, plan

@@ -726,8 +726,13 @@ def tpch_database(draw):
                 draw(st.sampled_from(["Customer#A", "Customer#A", None])),
                 draw(st.integers(0, 9)),
                 draw(st.sampled_from([None, -1.0, 0.0, 50.0, 50.0, 7000.0])),
+                # '' and whitespace-padded segments: the XML/JSON sink
+                # representation classes (surrounding-space trimming,
+                # ''-vs-NULL conflation) only fire if hostile values
+                # actually reach the serializer (VERDICT r8 item 4)
                 draw(st.sampled_from(["BUILDING", "BUILDING", "MACHINERY",
-                                      None])),
+                                      None, "", " BUILDING", "MACHINERY ",
+                                      "A&<B>"])),
             )
             for k in range(n_c)
         ],
