@@ -227,9 +227,15 @@ v AS (
   SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb FROM embeddings
 ),
 n AS (
+  -- len(emb) > 0: DuckDB's list_reduce([]) is a hard error where
+  -- Spark's aggregate folds the 0.0 seed to norm 0 (then drops the
+  -- row); NULL arrays give len NULL and drop here too, matching the
+  -- engine's NULL-norm drop. NULL elements / NaN / Inf propagate to a
+  -- non-finite or NULL norm and fall to the isfinite filter below —
+  -- same rows dropped on both sides.
   SELECT vec_id, emb,
          sqrt(list_reduce([x * x FOR x IN emb], (a, b) -> a + b)) AS nrm
-  FROM v
+  FROM v WHERE len(emb) > 0
 ),
 u AS (
   SELECT vec_id, [x / nrm FOR x IN emb] AS un

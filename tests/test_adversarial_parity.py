@@ -319,6 +319,7 @@ ADVERSARIAL_QUERIES = [
     "q_sim_topk",
     "q_sim_knn_graph",
     "q_dedup_embedding_planted",
+    "q_sim_pq_codes",
     # tie-sensitive window / rank / as-of / mode families
     "q_join_asof",
     "q_join_asof_forward",

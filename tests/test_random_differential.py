@@ -1069,6 +1069,7 @@ EMB_QUERIES = [
     "q_sim_topk",
     "q_sim_knn_graph",
     "q_dedup_embedding_planted",
+    "q_sim_pq_codes",
 ]
 
 _EMB_DIM = 64  # q_vector_agg's oracle enumerates positions 1..64
