@@ -10,6 +10,13 @@ Policy, in priority order: (1) queries never yet inside a driver window,
 last green row, (4) re-checks of the oldest evidence. Every rotation is
 pre-verified locally against DuckDB at sf0.01 before the round ends.
 
+Round-9 evidence: full-registry sf0.01 sweep after the ADVICE-r8 fixes,
+the sink representation extensions, and the q_sim_pq_codes registration
+— 240 exact-pass + 11 rows-only by design, 0 failures of 251; the
+rotated 50-slot window (TPC-H pack + r2-cohort clear + changed-code +
+q_sim_pq_codes) swept clean at sf0.1 (10x driver scale: 47 exact + 3
+rows-only q_sim_ann/pq/ivfpq, 0 failures).
+
 Round-8 evidence: full-registry sf0.01 CLOSING sweep after every
 randomized-differential fix landed — 239 exact-pass + 11 rows-only by
 design, 0 failures of 250, 278 s (run twice this round; both clean); the

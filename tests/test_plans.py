@@ -553,3 +553,43 @@ def test_overwrite_partitions_non_parquet_rejected_at_validate():
     )
     issues = validate_spec(spec)
     assert any("does not support it" in i for i in issues), issues
+
+
+def test_extract_csv_foreign_dialect_default(spark, tmp_path):
+    """The generic plan runner reads FOREIGN CSVs: a bare empty field is
+    NULL (most external writers' convention), and a literal backslash-N
+    is just text — the engine's \\N round-trip token must never leak
+    onto user-supplied files (ADVICE r8). Plans reading engine-written
+    CSV opt in with `"dialect": "engine"`."""
+    p = tmp_path / "foreign"
+    p.mkdir()
+    (p / "data.csv").write_text("k,s\n1,\n2,\\N\n3,x\n")
+    spec = PipelineSpec(
+        id="fcsv",
+        name="foreign_csv",
+        cron="*/5 * * * *",
+        connections=[ConnectionConfig(id="c", name="c", type="csv")],
+        steps=[
+            Step(
+                id="s1", name="extract", step_type=StepType.EXTRACT, order=1,
+                connection_id="c",
+                config={"path": str(p), "schema": "k int, s string"},
+            ),
+            Step(
+                id="s2", name="transform", step_type=StepType.TRANSFORM, order=2,
+                config={"type": "sql", "sql": "SELECT k, s FROM input"},
+            ),
+        ],
+    )
+    runner = PipelineRunner(spark, history_path=str(tmp_path / "hist"))
+    got = {r.k: r.s for r in runner.run(spec).collect()}
+    assert got == {1: None, 2: "\\N", 3: "x"}, got
+
+    # engine dialect: \N maps back to NULL. (A bare empty field still
+    # reads NULL — the engine writer always QUOTES '' as "", so bare
+    # empties don't occur in engine-written files; '' survives via the
+    # quoted form, pinned in test_sources.py's write/read round trip.)
+    spec.steps[0].config["dialect"] = "engine"
+    spec.id = "ecsv"
+    got = {r.k: r.s for r in runner.run(spec).collect()}
+    assert got == {1: None, 2: None, 3: "x"}, got
