@@ -622,3 +622,14 @@ def test_asof_null_route_pruned_scan_single_window_exchange(spark, sf_dir):
     assert len(single_key) == 1, plan
     # (3) NULL bypass adds zero exchanges: window + views-dedup only
     assert _n_exchanges(plan) == 2, plan
+
+
+def test_pq_codes_zero_exchange_scan_local(spark, sf_dir):
+    """PQ encode against a literal codebook must fuse entirely into the
+    scan: codebooks ride as literal expressions, the per-subspace argmin
+    is an array fold — zero exchanges at ANY corpus size. An exchange
+    here would mean the codebook accidentally became a join."""
+    plan = _formatted_plan(spark, sf_dir, "q_sim_pq_codes")
+    assert _n_exchanges(plan) == 0, plan
+    assert plan.count("Scan parquet") >= 1
+    assert "Join" not in plan
