@@ -203,8 +203,12 @@ def _pq_codes_oracle(m: int = 4, k: int = 4, dsub: int = 16) -> str:
         )
         + "]"
     )
+    # one scalar INT column per subspace — never an array: the driver
+    # hasher cannot digest nested types (test_oracle_contract.py pins
+    # this registry-wide)
     code_exprs = [
         f"CAST(list_position(d{s}, list_aggregate(d{s}, 'min')) - 1 AS INTEGER)"
+        f" AS code{s}"
         for s in range(m)
     ]
     # per-subspace distance arrays, one projection layer
@@ -244,7 +248,7 @@ u AS (
 d AS (
   SELECT vec_id, {dist_cols} FROM u CROSS JOIN cbt
 )
-SELECT vec_id, [{", ".join(code_exprs)}] AS codes
+SELECT vec_id, {", ".join(code_exprs)}
 FROM d
 """
 
@@ -262,11 +266,16 @@ def q_sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal, a DuckDB oracle can replay it bit-for-bit. q_sim_pq /
     q_sim_ivfpq keep the trained codebooks (rows-only by design); this row
     proves the encode arithmetic they share. Zero exchanges: codebook
-    ships as a literal expression, the encode fuses into the scan."""
+    ships as a literal expression, the encode fuses into the scan. The
+    m codes unwrap to scalar INT columns (code0..code3) — the driver
+    hasher can't digest array cells (oracle-contract pin)."""
     from etl_open_source_spark.operators import similarity as S2
 
     e = load_table(spark, sf_dir, "embeddings")
-    return S2.pq_encode(e, _pq_codes_codebook())
+    enc = S2.pq_encode(e, _pq_codes_codebook())
+    return enc.select(
+        "vec_id", *[enc["codes"][s].alias(f"code{s}") for s in range(4)]
+    )
 
 
 @query("q_sim_pq", oracle=None, tags=("llm", "similarity", "approx"))
