@@ -84,14 +84,11 @@ def _write_events(df, d):
     )
 
 
-@st.composite
-def events_table(draw):
+def _events_rows(draw, ts_pool):
+    """Shared row builder for the events-shaped generators: only the
+    timestamp pool differs between the 2024 tie-heavy table and the
+    epoch-straddling variant."""
     n = draw(st.integers(3, 25))
-    # 4-value timestamp pool → guaranteed heavy ties
-    ts_pool = [
-        pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=m)
-        for m in (0, 17, 17, 60 * 26)  # duplicate pool entry: more ties
-    ]
     rows = []
     for i in range(n):
         rows.append(
@@ -120,6 +117,39 @@ def events_table(draw):
     df["value"] = df["value"].astype("float64")
     df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
     return df
+
+
+@st.composite
+def events_table(draw):
+    # 4-value timestamp pool → guaranteed heavy ties
+    ts_pool = [
+        pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=m)
+        for m in (0, 17, 17, 60 * 26)  # duplicate pool entry: more ties
+    ]
+    return _events_rows(draw, ts_pool)
+
+
+@st.composite
+def events_negepoch_table(draw):
+    """events variant whose timestamps straddle the Unix epoch.
+
+    Negative epoch seconds are THE classic bucket-arithmetic trap:
+    truncate-toward-zero (CAST(x/w AS INT)*w, the sign-following %) and
+    floor (Spark window(), DuckDB time_bucket) agree on every post-1970
+    timestamp and disagree on every pre-1970 one that is not exactly on
+    a boundary. Any engine or oracle expression that derives a window
+    start, session gap, day diff or as-of distance from raw epoch
+    arithmetic gets flushed out here. The pool keeps events_table's tie
+    density (duplicate entry) and crosses a pre-epoch DAY boundary so
+    date-granularity folds go negative too."""
+    ts_pool = [
+        pd.Timestamp("1969-12-30 23:59:59"),
+        pd.Timestamp("1969-12-31 22:58:00"),
+        pd.Timestamp("1969-12-31 23:42:17"),
+        pd.Timestamp("1969-12-31 23:42:17"),  # duplicate: ties
+        pd.Timestamp("1970-01-01 00:10:00"),
+    ]
+    return _events_rows(draw, ts_pool)
 
 
 @given(tbl=events_table())
@@ -214,6 +244,63 @@ def test_random_events_misc_differential(spark_prop, tbl):
     d = tempfile.mkdtemp(prefix="randdiff_ev_")
     _write_events(tbl, d)
     for name in EV_MISC_QUERIES:
+        qd = REGISTRY[name]
+        got = qd.fn(spark_prop, d).toPandas()
+        want = run_oracle(qd.oracle, d)
+        try:
+            assert_frames_match(got, want)
+        except AssertionError as ex:  # pragma: no cover - diagnostic path
+            raise AssertionError(f"{name} diverged on random input:\n{ex}") from ex
+
+
+# epoch-arithmetic-sensitive family: every query here derives a bucket,
+# gap, day diff or time distance from the raw timestamp, so pre-1970
+# (negative-epoch) rows discriminate floor from truncate-toward-zero.
+# q_join_range_bucketed is excluded for cause: its bucket origin is a
+# pinned 2024-01-01 constant on both sides, so pre-1970 input would only
+# test the constant, not the arithmetic. q_ts_gapfill/q_cohort_retention
+# are excluded because their DuckDB oracles clip to a constant 2024 spine
+# (GENERATE_SERIES takes constants only).
+NEG_EPOCH_QUERIES = [
+    "q_window_tumbling",
+    "q_window_sliding",
+    "q_window_session",
+    "q_stream_dedup",
+    "q_stream_interval_join",
+    "q_ts_sessionize",
+    "q_session_stats",
+    "q_event_transitions",
+    "q_gaps_islands",
+    "q_ts_twap",
+    "q_ts_rollup",
+    "q_ts_resample_ohlc",
+    "q_retention_days",
+    "q_ts_ewma",
+    "q_join_asof",
+    "q_join_asof_forward",
+    "q_join_asof_nearest",
+    "q_join_asof_tolerance",
+    "q_join_interval_overlap",
+    "q_window_range_frame",
+    "q_cdc_apply",
+    "q_path_topk",
+    "q_funnel_latency",
+    "q_attribution_last_touch",
+]
+
+
+@given(tbl=events_negepoch_table())
+@settings(
+    max_examples=4, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_random_negepoch_differential(spark_prop, tbl):
+    """The epoch-arithmetic family over events that straddle 1970-01-01:
+    tumbling/sliding/session windows, sessionize gaps, as-of distances,
+    OHLC buckets and day-granularity folds must floor (never truncate
+    toward zero) on negative epoch seconds, identically in both engines."""
+    d = tempfile.mkdtemp(prefix="randdiff_ne_")
+    _write_events(tbl, d)
+    for name in NEG_EPOCH_QUERIES:
         qd = REGISTRY[name]
         got = qd.fn(spark_prop, d).toPandas()
         want = run_oracle(qd.oracle, d)
@@ -357,6 +444,14 @@ def documents_table(draw):
         "a@b.co 555-123-4567",
         "https://Ex.com:80/p?b=2&a=1#frag",
         "ip 127.0.0.1 ssn 123-45-6789",
+        # supplementary-plane + combining-mark content: substring/gram/
+        # length arithmetic must count CODEPOINTS identically in both
+        # engines — UTF-16 code-unit (Java String.length) or byte-based
+        # indexing desyncs every gram hash and chunk boundary here
+        "😀🚀",
+        "𝕊𝕡𝕒𝕣𝕜",
+        "한국어 테스트",
+        "e\u0301clair",  # NFD é: 'e' + combining U+0301, NOT equal to "é"
     ]
     rows = []
     for i in range(n):
