@@ -289,6 +289,56 @@ NEG_EPOCH_QUERIES = [
 ]
 
 
+def test_negepoch_pinned_differential(spark_prop):
+    """Deterministic worst case for the epoch-arithmetic family: every
+    pool timestamp crossed with (user 1, user 2, NULL user) and a cycling
+    type/value pattern, so every NEG_EPOCH query sees pre-epoch ties, a
+    pre-epoch day boundary, and the 1970 crossing on every run —
+    independent of what hypothesis happens to draw in a given soak
+    iteration."""
+    ts_pool = [
+        pd.Timestamp("1969-12-30 23:59:59"),
+        pd.Timestamp("1969-12-31 22:58:00"),
+        pd.Timestamp("1969-12-31 23:42:17"),
+        pd.Timestamp("1969-12-31 23:42:17"),
+        pd.Timestamp("1970-01-01 00:10:00"),
+    ]
+    users = [1, 2, None]
+    values = [None, 0.0, -1.5, 7.0, 123.45]
+    rows = []
+    i = 0
+    for ts in ts_pool:
+        for u in users:
+            rows.append(
+                (
+                    i,
+                    ts,
+                    u,
+                    _TYPES[i % len(_TYPES)],
+                    values[i % len(values)],
+                    _PROPS[i % len(_PROPS)],
+                )
+            )
+            i += 1
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df["event_id"] = df["event_id"].astype("int64")
+    df["user_id"] = df["user_id"].astype("Int64")
+    df["value"] = df["value"].astype("float64")
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    d = tempfile.mkdtemp(prefix="negepoch_pin_")
+    _write_events(df, d)
+    for name in NEG_EPOCH_QUERIES:
+        qd = REGISTRY[name]
+        got = qd.fn(spark_prop, d).toPandas()
+        want = run_oracle(qd.oracle, d)
+        try:
+            assert_frames_match(got, want)
+        except AssertionError as ex:  # pragma: no cover - diagnostic path
+            raise AssertionError(f"{name} diverged on pinned input:\n{ex}") from ex
+
+
 @given(tbl=events_negepoch_table())
 @settings(
     max_examples=4, deadline=None, suppress_health_check=list(HealthCheck)
