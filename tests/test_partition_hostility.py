@@ -121,6 +121,37 @@ def test_partition_hostility(hostile_conf, spark, sf_dir, name):
     assert_frames_match(hostile, default)
 
 
+@pytest.fixture(scope="module")
+def negepoch_dir(tmp_path_factory):
+    """The pinned epoch-straddling events table (pre-1970 ties, pre-epoch
+    day boundary, the 1970 crossing) written once for the composed axis.
+    It cannot live inside the shared adversarial fixture: q_ts_gapfill's
+    DuckDB oracle clips its spine to a constant 2024 GENERATE_SERIES, so
+    pre-1970 events are exercised through their own query list instead."""
+    from tests.test_random_differential import _write_events, negepoch_pinned_df
+
+    d = str(tmp_path_factory.mktemp("negepoch_hostile"))
+    _write_events(negepoch_pinned_df(), d)
+    return d
+
+
+def _negepoch_queries():
+    from tests.test_random_differential import NEG_EPOCH_QUERIES
+
+    return NEG_EPOCH_QUERIES
+
+
+@pytest.mark.parametrize("name", _negepoch_queries())
+def test_partition_hostility_negepoch(hostile_conf, spark, negepoch_dir, name):
+    """Composed axis: hostile PLAN over epoch-straddling DATA. Window
+    starts, session gaps and as-of distances on negative epochs must not
+    shift when the scan splits into 64 KB tasks, the shuffle fans into 3,
+    AQE is off and Arrow batches hold 2 rows."""
+    qd = REGISTRY[name]
+    hostile = qd.fn(spark, negepoch_dir).toPandas()
+    assert_frames_match(hostile, run_oracle(qd.oracle, negepoch_dir))
+
+
 @pytest.mark.parametrize("name", ADVERSARIAL_QUERIES)
 def test_partition_hostility_adversarial(hostile_conf, spark, adv_dir, name):
     """The composed axes: hostile PLAN over hostile DATA. Partition-order

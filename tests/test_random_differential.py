@@ -289,13 +289,13 @@ NEG_EPOCH_QUERIES = [
 ]
 
 
-def test_negepoch_pinned_differential(spark_prop):
+def negepoch_pinned_df():
     """Deterministic worst case for the epoch-arithmetic family: every
     pool timestamp crossed with (user 1, user 2, NULL user) and a cycling
     type/value pattern, so every NEG_EPOCH query sees pre-epoch ties, a
     pre-epoch day boundary, and the 1970 crossing on every run —
     independent of what hypothesis happens to draw in a given soak
-    iteration."""
+    iteration. Shared with the partition-hostility composed axis."""
     ts_pool = [
         pd.Timestamp("1969-12-30 23:59:59"),
         pd.Timestamp("1969-12-31 22:58:00"),
@@ -327,6 +327,11 @@ def test_negepoch_pinned_differential(spark_prop):
     df["user_id"] = df["user_id"].astype("Int64")
     df["value"] = df["value"].astype("float64")
     df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    return df
+
+
+def test_negepoch_pinned_differential(spark_prop):
+    df = negepoch_pinned_df()
     d = tempfile.mkdtemp(prefix="negepoch_pin_")
     _write_events(df, d)
     for name in NEG_EPOCH_QUERIES:
