@@ -156,8 +156,8 @@ SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
        CAST(MAX(cnt) AS BIGINT) AS max_cnt,
        ROUND(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 6) AS avg_per_key,
        ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top1_share,
-       CAST(MEDIAN(cnt) AS DOUBLE) AS p50_cnt,
-       CAST(QUANTILE_CONT(cnt, 0.99) AS DOUBLE) AS p99_cnt
+       ROUND(CAST(MEDIAN(cnt) AS DOUBLE), 6) AS p50_cnt,
+       ROUND(CAST(QUANTILE_CONT(cnt, 0.99) AS DOUBLE), 6) AS p99_cnt
 FROM cnts
 """,
     tags=("quality", "scale"),
@@ -175,7 +175,10 @@ def q_skew_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile`` buffers all |keys| counts on one reducer; beyond
     ~10^8 distinct keys swap in ``approx_percentile`` (same call shape,
     sketch-sized state) — the exact form is kept here for oracle
-    parity."""
+    parity. p50/p99 are rounded to 6 on both sides: DuckDB 1.0.0's
+    QUANTILE_CONT interpolation (un-factored lo + d*hi - d*lo) carries
+    magnitude-dependent cancellation error vs F.percentile's
+    lo + d*(hi-lo) — the q_winsorize round-9 soak catch."""
     o = load_table(spark, sf_dir, "orders")
     cnts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
     return cnts.agg(
@@ -184,8 +187,8 @@ def q_skew_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cnt").cast("bigint").alias("max_cnt"),
         F.round(F.sum("cnt") / F.count(F.lit(1)), 6).alias("avg_per_key"),
         F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top1_share"),
-        F.expr("percentile(cnt, 0.5)").cast("double").alias("p50_cnt"),
-        F.expr("percentile(cnt, 0.99)").cast("double").alias("p99_cnt"),
+        F.round(F.expr("percentile(cnt, 0.5)").cast("double"), 6).alias("p50_cnt"),
+        F.round(F.expr("percentile(cnt, 0.99)").cast("double"), 6).alias("p99_cnt"),
     )
 
 

@@ -271,8 +271,8 @@ def q_quality_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH pct AS (
   SELECT l_returnflag,
-         QUANTILE_CONT(l_extendedprice, 0.05) AS p05,
-         QUANTILE_CONT(l_extendedprice, 0.95) AS p95
+         ROUND(QUANTILE_CONT(l_extendedprice, 0.05), 6) AS p05,
+         ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 6) AS p95
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l.l_returnflag,
@@ -290,18 +290,27 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     before aggregating, the standard robust pre-processing step for
     noisy numeric features (vs dropping outliers, which loses rows).
 
-    Exact interpolating percentiles (F.percentile == DuckDB
-    QUANTILE_CONT bitwise on identical inputs) computed per group, then
-    broadcast back onto the scan: the stats frame is group-cardinality-
-    sized, so the corpus is scanned twice and shuffled never. At 100 TB
-    swap in approx_percentile for the first pass and it becomes one
-    pass, still map-side-combinable."""
+    Exact interpolating percentiles computed per group, then broadcast
+    back onto the scan: the stats frame is group-cardinality-sized, so
+    the corpus is scanned twice and shuffled never. At 100 TB swap in
+    approx_percentile for the first pass and it becomes one pass, still
+    map-side-combinable.
+
+    Boundary contract (round-9 soak catch): the clamp boundaries are
+    ROUNDED TO 6 DECIMALS on both sides. F.percentile interpolates as
+    lo + d*(hi-lo) (exact when lo == hi); DuckDB 1.0.0 QUANTILE_CONT
+    evaluates the un-factored lo + d*hi - d*lo, whose cancellation error
+    is magnitude-dependent — on a group of three equal 100001.0 values
+    its p05 returns 100001.00000000001, which strict-< clamp counting
+    then reads as "every value is below the low boundary". Rounding both
+    engines' boundaries to 6 retires the artifact class (same contract
+    as q_agg_percentile / q_histogram_equidepth outputs)."""
     from pyspark.sql import functions as F
 
     l = load_table(spark, sf_dir, "lineitem")
     pct = l.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.05).alias("p05"),
-        F.percentile("l_extendedprice", 0.95).alias("p95"),
+        F.round(F.percentile("l_extendedprice", 0.05), 6).alias("p05"),
+        F.round(F.percentile("l_extendedprice", 0.95), 6).alias("p95"),
     )
     clamped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
     return (

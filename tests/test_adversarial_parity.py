@@ -160,6 +160,18 @@ def _lineitem() -> pd.DataFrame:
     # NULLIF (the randomized-TPC-H soak catch, pinned deterministically;
     # price stays positive: SQRT(l_extendedprice) is unguarded by design)
     rows.append((1, 2, 2, 2, 0.0, 40.0, 1.0, 0.0, "N", "O", dt.datetime(1996, 6, 15)))
+    # percentile-interpolation cancellation artifact (round-9 soak catch,
+    # q_winsorize): a returnflag group of three EQUAL large values plus a
+    # NULL — DuckDB 1.0.0 QUANTILE_CONT(0.05) evaluates the un-factored
+    # lo + d*hi - d*lo and returns 100001.00000000001 on this group,
+    # 1e-11 ABOVE every value, so unrounded strict-< clamp counting
+    # calls all three "below the low boundary"; both engines now round
+    # boundaries to 6. The NULL price also rides GREATEST/LEAST's
+    # skip-NULL fold through the winsorized sum on both engines.
+    for ln in range(3, 7):
+        price = None if ln == 6 else 100001.0
+        rows.append((1, 1, 1, ln, 1.0, price, 0.0, 0.0, "A", "F",
+                     dt.datetime(1995, 2, 3)))
     df = pd.DataFrame(
         rows,
         columns=[
@@ -598,9 +610,10 @@ def test_adversarial_sketch_invariants(spark, adv_dir):
     must EQUAL the exact ones here; the CMS row carries its own
     consistency columns."""
     ad = _run(spark, adv_dir, "q_agg_approx_distinct").set_index("l_returnflag")
-    # exact distinct orders per flag: R = {order 0, orphan 999}, N/A = 1
+    # exact distinct orders per flag: R = {order 0, orphan 999},
+    # A = {order 6, order 1's percentile-artifact lines}, N = {order 1}
     assert ad.loc["R", "approx_orders"] == 2
-    assert ad.loc["N", "approx_orders"] == 1 and ad.loc["A", "approx_orders"] == 1
+    assert ad.loc["N", "approx_orders"] == 1 and ad.loc["A", "approx_orders"] == 2
     hll = _run(spark, adv_dir, "q_agg_hll_merge")
     assert hll["merge_lossless"].all()
     assert (hll["users_merged"] == hll["users_direct"]).all()
@@ -649,14 +662,16 @@ def test_adversarial_ivf_and_bpe_invariants(spark, adv_dir):
 def test_adversarial_compact_invariants(spark, adv_dir):
     """q_compact_files in invariant form: its oracle pins physical file
     counts (64 small → 4 compacted), which only hold when rows ≥ files —
-    on the 8-row fixture the writer emits one file per non-empty
+    on the 12-row fixture the writer emits one file per non-empty
     partition, a writer-version-dependent count not worth modeling. The
     adversarial content that matters is data integrity through the
     rewrite: no row lost or duplicated, exact checksum preserved, and the
     compaction never EXPANDS the layout."""
     got = REGISTRY["q_compact_files"].fn(spark, adv_dir).toPandas()
     row = got.iloc[0]
-    assert row["n_rows"] == 8
-    assert row["sum_qty"] == 23.0
+    # 8 original rows + the 4 percentile-artifact lines (3 at qty 1.0,
+    # one NULL-price line also qty 1.0)
+    assert row["n_rows"] == 12
+    assert row["sum_qty"] == 27.0
     assert 1 <= row["files_compacted"] <= 4
     assert row["files_compacted"] <= row["files_small"]
