@@ -162,6 +162,25 @@ def _k_clamped_to_distinct(train: DataFrame, col, k: int) -> int:
     return max(1, min(k, train.select(col.alias("__d")).distinct().count()))
 
 
+def _mean_vector(ds: DataFrame, op: str) -> list[float]:
+    """Exact per-dimension mean of a ``features`` vector column — the k=1
+    k-means optimum. One distributed agg (Summarizer), no collect of rows.
+    Raises a clear error on an empty training frame instead of the opaque
+    'NoneType is not subscriptable' a bare ``ds.first()`` produced
+    (ADVICE r9)."""
+    from pyspark.ml.stat import Summarizer
+
+    # 1-row emptiness probe (sanctioned bounded fetch): Summarizer's JVM
+    # buffer throws an opaque IllegalArgumentException on empty input.
+    if ds.first() is None:
+        raise ValueError(
+            f"{op}: empty training set — no usable vectors remain after the "
+            "zero-norm drop / sampling; nothing to fit"
+        )
+    row = ds.agg(Summarizer.mean(F.col("features")).alias("m")).first()
+    return [float(x) for x in row["m"]]
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n: int = 16,
@@ -188,9 +207,12 @@ def kmeans_centroids(
     ds = v.select(array_to_vector(F.col("__v")).alias("features")).persist()
     n_eff = _k_clamped_to_distinct(v, F.col("__v"), n)
     if n_eff < 2:
-        # fully constant training set: KMeans rejects k=1, and the single
-        # distinct point IS the centroid
-        centers = [(0, [float(x) for x in ds.first()["features"]])]
+        # KMeans rejects k=1, so this branch covers (a) an explicit n=1
+        # request on a diverse corpus and (b) a fully-constant training
+        # set. Both have the same exact answer: the k=1 k-means optimum
+        # is the MEAN vector (which for constant data is the point
+        # itself) — never an arbitrary first row (ADVICE r9).
+        centers = [(0, _mean_vector(ds, "kmeans_centroids"))]
         ds.unpersist()
         return corpus.sparkSession.createDataFrame(
             centers, "centroid_id int, centroid array<double>"
@@ -368,7 +390,13 @@ def pq_train(
         v = v.sample(fraction=sample_fraction, seed=seed)
     nv = F.transform("v", lambda x: x / norm(F.col("v")))
     v = v.select(nv.alias("v")).persist()
-    dim = len(v.first()["v"])
+    first = v.first()
+    if first is None:
+        raise ValueError(
+            "pq_train: empty training set — no usable vectors remain after "
+            "the zero-norm drop / sampling; nothing to fit"
+        )
+    dim = len(first["v"])
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     dsub = dim // m
     books: list[list[list[float]]] = []
@@ -378,13 +406,14 @@ def pq_train(
         ).persist()
         # A collapsed/degenerate subspace (e.g. a corpus of near-identical
         # vectors) has fewer than k distinct points and crashes block-mode
-        # KMeans — clamp, via the sketch-first guard (ADVICE r8). A FULLY
-        # constant subspace (1 distinct point) can't go through KMeans at
-        # all (parameter k requires >= 2): its codebook is trivially that
-        # one point.
+        # KMeans — clamp, via the sketch-first guard (ADVICE r8). KMeans
+        # also rejects k=1 outright, so a fully-constant subspace (or an
+        # explicit k=1 request) takes the exact k=1 optimum instead: the
+        # subspace MEAN (for constant data, the point itself) — never an
+        # arbitrary first row (ADVICE r9).
         k_eff = _k_clamped_to_distinct(v, F.slice("v", s * dsub + 1, dsub), k)
         if k_eff < 2:
-            books.append([[float(x) for x in ds.first()["features"]]])
+            books.append([_mean_vector(ds, "pq_train")])
             ds.unpersist()
             continue
         model = KMeans(

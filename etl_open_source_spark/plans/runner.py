@@ -203,14 +203,18 @@ class PipelineRunner:
             # Foreign-file dialect by default (bare empty field = NULL);
             # plans reading engine-written CSV opt into the \N dialect
             # explicitly via `"dialect": "engine"` (ADVICE r8).
+            # Step config overrides connection params for BOTH schema and
+            # dialect — one precedence order, the intuitive one (ADVICE r9:
+            # these two previously resolved conflicts in opposite
+            # directions).
             return read_csv(
                 self.spark,
                 path,
-                schema=opts.get("schema") or cfg.get("schema"),
+                schema=cfg.get("schema") or opts.get("schema"),
                 dialect=cfg.get("dialect", opts.get("dialect", "foreign")),
             )
         if fmt == "json":
-            return read_json(self.spark, path, schema=opts.get("schema") or cfg.get("schema"))
+            return read_json(self.spark, path, schema=cfg.get("schema") or opts.get("schema"))
         raise ValueError(f"unsupported extract format: {fmt}")
 
     def _transform(self, step: Step, data: DataFrame) -> DataFrame:

@@ -89,57 +89,41 @@ _MODULES = [
     "drift",
 ]
 
-# Round-9 rotation (VERDICT r8 item #1). Policy, in priority order:
-# (1) queries whose engine/oracle code changed this round after their
-# last green row, (2) first-timers, (3) re-checks of the oldest
-# evidence. This round the oldest-evidence cohort IS the headline item:
-# all 21 TPC-H queries carry round-2 driver evidence while tpch.py/
-# tpch2.py changed in round 8 (zero-sum try_divide guards touched
-# q_tpch_q2/q8/q14's own expressions — they lead the window), and the
-# other 18 r2-vintage rows (windows/llm text pack, samplers, streaming
-# windows, q_sim_topk, q_vector_agg, q_udf_pandas) fill the tail: all
-# 39 remaining r<=2 rows rotate in, clearing the r2 cohort entirely.
-# Changed-code slots: q_agg_stats (all-NULL-group NULL-variance guard
-# replaces GREATEST(0.0,NULL) — ADVICE r8), q_udf_scalar (NULL-in/
-# NULL-out contract — ADVICE r8), q_sink_json_roundtrip +
-# q_sink_xml_roundtrip (pre-sink filters removed so ''/NULL/padded
-# values pass THROUGH the serializers; XML read-back pins
-# ignoreSurroundingSpaces=false — VERDICT r8 item 4), q_scan_csv +
-# q_sink_csv_roundtrip (read_csv foreign-vs-engine NULL dialect split —
-# ADVICE r8), q_sim_ann/q_sim_pq/q_sim_ivfpq (sketch-first KMeans
-# k-clamp + constant-input bypass in kmeans_centroids/pq_train — ADVICE
-# r8; rows-only by design). First-timer: q_sim_pq_codes (PQ encode vs a
-# LITERAL codebook — the exact driver-hashable half of the PQ pipeline,
-# VERDICT r8 item 5). The 50th slot starts the r4 cohort (oldest after
-# this rotation): q_agg_filtered; the remaining 39 r4 rows queue for
-# round 10. All 50 pre-verified locally against DuckDB at sf0.01 before
-# the round ends, and the window swept at sf0.1 (10x driver scale).
+# Round-10 rotation (VERDICT r9 item #1). Leads: the two rows whose
+# engine+oracle expressions were edited by the round-9 soak fix (commit
+# 98c61c4 — QUANTILE_CONT clamp-boundary rounding) AFTER their last
+# driver rows (r6): q_winsorize and q_skew_key_stats. Then the ENTIRE
+# r4-evidence cohort (38 rows — catalog family, q_cdc_apply,
+# q_agg_percentile, the r4 dedup/cluster rows, subquery pair, ...),
+# clearing r4 completely. The remaining 10 slots start the r5 cohort
+# (oldest after this rotation), exact-oracle rows first; the other 23
+# r5 rows queue for round 11. All 50 pre-verified locally against
+# DuckDB at sf0.01 before the round ends (see the evidence ledger
+# above).
 _VERIFY_FIRST = [
-    # --- changed-code + oldest-evidence leads (VERDICT r8: these three
-    #     TPC-H divisions changed under r2-vintage driver evidence)
-    "q_tpch_q2", "q_tpch_q8", "q_tpch_q14",
-    # --- rest of the TPC-H pack (r2 evidence, file edited r8)
-    "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
-    "q_tpch_q9", "q_tpch_q10", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13",
-    "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19",
-    "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-    # --- changed-code re-checks (round-9 ADVICE/representation fixes)
-    "q_agg_stats", "q_udf_scalar",
-    "q_sink_json_roundtrip", "q_sink_xml_roundtrip",
-    "q_scan_csv", "q_sink_csv_roundtrip",
-    "q_sim_ann", "q_sim_pq", "q_sim_ivfpq",
-    # --- first-timer: exact-oracle PQ encode (VERDICT r8 item 5)
-    "q_sim_pq_codes",
-    # --- remaining r2-evidence rows (clears the r2 cohort)
-    "q_sample_split", "q_sample_stratified", "q_sample_weighted",
-    "q_sim_topk", "q_stream_dedup", "q_text_fingerprint", "q_text_langid",
-    "q_text_quality", "q_text_stats", "q_text_tf", "q_text_tokens",
-    "q_topk_per_group", "q_udf_pandas", "q_vector_agg",
-    "q_window_first_last", "q_window_ntile", "q_window_session",
-    "q_window_sliding",
-    # --- oldest-after-rotation: r4 cohort head
-    "q_agg_filtered",
+    # --- changed-code leads (VERDICT r9 item 1: soak fix 98c61c4
+    #     edited both expressions after their r6 driver rows)
+    "q_winsorize", "q_skew_key_stats",
+    # --- the full r4-evidence cohort (oldest vintage; clears r4)
+    "q_agg_approx_percentile", "q_agg_percentile", "q_agg_salted",
+    "q_catalog_fk_graph", "q_catalog_list_columns", "q_catalog_list_tables",
+    "q_catalog_table_schema", "q_cdc_apply", "q_dedup_clusters",
+    "q_dedup_embedding", "q_dedup_keep", "q_dedup_simhash", "q_doc_chunk",
+    "q_filter_not_in_nulls", "q_fn_bitwise", "q_fn_string2", "q_funnel",
+    "q_histogram", "q_join_range_bucketed", "q_join_skew_salted",
+    "q_merge_upsert", "q_multimodal_decode", "q_pack_concat",
+    "q_pii_redact", "q_profile_columns", "q_quality_checks",
+    "q_quality_outliers", "q_sanitize_nulls", "q_scd2", "q_sink_append",
+    "q_sink_replace", "q_subquery_correlated", "q_subquery_scalar",
+    "q_text_bigrams", "q_ts_gapfill", "q_ts_interpolate", "q_ts_rollup",
+    "q_unpivot",
+    # --- r5 cohort head (exact-oracle rows first; 23 r5 rows queue r11)
+    "q_dedup_ngram", "q_except_all", "q_filter_compare", "q_filter_in",
+    "q_fn_date2", "q_fn_null_pack", "q_fn_regex", "q_fn_variant",
+    "q_intersect_all", "q_join_inner",
 ]
+
+# (Prior rotations: see git history of this file.)
 
 _loaded = False
 

@@ -5,6 +5,13 @@ directory: write with the engine's writers, read back with explicit schemas
 (never inferSchema at scale — it is an extra full pass), compare against the
 parquet-backed oracle. Lossless by construction: the round-tripped columns
 are integers, strings, and shortest-repr doubles.
+
+Output-order contract: every ORDER BY key here is nullable (the sink
+round-trips deliberately pass '' / NULL groups through the serializers), and
+Spark's ASC default is NULLS FIRST while DuckDB's is NULLS LAST — so each
+orderBy pins ``asc_nulls_last()`` explicitly. The driver compares
+order-insensitively today; the pin removes the latent divergence if any
+comparison ever becomes order-sensitive (ADVICE r9).
 """
 
 from __future__ import annotations
@@ -114,7 +121,7 @@ def q_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         back.groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("o_orderstatus")
+        .orderBy(F.col("o_orderstatus").asc_nulls_last())
     )
 
 
@@ -179,7 +186,7 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.floor("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .orderBy(F.col("l_returnflag").asc_nulls_last(), F.col("l_linestatus").asc_nulls_last())
     )
 
 
@@ -252,7 +259,7 @@ def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total"),
         )
-        .orderBy("o_orderpriority")
+        .orderBy(F.col("o_orderpriority").asc_nulls_last())
     )
 
 
@@ -301,7 +308,7 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_id"),
             F.sum("user_id").cast("bigint").alias("sum_user"),
         )
-        .orderBy("event_type")
+        .orderBy(F.col("event_type").asc_nulls_last())
     )
 
 
@@ -448,7 +455,7 @@ def q_sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_custkey").alias("max_key"),
             F.sum("c_nationkey").cast("bigint").alias("sum_nation"),
         )
-        .orderBy("c_mktsegment")
+        .orderBy(F.col("c_mktsegment").asc_nulls_last())
     )
 
 

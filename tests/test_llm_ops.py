@@ -886,3 +886,57 @@ def test_ivfpq_recall_and_pruning(spark, sf_dir):
         )
         probed = {cid for _, cid in sims[:4]}
         assert assigned[r.neighbor_id] in probed, (r.query_id, r.neighbor_id)
+
+
+def test_kmeans_k1_diverse_returns_mean(spark):
+    """Explicit n=1 on a DIVERSE corpus is the k=1 k-means optimum — the
+    per-dimension MEAN — not an arbitrary first row (ADVICE r9)."""
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    rows = S.kmeans_centroids(e, n=1).collect()
+    assert len(rows) == 1
+    got = [round(x, 9) for x in rows[0].centroid]
+    assert got == [round(2.0 / 3.0, 9)] * 2, got
+
+
+def test_kmeans_constant_corpus_centroid_is_the_point(spark):
+    const = spark.createDataFrame(
+        [(i, [2.0, 3.0]) for i in range(5)], "vec_id int, embedding array<double>"
+    )
+    rows = S.kmeans_centroids(const, n=4).collect()
+    assert [list(r.centroid) for r in rows] == [[2.0, 3.0]]
+
+
+def test_kmeans_and_pq_empty_training_raise_clearly(spark):
+    """An empty training frame raises a named error, not an opaque
+    'NoneType is not subscriptable' (ADVICE r9)."""
+    empty = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError, match="empty training set"):
+        S.kmeans_centroids(empty, n=4)
+    with pytest.raises(ValueError, match="empty training set"):
+        S.pq_train(empty, m=2, k=4)
+    # zero-norm-only corpora are dropped to empty by policy → same error
+    zeros = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty training set"):
+        S.kmeans_centroids(zeros, n=2)
+
+
+def test_pq_train_k1_codebook_is_subspace_mean(spark):
+    """k=1 PQ codebooks are the (unit-normalized) subspace means."""
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    books = S.pq_train(e, m=2, k=1)
+    import math
+
+    s = math.sqrt(2.0)
+    exp0 = (1.0 + 0.0 + 1.0 / s) / 3.0  # normalized first components
+    exp1 = (0.0 + 1.0 + 1.0 / s) / 3.0
+    assert [len(b) for b in books] == [1, 1]
+    assert abs(books[0][0][0] - exp0) < 1e-12
+    assert abs(books[1][0][0] - exp1) < 1e-12

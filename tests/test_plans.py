@@ -593,3 +593,44 @@ def test_extract_csv_foreign_dialect_default(spark, tmp_path):
     spec.id = "ecsv"
     got = {r.k: r.s for r in runner.run(spec).collect()}
     assert got == {1: None, 2: None, 3: "x"}, got
+
+
+def test_extract_step_config_overrides_connection_params(spark, tmp_path):
+    """One precedence order for extract options: step config overrides
+    connection params for schema exactly as it already did for dialect
+    (ADVICE r9 — the two previously resolved conflicts in opposite
+    directions)."""
+    p = tmp_path / "prec"
+    p.mkdir()
+    (p / "data.csv").write_text("k,s\n1,x\n2,\n")
+    spec = PipelineSpec(
+        id="prec",
+        name="precedence",
+        cron="*/5 * * * *",
+        # connection says "read k as string"; the step pins k int — the
+        # step must win
+        connections=[ConnectionConfig(
+            id="c", name="c", type="csv",
+            params={"schema": "k string, s string", "dialect": "engine"},
+        )],
+        steps=[
+            Step(
+                id="s1", name="extract", step_type=StepType.EXTRACT, order=1,
+                connection_id="c",
+                config={"path": str(p), "schema": "k int, s string",
+                        "dialect": "foreign"},
+            ),
+        ],
+    )
+    runner = PipelineRunner(spark, history_path=str(tmp_path / "hist"))
+    out = runner.run(spec)
+    assert dict(out.dtypes)["k"] == "int"  # step schema won
+    got = {r.k: r.s for r in out.collect()}
+    assert got == {1: "x", 2: None}, got
+
+    # and with no step-level override, connection params still apply
+    spec.steps[0].config.pop("schema")
+    spec.steps[0].config.pop("dialect")
+    spec.id = "prec2"
+    out = runner.run(spec)
+    assert dict(out.dtypes)["k"] == "string"
