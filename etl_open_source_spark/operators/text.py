@@ -188,13 +188,20 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def fingerprints(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
     """Document fingerprint: lexicographic min of md5 over word n-shingles
     (1-permutation MinHash — winnowing's keep-the-min idea). Stable across
-    engines since md5 is standardized."""
-    words = words_col(text_col)
+    engines since md5 is standardized.
+
+    The word array MUST materialize as a real column before the shingle
+    lambda slices it: a higher-order function INLINES any referenced
+    expression per element, so F.slice(<split chain>, i, n) re-splits the
+    whole document once per position — O(len²) per doc (243 s for ONE
+    200 KB document; 0.5 s with the projection — the round-10 multi-MB
+    axis catch, same class as the winnowing lesson)."""
+    wdf = df.select(F.col(id_col), words_col(text_col).alias("__words"))
     sh = F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))),
+        F.sequence(F.lit(0), F.size("__words") - n),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__words"), i + 1, n))),
     )
-    return df.filter(F.size(words) >= n).select(
+    return wdf.filter(F.size("__words") >= n).select(
         F.col(id_col), F.array_min(sh).alias("fingerprint")
     )
 
@@ -249,19 +256,32 @@ def winnow_fingerprints(
     fingerprinting needs consistency, not linguistic case folding
     (self-review finding)."""
     B, M = 257, (1 << 31) - 1
-    norm = ascii_fold(text_col)
+    # The folded text ALSO materializes as a column first (round-10
+    # multi-MB-axis catch): referencing the ascii_fold expression inside
+    # the per-character lambda inlines the whole translate chain per
+    # character — O(len²) per document, invisible on 300-char fixture
+    # docs, a hang on a 200 KB one.
+    normed = df.select(F.col(id_col), ascii_fold(text_col).alias("__norm"))
+    norm = F.col("__norm")
     n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(0))
     # sequence(1, 0) DESCENDS in Spark — guard the empty case explicitly
     grams_idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
         F.array().cast("array<int>")
     )
-    chars_idx = F.when(
-        F.length(norm) >= 1, F.sequence(F.lit(1), F.length(norm))
+    # Code points via split('') — per-CODE-POINT in Spark (supplementary
+    # planes stay whole; ascii() yields the code point, the pinned
+    # cross-engine contract) — NOT substr(j, 1) per position: UTF8String
+    # substring walks bytes from 0 to locate code point j, so a
+    # position-indexed transform is O(len²) at the byte level (measured
+    # 110 s for ONE 200 KB doc; linear after this change). Empty/NULL
+    # text keeps the old contract: empty code-point array.
+    cps_arr = F.when(
+        F.length(norm) >= 1,
+        F.transform(F.split(norm, ""), lambda c: F.ascii(c)),
     ).otherwise(F.array().cast("array<int>"))
-    with_cps = df.select(
+    with_cps = normed.select(
         F.col(id_col),
-        F.transform(chars_idx, lambda j: F.ascii(norm.substr(j, F.lit(1))))
-        .alias("__cps"),
+        cps_arr.alias("__cps"),
         grams_idx.alias("__gidx"),
     )
     cps = F.col("__cps")

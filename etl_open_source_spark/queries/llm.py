@@ -78,9 +78,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH w AS (SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws FROM documents),
 sh0 AS (
+  -- correlated series: exact at ANY doc length (round-10 multi-MB axis;
+  -- the old fixed 128-position cap silently truncated long docs)
   SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-  FROM w CROSS JOIN GENERATE_SERIES(1, 128) AS t(i)
-  WHERE i <= LEN(ws) - 2
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, LEN(ws) - 2)) AS i FROM w)
 ),
 sh AS (
   SELECT * FROM sh0
@@ -125,9 +126,10 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_PAIRS_CTE = """
 w AS (SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws FROM documents),
 sh0 AS (
+  -- correlated series: exact at ANY doc length (round-10 multi-MB axis;
+  -- the old fixed 128-position cap silently truncated long docs)
   SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-  FROM w CROSS JOIN GENERATE_SERIES(1, 128) AS t(i)
-  WHERE i <= LEN(ws) - 2
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, LEN(ws) - 2)) AS i FROM w)
 ),
 sh AS (
   SELECT * FROM sh0
@@ -331,17 +333,24 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_vector_agg",
     oracle="""
+-- correlated series over each vector's OWN length (round-10 audit):
+-- the engine posexplodes actual lengths, so a fixed 1..64 series would
+-- desync on ragged dimensions (the fixtures are uniform-dim today; the
+-- correlated form removes the latent coupling)
 SELECT label,
-       CAST(s.i - 1 AS BIGINT) AS pos,
+       CAST(i - 1 AS BIGINT) AS pos,
        COUNT(*) AS n_vecs,
-       FLOOR((CAST(SUM(CAST(embedding[s.i] AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*))
+       FLOOR((CAST(SUM(CAST(embedding[i] AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*))
              * 1000000 + 0.5) / 1000000 AS mean_val
-FROM embeddings CROSS JOIN GENERATE_SERIES(1, 64) AS s(i)
-WHERE embedding IS NOT NULL
-  AND LEN(embedding) > 0
-  AND COALESCE(list_max(list_transform(embedding,
-        x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END)), 0) = 0
-GROUP BY label, s.i
+FROM (
+  SELECT label, embedding, unnest(generate_series(1, LEN(embedding))) AS i
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND LEN(embedding) > 0
+    AND COALESCE(list_max(list_transform(embedding,
+          x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END)), 0) = 0
+)
+GROUP BY label, i
 ORDER BY label, pos
 """,
     tags=("llm", "similarity"),
@@ -543,9 +552,9 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH w AS (SELECT doc_id, STRING_SPLIT(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws FROM documents),
 sh AS (
+  -- correlated series: exact at ANY doc length (round-10 multi-MB axis)
   SELECT doc_id, MD5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) AS h
-  FROM w CROSS JOIN GENERATE_SERIES(1, 128) AS t(i)
-  WHERE i <= LEN(ws) - 4
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, LEN(ws) - 4)) AS i FROM w)
 )
 SELECT doc_id, MIN(h) AS fingerprint FROM sh GROUP BY doc_id
 """,
@@ -718,9 +727,10 @@ def q_text_bpe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH w AS (SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws FROM documents),
 sh0 AS (
+  -- correlated series: exact at ANY doc length (round-10 multi-MB axis;
+  -- the old fixed 128-position cap silently truncated long docs)
   SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-  FROM w CROSS JOIN GENERATE_SERIES(1, 128) AS t(i)
-  WHERE i <= LEN(ws) - 2
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, LEN(ws) - 2)) AS i FROM w)
 ),
 sh AS (
   SELECT * FROM sh0

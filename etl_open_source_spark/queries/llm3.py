@@ -29,10 +29,10 @@ _BENCH_PRED = "doc_id % 19 = 0"
     oracle=f"""
 WITH w AS (SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws FROM documents),
 sh AS (
+  -- correlated series: exact at ANY doc length (round-10 multi-MB axis)
   SELECT DISTINCT doc_id,
          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s
-  FROM w CROSS JOIN GENERATE_SERIES(1, 128) AS t(i)
-  WHERE i <= LEN(ws) - 4
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, LEN(ws) - 4)) AS i FROM w)
 ),
 corpus AS (SELECT * FROM sh WHERE NOT ({_BENCH_PRED})),
 bench  AS (SELECT * FROM sh WHERE {_BENCH_PRED})
@@ -64,9 +64,11 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH w AS (SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws FROM documents),
 pos AS (
+  -- correlated series (unnest form): exact at ANY document length —
+  -- the old fixed GENERATE_SERIES(1, 128) silently truncated long
+  -- docs (caught by the round-10 multi-MB-document axis)
   SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
-  FROM w CROSS JOIN GENERATE_SERIES(1, 128) AS t(i)
-  WHERE i <= LEN(ws) - 3
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, LEN(ws) - 3)) AS i FROM w)
 ),
 freq AS (
   SELECT s FROM (SELECT DISTINCT doc_id, s FROM pos)
@@ -489,8 +491,9 @@ pieces AS (
          CAST((i - 1) // 100 AS INTEGER) AS chunk,
          16 * (strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1)
             + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1) AS byteval
-  FROM b, GENERATE_SERIES(1, 4096) AS t(i)
-  WHERE i <= strlen(h) // 2
+  -- correlated series: exact at ANY payload size (round-10 multi-MB
+  -- axis; the old fixed 4096-byte cap silently truncated large blobs)
+  FROM (SELECT doc_id, h, unnest(generate_series(1, strlen(h) // 2)) AS i FROM b)
 )
 SELECT doc_id AS id, chunk,
        CAST(COUNT(*) AS INTEGER) AS n_bytes,

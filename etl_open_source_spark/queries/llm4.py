@@ -26,9 +26,11 @@ from etl_open_source_spark.registry import query
     oracle="""
 WITH d AS (SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws FROM documents),
 g AS (
+  -- correlated series (unnest form): exact at ANY document length —
+  -- the old fixed GENERATE_SERIES(1, 2048) silently truncated long
+  -- docs (caught by the round-10 multi-MB-document axis)
   SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
-  FROM d, GENERATE_SERIES(1, 2048) AS t(i)
-  WHERE i <= LEN(ws) - 1
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, LEN(ws) - 1)) AS i FROM d)
 ),
 c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
 SELECT doc_id,
@@ -46,8 +48,10 @@ def q_text_rep_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition filters, Rae et al. 2021 §A1.1) — high values flag
     templated/spammy docs. Grams never cross docs, so both aggregates
     combine map-side and skew is bounded by doc length at any corpus
-    size. The oracle's 2048-position series bounds fixture docs (≤100
-    words); the engine has no such bound."""
+    size. The oracle's position series is CORRELATED (unnest of
+    generate_series over each doc's own length), so the differential is
+    exact at any document length — the multi-MB axis runs it on
+    200 KB+ docs."""
     d = load_table(spark, sf_dir, "documents")
     return C.rep_ngram_stats(d, "doc_id", "text", n=2)
 

@@ -483,11 +483,11 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ts_anomaly",
     oracle="""
 WITH med AS (
-  SELECT user_id, MEDIAN(value) AS med
+  SELECT user_id, ROUND(MEDIAN(value), 6) AS med
   FROM events GROUP BY user_id
 ),
 mad AS (
-  SELECT e.user_id, MEDIAN(ABS(e.value - m.med)) AS mad
+  SELECT e.user_id, ROUND(MEDIAN(ABS(e.value - m.med)), 6) AS mad
   FROM events e JOIN med m USING (user_id)
   GROUP BY e.user_id
 )
@@ -505,6 +505,21 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation) per user, flag |x - med| > 3 * 1.4826 * MAD — the standard
     robust z-score that, unlike the mean/stddev variant
     (q_quality_outliers), is not itself dragged by the outliers it hunts.
+
+    Boundary contract (round-10 float-boundary audit): MED and MAD are
+    interpolating medians feeding a strict ``>``, the same shape as
+    q_winsorize's round-9 QUANTILE_CONT catch. Probed directly, DuckDB
+    1.0.0's d=0.5 interpolation is bit-identical to Spark's factored
+    ``lo + d*(hi-lo)`` (the un-factored cancellation artifact appears
+    only at d∉{0,0.5,1}, e.g. QUANTILE_CONT(0.05) of equal 100001.0s →
+    100001.00000000001), so no divergence was observed here — but that
+    is an empirical, version-dependent coincidence, not a contract.
+    Both medians are therefore ROUNDED TO 6 on both sides BEFORE the
+    comparison, aligning with the engine-wide rule (never compare an
+    unrounded interpolated percentile); the comparison operands stay
+    unrounded (value − med and 4.4478·mad are the same IEEE ops on
+    identical inputs → bit-identical), avoiding the separate
+    ROUND-at-tie divergence class.
 
     Shape: two small per-key aggregates (exact median needs a sort-based
     agg — Spark's F.median, same interpolating semantics as DuckDB's
@@ -524,13 +539,13 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     med = (
         e.groupBy("user_id")
-        .agg(F.median("value").alias("med"))
+        .agg(F.round(F.median("value"), 6).alias("med"))
         .localCheckpoint(eager=True)
     )
     mad = (
         e.join(F.broadcast(med), "user_id")
         .groupBy("user_id")
-        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+        .agg(F.round(F.median(F.abs(F.col("value") - F.col("med"))), 6).alias("mad"))
     )
     stats = med.join(mad, "user_id")
     return (

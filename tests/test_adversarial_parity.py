@@ -90,6 +90,17 @@ def _events() -> pd.DataFrame:
     # u10: an EMPTY-STRING event type — a real '' path, distinct from
     # u9's NULL path (pins why NULLIF(path, '') would be the wrong fix)
     add(_ts(11), 10, "", 3.0)
+    # u11: constant LARGE-magnitude series with an EVEN count — the
+    # round-10 float-boundary-audit pin for q_ts_anomaly's boundary
+    # contract: MAD = 0 puts EVERY row's strict |x-med| > 4.4478*mad
+    # comparison exactly at the boundary, so any interpolation noise in
+    # med (the class that made QUANTILE_CONT(0.05) of equal 100001.0s
+    # return 100001.00000000001 in q_winsorize, round 9) would flag the
+    # whole group on one engine only. DuckDB's d=0.5 median happens to
+    # be exact today; both sides round med/mad to 6 so the contract
+    # doesn't depend on that coincidence.
+    for i in range(4):
+        add(_ts(12, hours=i), 11, "view", 100001.0)
     df = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
     )

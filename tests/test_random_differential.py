@@ -147,6 +147,12 @@ def events_negepoch_table(draw):
         pd.Timestamp("1969-12-31 22:58:00"),
         pd.Timestamp("1969-12-31 23:42:17"),
         pd.Timestamp("1969-12-31 23:42:17"),  # duplicate: ties
+        # exact epoch 0, DUPLICATED: as-of/session ties sitting ON the
+        # sign boundary of every epoch-seconds expression (round-10 axis
+        # seed) — 0 is the one value where truncate and floor agree but
+        # any <0 / <=0 pre-epoch branch condition flips
+        pd.Timestamp("1970-01-01 00:00:00"),
+        pd.Timestamp("1970-01-01 00:00:00"),
         pd.Timestamp("1970-01-01 00:10:00"),
     ]
     return _events_rows(draw, ts_pool)
@@ -301,6 +307,8 @@ def negepoch_pinned_df():
         pd.Timestamp("1969-12-31 22:58:00"),
         pd.Timestamp("1969-12-31 23:42:17"),
         pd.Timestamp("1969-12-31 23:42:17"),
+        pd.Timestamp("1970-01-01 00:00:00"),  # exact epoch 0, and
+        pd.Timestamp("1970-01-01 00:00:00"),  # duplicated: epoch-0 ties
         pd.Timestamp("1970-01-01 00:10:00"),
     ]
     users = [1, 2, None]
