@@ -10,6 +10,16 @@ division) is a single IEEE-754 op on identical inputs.
 
 The SQL-side mirror of each helper lives in the oracle strings
 (see queries/*). Keep the two in sync.
+
+Exactness boundary (tests/test_decimal_boundary.py): the final
+``CAST(decimal AS DOUBLE)`` is cross-engine bit-identical only while the
+decimal's scaled integer |value·10^scale| < 2^53 — above that DuckDB
+1.0.0 double-rounds its int128→double conversion (1 ulp off the
+correctly-rounded value Spark produces). At scale 6 that bounds sums to
+~9.0e9: 17× above the largest sf0.01 driver-gate sum, but only 1.7×
+above sf0.1's. Under ANSI mode (the Spark 4.x default this engine runs
+with) an out-of-range money cast hard-errors on both engines rather
+than NULLing — pre-filter corrupt values with quality in_range checks.
 """
 
 from __future__ import annotations
