@@ -67,6 +67,7 @@ import pytest
 
 from etl_open_source_spark.registry import get_registry
 from tests.oracle_utils import assert_frames_match, run_oracle
+from tests.test_partition_hostility import hostile_conf  # noqa: F401
 
 REGISTRY = get_registry()
 
@@ -164,6 +165,19 @@ def test_decimal_to_double_cast_rounding_divergence():
         "SELECT CAST(CAST('-985999899.990514' AS DECIMAL(20,6)) AS DOUBLE)"
     ).fetchone()[0]
     assert small == float(Decimal("-985999899.990514"))
+
+
+@pytest.mark.parametrize("name", MONEY_QUERIES)
+def test_money_boundary_under_hostile_plan(hostile_conf, decmax_dir, name):
+    """Composed axis: boundary DATA × hostile PLAN (64 KB scan splits,
+    3-way shuffle fan-in, AQE off, 2-row Arrow batches). Decimal sums
+    are associative-exact, so ANY partition order must produce the same
+    result — this is the pin that the boundary values' exactness does
+    not depend on accumulation order, which is precisely what changes
+    between local[32] and a 1000-executor cluster."""
+    qd = REGISTRY[name]
+    got = qd.fn(hostile_conf, decmax_dir).toPandas()
+    assert_frames_match(got, run_oracle(qd.oracle, decmax_dir), float_decimals=2)
 
 
 def test_sum_headroom_at_decimal_boundary(spark, decmax_dir):
