@@ -45,6 +45,12 @@ def pagerank_integer(
     Nodes with no out-edges leak their mass (standard non-teleporting
     dangling behavior) — identical in the SQL oracle."""
     n = nodes.count()
+    if n == 0:
+        # Empty vertex universe (e.g. an empty day of facts): PageRank of
+        # nothing is nothing — return an empty (v, r) frame rather than
+        # dividing the teleport mass by zero. Oracle mirrors (its node CTE
+        # is empty, so every downstream join is too).
+        return nodes.select("v", F.lit(None).cast("bigint").alias("r")).limit(0)
     base = (15 * scale) // (100 * n)
     e = edges.withColumn(
         "wout", F.sum("w").over(Window.partitionBy("src"))

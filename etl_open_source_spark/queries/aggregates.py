@@ -197,12 +197,19 @@ SELECT o_orderstatus, o_orderpriority,
 {_ROLLUP_AGGS_SQL}
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+HAVING COUNT(*) > 0
 ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
 """,
     tags=("agg",),
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical subtotals — one shuffle produces all rollup levels."""
+    """Hierarchical subtotals — one shuffle produces all rollup levels.
+ Empty-input contract: Spark's Expand+keyed hash aggregate emits
+    NO rows over an empty table (ANSI would emit the () grand-total
+    row); the oracle mirrors with HAVING COUNT(*) > 0, which filters
+    nothing on non-empty input (every grouping-set row covers >= 1
+    source row) - pinned by tests/test_empty_input.py.
+    """
     o = load_table(spark, sf_dir, "orders")
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
@@ -223,12 +230,18 @@ SELECT o_orderstatus, o_orderpriority,
 {_ROLLUP_AGGS_SQL}
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
+HAVING COUNT(*) > 0
 ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
 """,
     tags=("agg",),
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All grouping combinations (CUBE)."""
+    """All grouping combinations (CUBE). Empty-input contract: Spark's Expand+keyed hash aggregate emits
+    NO rows over an empty table (ANSI would emit the () grand-total
+    row); the oracle mirrors with HAVING COUNT(*) > 0, which filters
+    nothing on non-empty input (every grouping-set row covers >= 1
+    source row) - pinned by tests/test_empty_input.py.
+    """
     o = load_table(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
@@ -249,13 +262,20 @@ SELECT o_orderstatus, o_orderpriority,
 {_ROLLUP_AGGS_SQL}
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+HAVING COUNT(*) > 0
 ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
 """,
     tags=("agg",),
 )
 def q_agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via Spark SQL — the engine's SQL-transformer
-    surface (SURVEY §2.B sql_transformer) in action."""
+    surface (SURVEY §2.B sql_transformer) in action.
+ Empty-input contract: Spark's Expand+keyed hash aggregate emits
+    NO rows over an empty table (ANSI would emit the () grand-total
+    row); the oracle mirrors with HAVING COUNT(*) > 0, which filters
+    nothing on non-empty input (every grouping-set row covers >= 1
+    source row) - pinned by tests/test_empty_input.py.
+    """
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
     return spark.sql(
         f"""

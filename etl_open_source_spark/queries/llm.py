@@ -323,8 +323,20 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost drops to ~1/8 of brute force. Rows-only; recall invariants pinned
     in tests (on a planted-cluster corpus, where bucketing has structure
     to exploit — the fixture's uniform-random vectors bound ANY 16-bucket
-    IVF's recall)."""
+    IVF's recall).
+
+    Empty-input contract: an empty corpus returns an empty result (no
+    queries exist either), mirroring q_sim_topk's natural empty-in/
+    empty-out — the quantizer is never trained, so kmeans_centroids'
+    empty-training-set ValueError (an operator-level contract for
+    explicit fit calls) is not reachable through the query surface. The
+    isEmpty() probe is a bounded first-row fetch, same sanctioned class
+    as the 1-row connection probes."""
     e = load_table(spark, sf_dir, "embeddings")
+    if e.isEmpty():
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, sim double, rnk bigint"
+        )
     centroids = S.kmeans_centroids(e, n=16, seed=42)
     queries = e.filter(F.col("vec_id") < 50)
     return S.ivf_topk(queries, e, centroids, k=5, nprobe=2).withColumnRenamed("rank", "rnk")

@@ -202,8 +202,8 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_compact_files",
     oracle="""
-SELECT CAST(LEAST(64, COUNT(*)) AS INT) AS files_small,
-       CAST(LEAST(4, COUNT(*)) AS INT) AS files_compacted,
+SELECT CAST(GREATEST(1, LEAST(64, COUNT(*))) AS INT) AS files_small,
+       CAST(GREATEST(1, LEAST(4, COUNT(*))) AS INT) AS files_compacted,
        COUNT(*) AS n_rows,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
 FROM lineitem
@@ -222,10 +222,13 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     (supported by the operator; the query pins n=4 for determinism) is
     what keeps scan task counts and file-listing costs sane. Round-robin
     repartition — not coalesce — so output files are even-sized under
-    input skew. The oracle's file counts are LEAST(n, rows): an empty
-    round-robin partition writes no file, so a table smaller than the
-    partition count produces one file per row (seen on the randomized
-    micro-fixtures; at any real scale the counts are 64/4)."""
+    input skew. The oracle's file counts are GREATEST(1, LEAST(n, rows)):
+    an empty round-robin partition writes no file, so a table smaller
+    than the partition count produces one file per row (seen on the
+    randomized micro-fixtures; at any real scale the counts are 64/4) —
+    EXCEPT a fully empty table, where Spark's FileFormatWriter still
+    emits exactly one schema-carrying empty part file (the empty-input
+    axis pins this floor of 1)."""
     small_dir = _tmp(sf_dir, "lineitem_small")
     compact_dir = _tmp(sf_dir, "lineitem_compacted")
     src = load_table(spark, sf_dir, "lineitem").select(
@@ -351,7 +354,11 @@ def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_parquet(
         fixed, dest, mode="overwrite_partitions", partition_by=["o_orderstatus"]
     )
-    back = spark.read.parquet(dest)
+    # explicit schema on the read-back: an EMPTY source writes no
+    # partition directories at all, and schema inference on the bare
+    # dest dir raises UNABLE_TO_INFER_SCHEMA where the schema-carrying
+    # read returns a valid empty frame (the empty-backfill-day case)
+    back = spark.read.schema(src.schema).parquet(dest)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("o_totalprice").cast("decimal(18,4)"))

@@ -245,11 +245,16 @@ def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     The filter must resolve as a PARTITION filter (directory pruning at
     planning time — tests/test_plan_shape.py pins PartitionFilters in
     the scan), not a row predicate: at 100 TB the difference is reading
-    one partition's files vs scanning everything and discarding 2/3."""
+    one partition's files vs scanning everything and discarding 2/3.
+    The read-back passes the source schema explicitly (the empty-input
+    partitioned-write class: zero rows → zero partition dirs → schema
+    inference crashes where the schema-carrying read returns empty);
+    partition discovery still runs off the directories, so the
+    PartitionFilters pin is unaffected."""
     src = load_table(spark, sf_dir, "orders")
     path = _tmp(sf_dir, "orders_part_pruned")
     write_parquet(src, path, mode="replace", partition_by=["o_orderstatus"])
-    back = read_parquet(spark, path)
+    back = read_parquet(spark, path, schema=src.schema)
     return (
         back.filter(F.col("o_orderstatus") == "F")
         .groupBy("o_orderpriority")

@@ -168,6 +168,7 @@ SELECT STRFTIME(DATE_TRUNC('month', ts), '%Y-%m') AS b_month,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
 FROM events
 GROUP BY ROLLUP(b_month, b_day, b_hour)
+HAVING COUNT(*) > 0
 """,
     tags=("timeseries", "agg"),
 )
@@ -177,7 +178,13 @@ def q_ts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuous-aggregate materialization without re-scanning per
     granularity. Buckets formatted as strings (not timestamps) so NULL
     super-aggregate rows are engine-portable; grouping_id labels the
-    level. Decimal sums keep the double fold order-independent."""
+    level. Decimal sums keep the double fold order-independent.
+ Empty-input contract: Spark's Expand+keyed hash aggregate emits
+    NO rows over an empty table (ANSI would emit the () grand-total
+    row); the oracle mirrors with HAVING COUNT(*) > 0, which filters
+    nothing on non-empty input (every grouping-set row covers >= 1
+    source row) - pinned by tests/test_empty_input.py.
+    """
     e = load_table(spark, sf_dir, "events")
     b_month = F.date_format(F.date_trunc("month", "ts"), "yyyy-MM")
     b_day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
