@@ -9,6 +9,11 @@ order-sensitive registered queries and compared against their oracles on
 the same parquet. Examples are few and small (each costs a Spark job);
 the generator is biased hard toward ties (timestamps drawn from a 4-value
 pool) because tie resolution is the historical bug source.
+
+Row-count floors are 0 (round 10): the empty-input axis
+(test_empty_input.py) proved all 240 oracled queries agree at zero rows,
+so every generator may now draw empty and near-empty (n=1, n=2) tables —
+folding the tiny-table class into the fresh-draw soak permanently.
 """
 
 from __future__ import annotations
@@ -88,7 +93,7 @@ def _events_rows(draw, ts_pool):
     """Shared row builder for the events-shaped generators: only the
     timestamp pool differs between the 2024 tie-heavy table and the
     epoch-straddling variant."""
-    n = draw(st.integers(3, 25))
+    n = draw(st.integers(0, 25))
     rows = []
     for i in range(n):
         rows.append(
@@ -395,7 +400,7 @@ ORDER_QUERIES = [
 
 @st.composite
 def orders_table(draw):
-    n = draw(st.integers(3, 25))
+    n = draw(st.integers(0, 25))
     date_pool = [
         None,  # NULL dates: no cohort/activity, and a window-sort hazard
         pd.Timestamp("1995-01-01"),
@@ -494,7 +499,7 @@ DOC_QUERIES = [
 
 @st.composite
 def documents_table(draw):
-    n = draw(st.integers(2, 12))
+    n = draw(st.integers(0, 12))
     # fragments biased toward tokenizer/hash edge content: whitespace
     # runs, unicode, punctuation, repeats, digits
     frags = [
@@ -581,7 +586,7 @@ def relational_tables(draw):
     measures/segments, and values pinned to the queries' own filter
     boundaries (5000/8000 acctbal; 100000/150000/300000/400000/1000000
     price bands)."""
-    n_c = draw(st.integers(2, 10))
+    n_c = draw(st.integers(0, 10))
     c_rows = []
     for _ in range(n_c):
         c_rows.append(
@@ -608,7 +613,7 @@ def relational_tables(draw):
     cust["c_custkey"] = cust["c_custkey"].astype("Int64")
     cust["c_nationkey"] = cust["c_nationkey"].astype("int32")
 
-    n_o = draw(st.integers(3, 24))
+    n_o = draw(st.integers(0, 24))
     date_pool = [
         pd.Timestamp("1995-01-01"),
         pd.Timestamp("1995-01-01"),
@@ -711,7 +716,7 @@ def lineitem_table(draw):
     the exact predicate boundaries (Q6's discount [0.05,0.07] / qty<24 /
     shipdate half-open year; Q1's shipdate <= 1998-09-02; the histogram's
     5000-wide bins and 19-cap)."""
-    n = draw(st.integers(2, 20))
+    n = draw(st.integers(0, 20))
     ship_pool = [
         None,
         pd.Timestamp("1993-12-31"),
@@ -838,7 +843,7 @@ def tpch_database(draw):
         columns=["n_nationkey", "n_name", "n_regionkey"],
     )
 
-    n_p = draw(st.integers(3, 6))
+    n_p = draw(st.integers(0, 6))
     part = pd.DataFrame(
         [
             (
@@ -862,7 +867,7 @@ def tpch_database(draw):
                  "p_retailprice"],
     )
 
-    n_s = draw(st.integers(2, 4))
+    n_s = draw(st.integers(0, 4))
     supplier = pd.DataFrame(
         [
             (
@@ -876,7 +881,7 @@ def tpch_database(draw):
         columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
     )
 
-    n_c = draw(st.integers(3, 7))
+    n_c = draw(st.integers(0, 7))
     customer = pd.DataFrame(
         [
             (
@@ -911,7 +916,7 @@ def tpch_database(draw):
         pd.Timestamp("1998-03-15"),
         pd.Timestamp("1999-01-01"),
     ]
-    n_o = draw(st.integers(4, 12))
+    n_o = draw(st.integers(0, 12))
     orders = pd.DataFrame(
         [
             (
@@ -951,7 +956,7 @@ def tpch_database(draw):
         pd.Timestamp("1998-03-15"),
         pd.Timestamp("1998-03-16"),
     ]
-    n_l = draw(st.integers(5, 20))
+    n_l = draw(st.integers(0, 20))
     lineitem = pd.DataFrame(
         [
             (
@@ -1244,7 +1249,7 @@ def embeddings_table(draw):
     # components) — the usable_norm drop / NULL-propagation contracts.
     # NULL embeddings, NULL labels, and NULL vec_ids exercise the
     # pinned NULL contracts.
-    n = draw(st.integers(2, 10))
+    n = draw(st.integers(0, 10))
     pat = [
         [1.0 if j == 0 else 0.0 for j in range(_EMB_DIM)],
         [1.0 if j == 1 else 0.0 for j in range(_EMB_DIM)],
