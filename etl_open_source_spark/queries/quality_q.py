@@ -180,37 +180,37 @@ def q_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT 'lineitem.l_orderkey->orders' AS edge,
        COUNT(*) AS n_rows,
        COUNT(DISTINCT l_orderkey) AS n_keys,
-       CAST(COALESCE(SUM(CASE WHEN l_orderkey NOT IN (SELECT o_orderkey FROM orders) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
+       CAST(COALESCE(SUM(CASE WHEN l_orderkey IS NOT NULL AND l_orderkey NOT IN (SELECT o_orderkey FROM orders) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
 FROM lineitem
 UNION ALL
 SELECT 'lineitem.l_partkey->part',
        COUNT(*), COUNT(DISTINCT l_partkey),
-       CAST(COALESCE(SUM(CASE WHEN l_partkey NOT IN (SELECT p_partkey FROM part) THEN 1 ELSE 0 END), 0) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN l_partkey IS NOT NULL AND l_partkey NOT IN (SELECT p_partkey FROM part) THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM lineitem
 UNION ALL
 SELECT 'lineitem.l_suppkey->supplier',
        COUNT(*), COUNT(DISTINCT l_suppkey),
-       CAST(COALESCE(SUM(CASE WHEN l_suppkey NOT IN (SELECT s_suppkey FROM supplier) THEN 1 ELSE 0 END), 0) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN l_suppkey IS NOT NULL AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier) THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM lineitem
 UNION ALL
 SELECT 'orders.o_custkey->customer',
        COUNT(*), COUNT(DISTINCT o_custkey),
-       CAST(COALESCE(SUM(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END), 0) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM orders
 UNION ALL
 SELECT 'customer.c_nationkey->nation',
        COUNT(*), COUNT(DISTINCT c_nationkey),
-       CAST(COALESCE(SUM(CASE WHEN c_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 ELSE 0 END), 0) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN c_nationkey IS NOT NULL AND c_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM customer
 UNION ALL
 SELECT 'supplier.s_nationkey->nation',
        COUNT(*), COUNT(DISTINCT s_nationkey),
-       CAST(COALESCE(SUM(CASE WHEN s_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 ELSE 0 END), 0) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN s_nationkey IS NOT NULL AND s_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM supplier
 UNION ALL
 SELECT 'nation.n_regionkey->region',
        COUNT(*), COUNT(DISTINCT n_regionkey),
-       CAST(COALESCE(SUM(CASE WHEN n_regionkey NOT IN (SELECT r_regionkey FROM region) THEN 1 ELSE 0 END), 0) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN n_regionkey IS NOT NULL AND n_regionkey NOT IN (SELECT r_regionkey FROM region) THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM nation
 """,
     tags=("quality",),
@@ -230,7 +230,13 @@ def q_quality_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adversarial fixture's NULL o_custkey row pins. Empty-child-table
     contract: 0 orphans, not NULL — the engine's count(when(...)) is 0
     over zero rows where a bare SUM(CASE...) is NULL, so the oracle
-    wraps each orphan sum in COALESCE(..., 0) (empty-input axis)."""
+    wraps each orphan sum in COALESCE(..., 0) (empty-input axis).
+    Empty-PARENT-table contract (zero-floor soak catch): the oracle's
+    NOT IN needs an explicit IS NOT NULL guard on the child key —
+    `NULL NOT IN (empty set)` is TRUE in SQL (no comparisons happen),
+    so a bare NOT IN counts NULL children as orphans exactly when the
+    parent table is empty, violating MATCH SIMPLE; the guard restores
+    the contract for every parent cardinality."""
     from pyspark.sql import functions as F
 
     from etl_open_source_spark.catalog import FK_GRAPH
