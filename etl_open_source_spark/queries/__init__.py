@@ -10,6 +10,14 @@ Policy, in priority order: (1) queries never yet inside a driver window,
 last green row, (4) re-checks of the oldest evidence. Every rotation is
 pre-verified locally against DuckDB at sf0.01 before the round ends.
 
+Round-10 closing evidence (after the empty-input-axis session's fixes —
+the last engine/oracle change is the q_quality_fk NOT-IN NULL guard):
+full-registry sf0.01 sweep 251/251 (240 exact + 11 rows-only, 4:05);
+the rotated 50-slot window re-swept at sf0.1 50/50 (47 exact + 3
+rows-only); FULL registry swept at sf0.1 for the first time — 251/251
+(240 exact + 11 rows-only, 19:29); complete pytest suite 2315/2315;
+soak 9/9 clean fresh-draw iterations post-fix (zero-floor generators).
+
 Round-9 evidence: full-registry sf0.01 sweep after the ADVICE-r8 fixes,
 the sink representation extensions, and the q_sim_pq_codes registration
 — 240 exact-pass + 11 rows-only by design, 0 failures of 251; the

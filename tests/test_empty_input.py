@@ -82,3 +82,44 @@ def test_empty_input(spark, empty_dir, name):
             f"{name}: empty corpus must produce an empty result by the "
             f"empty-in/empty-out contract, got {len(res)} rows"
         )
+
+
+def test_fk_audit_empty_parent_null_children(spark, tmp_path, sf_dir):
+    """Deterministic pin of the zero-floor soak catch: with an EMPTY
+    parent table, SQL's `x NOT IN (empty set)` is TRUE even for x = NULL
+    (no comparisons happen), so a bare NOT IN oracle counts NULL child
+    keys as orphans — violating the engine's documented MATCH SIMPLE
+    contract (a NULL FK is never an orphan). The oracle now guards each
+    orphan predicate with `child IS NOT NULL`; this fixture (empty
+    customer, orders with 2 NULL + 3 non-NULL custkeys) diverges 5 vs 7
+    without the guard."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "fk_empty_parent"
+    d.mkdir()
+    for t in TABLES:
+        schema = pq.read_schema(f"{sf_dir}/{t}.parquet")
+        if t == "orders":
+            orders = pd.DataFrame(
+                {
+                    "o_orderkey": [0, 1, 2, 3, 4],
+                    "o_custkey": pd.array([1, 99, 0, None, None], dtype="Int64"),
+                    "o_orderstatus": ["F", "O", "F", "O", "F"],
+                    "o_totalprice": [10.0, 20.0, 30.0, 40.0, 50.0],
+                    "o_orderdate": pd.to_datetime(["1996-01-01"] * 5),
+                    "o_orderpriority": ["1-URGENT"] * 5,
+                }
+            )
+            tbl = pa.Table.from_pandas(orders, preserve_index=False)
+            # reconcile to the production schema's field order/types
+            tbl = tbl.select(schema.names).cast(schema)
+            pq.write_table(tbl, d / f"{t}.parquet")
+        else:
+            pq.write_table(schema.empty_table(), d / f"{t}.parquet")
+    qd = REGISTRY["q_quality_fk"]
+    got = qd.fn(spark, str(d)).toPandas()
+    assert_frames_match(got, run_oracle(qd.oracle, str(d)))
+    row = got[got["edge"] == "orders.o_custkey->customer"].iloc[0]
+    assert int(row["n_orphans"]) == 3  # the NULL custkeys are NOT orphans
