@@ -84,3 +84,18 @@ def sql_dsum(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) / COUNT({expr})"
+
+
+def finite_or_null(c: Column | str) -> Column:
+    """NULL out non-finite doubles (NaN/±Inf) — the corrupt-measure
+    ingestion contract for double-arithmetic queries.
+
+    Spark's ANSI decimal cast already maps non-finite to NULL silently
+    (probed: CAST(NaN/±Inf AS DECIMAL) → NULL even with ansi on, while
+    finite out-of-range values hard-error), so every decimal-fold query
+    drops corrupt measures by mechanism; this helper gives the
+    double-path queries (median/MAD, PSI bins, interval windows) the
+    SAME semantics explicitly. Oracle mirror: CASE WHEN ISFINITE(x)
+    THEN x END."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.when(~F.isnan(col) & (F.abs(col) != F.lit(float("inf"))), col)

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_open_source_spark.catalog import load_table
+from etl_open_source_spark.functions.numeric import finite_or_null
 from etl_open_source_spark.registry import query
 
 
@@ -22,7 +23,7 @@ from etl_open_source_spark.registry import query
 WITH daily AS (
   SELECT event_type,
          STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
-         SUM(CAST(value AS DECIMAL(18,4))) AS x
+         SUM(CAST(CASE WHEN ISFINITE(value) THEN value END AS DECIMAL(18,4))) AS x
   FROM events GROUP BY 1, 2
 ),
 cum AS (
@@ -195,16 +196,22 @@ def q_skew_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_join_interval_overlap",
     oracle="""
-WITH e AS (
+WITH ev_f AS (
+  -- non-finite window lengths NULL at ingestion (same-named CTE would
+  -- bind circularly in DuckDB)
+  SELECT * REPLACE (CASE WHEN ISFINITE(value) THEN value END AS value)
+  FROM events
+),
+e AS (
   SELECT event_id AS err_id, ts AS es,
          ts + CAST(FLOOR(value) AS BIGINT) * INTERVAL 1 MINUTE AS ee
-  FROM events WHERE event_type = 'error'
+  FROM ev_f WHERE event_type = 'error'
     AND ts + CAST(FLOOR(value) AS BIGINT) * INTERVAL 1 MINUTE >= ts
 ),
 p AS (
   SELECT event_id AS buy_id, ts AS ps,
          ts + CAST(FLOOR(value) AS BIGINT) * INTERVAL 1 MINUTE AS pe
-  FROM events WHERE event_type = 'purchase'
+  FROM ev_f WHERE event_type = 'purchase'
     AND ts + CAST(FLOOR(value) AS BIGINT) * INTERVAL 1 MINUTE >= ts
 )
 SELECT err_id, buy_id,
@@ -226,10 +233,18 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     invalid intervals and DROPPED — the operator's documented contract
     (rangejoin.py) — and the oracle now mirrors the drop (caught by the
     randomized events differential: a naive theta join would still match
-    them)."""
+    them).
+
+    Corrupt-measure contract (round-10 non-finite axis): NaN/±Inf window
+    lengths NULL at ingestion — the NULL window end then fails the
+    ``ee >= ts`` validity predicate and the row drops, extending the
+    inverted-window drop contract (both engines previously hard-errored
+    casting FLOOR(±Inf) into the interval arithmetic)."""
     from etl_open_source_spark.operators.rangejoin import interval_overlap_join
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value", finite_or_null("value")
+    )
     win = F.expr("ts + make_dt_interval(0, 0, floor(value), 0)")
     e = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("err_id"), F.col("ts").alias("es"), win.alias("ee")
@@ -249,7 +264,9 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_quality_psi",
     oracle="""
 WITH e AS (
-  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day, value FROM events
+  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+         CASE WHEN ISFINITE(value) THEN value END AS value
+  FROM events
 ),
 bounds AS (
   SELECT event_type,
@@ -311,11 +328,15 @@ def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. Bins with either side empty are excluded (reported via
     n_bins_used). Shape: two broadcast-sized aggregates (split day,
     ref-range per type) joined back onto one corpus scan, then a
-    type x bin cell aggregate — the corpus shuffles once."""
+    type x bin cell aggregate — the corpus shuffles once.
+
+    Corrupt-measure contract (round-10 non-finite axis): NaN/±Inf values
+    NULL at ingestion (finite_or_null / ISFINITE both sides) — a NaN
+    otherwise poisons the reference range (mx), collapsing every bin."""
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.date_trunc("day", "ts").cast("date").alias("day"),
-        "value",
+        finite_or_null("value").alias("value"),
     )
     bounds = e.groupBy("event_type").agg(
         F.date_add(
@@ -384,7 +405,7 @@ WITH daily AS (
   SELECT event_type,
          STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
          CAST(DAYOFWEEK(DATE_TRUNC('day', ts)) AS BIGINT) AS dow,
-         SUM(CAST(value AS DECIMAL(18,4))) AS x
+         SUM(CAST(CASE WHEN ISFINITE(value) THEN value END AS DECIMAL(18,4))) AS x
   FROM events GROUP BY 1, 2, 3
 ),
 tr AS (
@@ -576,7 +597,7 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT event_type,
          STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
-         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+         CAST(SUM(CAST(CASE WHEN ISFINITE(value) THEN value END AS DECIMAL(18,4))) AS DOUBLE) AS x
   FROM events GROUP BY 1, 2
 ),
 lagged AS (

@@ -233,10 +233,13 @@ def q_quality_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH p AS (
   SELECT event_type,
-         CAST(value AS DECIMAL(18,4)) AS v1,
-         CAST(ROUND(value * value, 4) AS DECIMAL(38,4)) AS v2,
-         CAST(ROUND((value * value) * value, 4) AS DECIMAL(38,4)) AS v3,
-         CAST(ROUND((value * value) * (value * value), 4) AS DECIMAL(38,4)) AS v4
+         CAST(CASE WHEN ISFINITE(value) THEN value END AS DECIMAL(18,4)) AS v1,
+         CAST(CASE WHEN ISFINITE(value * value)
+              THEN ROUND(value * value, 4) END AS DECIMAL(38,4)) AS v2,
+         CAST(CASE WHEN ISFINITE((value * value) * value)
+              THEN ROUND((value * value) * value, 4) END AS DECIMAL(38,4)) AS v3,
+         CAST(CASE WHEN ISFINITE((value * value) * (value * value))
+              THEN ROUND((value * value) * (value * value), 4) END AS DECIMAL(38,4)) AS v4
   FROM events
 ),
 s AS (

@@ -23,7 +23,7 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
        event_type,
        COUNT(*) AS cnt,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(CASE WHEN ISFINITE(value) THEN value END AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2, 3
 ORDER BY window_start, event_type
@@ -101,7 +101,7 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) AS last_event_ts,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(CASE WHEN ISFINITE(value) THEN value END AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id, session_start

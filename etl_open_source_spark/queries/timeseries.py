@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_open_source_spark.catalog import load_table
+from etl_open_source_spark.functions.numeric import finite_or_null
 from etl_open_source_spark.registry import query
 
 
@@ -17,7 +18,7 @@ from etl_open_source_spark.registry import query
 WITH hourly AS (
   SELECT user_id, DATE_TRUNC('hour', ts) AS hour,
          COUNT(*) AS cnt,
-         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS hour_sum
+         CAST(SUM(CAST(CASE WHEN ISFINITE(value) THEN value END AS DECIMAL(18,4))) AS DOUBLE) AS hour_sum
   FROM events GROUP BY 1, 2
 ),
 bounds AS (
@@ -165,7 +166,7 @@ SELECT STRFTIME(DATE_TRUNC('month', ts), '%Y-%m') AS b_month,
                      STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d'),
                      STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:00')) AS BIGINT) AS lvl,
        COUNT(*) AS cnt,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+       CAST(SUM(CAST(CASE WHEN ISFINITE(value) THEN value END AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
 FROM events
 GROUP BY ROLLUP(b_month, b_day, b_hour)
 HAVING COUNT(*) > 0
@@ -280,7 +281,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH hourly AS (
   SELECT user_id, DATE_TRUNC('hour', ts) AS hour,
-         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS hour_sum
+         CAST(SUM(CAST(CASE WHEN ISFINITE(value) THEN value END AS DECIMAL(18,4))) AS DOUBLE) AS hour_sum
   FROM events GROUP BY 1, 2
 ),
 bounds AS (
@@ -489,19 +490,25 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ts_anomaly",
     oracle="""
-WITH med AS (
+WITH ev_f AS (
+  -- non-finite measures NULL at ingestion (DuckDB cannot shadow a view
+  -- with a same-named CTE: that binds as a circular reference)
+  SELECT * REPLACE (CASE WHEN ISFINITE(value) THEN value END AS value)
+  FROM events
+),
+med AS (
   SELECT user_id, ROUND(MEDIAN(value), 6) AS med
-  FROM events GROUP BY user_id
+  FROM ev_f GROUP BY user_id
 ),
 mad AS (
   SELECT e.user_id, ROUND(MEDIAN(ABS(e.value - m.med)), 6) AS mad
-  FROM events e JOIN med m USING (user_id)
+  FROM ev_f e JOIN med m USING (user_id)
   GROUP BY e.user_id
 )
 SELECT e.event_id, e.user_id, e.value,
        ROUND(m.med, 4) AS med, ROUND(d.mad, 4) AS mad,
        ABS(e.value - m.med) > 4.4478 * d.mad AS is_anomaly
-FROM events e
+FROM ev_f e
 JOIN med m USING (user_id)
 JOIN mad d USING (user_id)
 """,
@@ -542,8 +549,15 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins broadcast; the corpus itself is never shuffled. At 100 TB with
     high-cardinality keys, swap exact median for approx_percentile(0.5)
     (q_agg_approx_percentile) and the chain collapses to one
-    map-side-combinable aggregate."""
-    e = load_table(spark, sf_dir, "events")
+    map-side-combinable aggregate.
+
+    Corrupt-measure contract (round-10 non-finite axis): NaN/±Inf values
+    are NULLed at ingestion (functions/numeric.py finite_or_null; oracle
+    mirrors with ISFINITE) — a single corrupt float otherwise drags the
+    median/MAD to ±Inf differently per engine."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "value", finite_or_null("value")
+    )
     med = (
         e.groupBy("user_id")
         .agg(F.round(F.median("value"), 6).alias("med"))
@@ -704,7 +718,7 @@ WITH seq AS (
 ),
 seg AS (
   SELECT user_id,
-         CAST(value AS DECIMAL(18,4))
+         CAST(CASE WHEN ISFINITE(value) THEN value END AS DECIMAL(18,4))
            * CAST(DATE_DIFF('second', ts, next_ts) AS BIGINT) AS weighted,
          CAST(DATE_DIFF('second', ts, next_ts) AS BIGINT) AS dur
   FROM seq WHERE next_ts IS NOT NULL
@@ -810,7 +824,7 @@ def q_ts_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT event_type,
          STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
-         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+         CAST(SUM(CAST(CASE WHEN ISFINITE(value) THEN value END AS DECIMAL(18,4))) AS DOUBLE) AS x
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, day, ROUND(x, 4) AS daily_value,
@@ -867,7 +881,7 @@ def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT event_type,
          STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
-         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+         CAST(SUM(CAST(CASE WHEN ISFINITE(value) THEN value END AS DECIMAL(18,4))) AS DOUBLE) AS x
   FROM events GROUP BY 1, 2
 ),
 w AS (

@@ -126,7 +126,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id, user_id,
        epoch_us(ts) // 1000000 AS ts_sec,
        CAST(COUNT(*) OVER w AS BIGINT) AS cnt_1h,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+       CAST(SUM(CAST(CASE WHEN ISFINITE(value) THEN value END AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
