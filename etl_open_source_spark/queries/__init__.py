@@ -17,6 +17,10 @@ the rotated 50-slot window re-swept at sf0.1 50/50 (47 exact + 3
 rows-only); FULL registry swept at sf0.1 for the first time — 251/251
 (240 exact + 11 rows-only, 19:29); complete pytest suite 2315/2315;
 soak 9/9 clean fresh-draw iterations post-fix (zero-floor generators).
+The same session then seeded the non-finite-measures axis (17 catches,
+contracts pinned — SURVEY §5.13) and re-closed on the final tree: full
+suite 2558/2558 (now incl. the 242-case axis), changed-query parity
+re-verified at sf0.001+sf0.01, fresh post-fix soak ledger in SURVEY §5.
 
 Round-9 evidence: full-registry sf0.01 sweep after the ADVICE-r8 fixes,
 the sink representation extensions, and the q_sim_pq_codes registration
@@ -97,38 +101,48 @@ _MODULES = [
     "drift",
 ]
 
-# Round-10 rotation (VERDICT r9 item #1). Leads: the two rows whose
-# engine+oracle expressions were edited by the round-9 soak fix (commit
-# 98c61c4 — QUANTILE_CONT clamp-boundary rounding) AFTER their last
-# driver rows (r6): q_winsorize and q_skew_key_stats. Then the ENTIRE
-# r4-evidence cohort (38 rows — catalog family, q_cdc_apply,
-# q_agg_percentile, the r4 dedup/cluster rows, subquery pair, ...),
-# clearing r4 completely. The remaining 10 slots start the r5 cohort
-# (oldest after this rotation), exact-oracle rows first; the other 23
-# r5 rows queue for round 11. All 50 pre-verified locally against
-# DuckDB at sf0.01 before the round ends (see the evidence ledger
-# above).
+# Round-10 rotation, FINAL (re-cut late in the round per the window
+# policy's own priority order — changed-code rows outrank
+# oldest-evidence refresh). Leads: q_winsorize + q_skew_key_stats
+# (VERDICT r9 item 1: the r9 soak fix edited both after their r6 driver
+# rows). Then the 24 exact-oracled queries whose engine or oracle
+# expressions changed THIS round (the empty-input axis pins — rollup
+# family HAVING, FK-audit COALESCE + NOT-IN NULL guard, compaction
+# file-count floor, pagerank empty guard, the two partitioned-sink
+# schema-carrying reads — and the non-finite axis mirrors — 13 ISFINITE
+# decimal sites, skew_kurt power guards, the anomaly/PSI/interval
+# finite_or_null trio), including the three r4-cohort members
+# (gapfill/interpolate/ts_rollup) that changed too. The remaining 24
+# slots keep the oldest r4-evidence rows. Displaced to round 11: 11 r4
+# rows (doc_chunk, filter_not_in_nulls, fn_bitwise, fn_string2,
+# pack_concat, pii_redact, sanitize_nulls, sink_append, sink_replace,
+# text_bigrams, unpivot) and the 10-row r5 head — all unchanged since
+# their last green row, so aging only. The three changed ANN queries
+# (q_sim_ann/pq/ivfpq empty guards) stay outside: their driver check is
+# rows-only and the guard is unreachable on non-empty sf fixtures.
+# All 50 pre-verified against DuckDB at sf0.01 on the final tree.
 _VERIFY_FIRST = [
-    # --- changed-code leads (VERDICT r9 item 1: soak fix 98c61c4
-    #     edited both expressions after their r6 driver rows)
+    # --- r9-soak-fix leads (VERDICT r9 item 1)
     "q_winsorize", "q_skew_key_stats",
-    # --- the full r4-evidence cohort (oldest vintage; clears r4)
+    # --- changed THIS round: empty-input axis pins
+    "q_agg_rollup", "q_agg_cube", "q_agg_groupingsets", "q_ts_rollup",
+    "q_quality_fk", "q_compact_files", "q_graph_pagerank",
+    "q_scan_partition_pruned", "q_sink_partition_overwrite",
+    # --- changed THIS round: non-finite-measures axis mirrors
+    "q_ts_gapfill", "q_ts_interpolate", "q_ts_twap",
+    "q_ts_rolling_median", "q_ts_hampel", "q_ts_cusum",
+    "q_ts_stl_decompose", "q_ts_autocorr", "q_window_tumbling",
+    "q_window_session", "q_window_range_frame", "q_agg_skew_kurt",
+    "q_quality_psi", "q_ts_anomaly", "q_join_interval_overlap",
+    # --- r4-evidence cohort (oldest vintage; 11 displaced rows queue r11)
     "q_agg_approx_percentile", "q_agg_percentile", "q_agg_salted",
     "q_catalog_fk_graph", "q_catalog_list_columns", "q_catalog_list_tables",
     "q_catalog_table_schema", "q_cdc_apply", "q_dedup_clusters",
-    "q_dedup_embedding", "q_dedup_keep", "q_dedup_simhash", "q_doc_chunk",
-    "q_filter_not_in_nulls", "q_fn_bitwise", "q_fn_string2", "q_funnel",
-    "q_histogram", "q_join_range_bucketed", "q_join_skew_salted",
-    "q_merge_upsert", "q_multimodal_decode", "q_pack_concat",
-    "q_pii_redact", "q_profile_columns", "q_quality_checks",
-    "q_quality_outliers", "q_sanitize_nulls", "q_scd2", "q_sink_append",
-    "q_sink_replace", "q_subquery_correlated", "q_subquery_scalar",
-    "q_text_bigrams", "q_ts_gapfill", "q_ts_interpolate", "q_ts_rollup",
-    "q_unpivot",
-    # --- r5 cohort head (exact-oracle rows first; 23 r5 rows queue r11)
-    "q_dedup_ngram", "q_except_all", "q_filter_compare", "q_filter_in",
-    "q_fn_date2", "q_fn_null_pack", "q_fn_regex", "q_fn_variant",
-    "q_intersect_all", "q_join_inner",
+    "q_dedup_embedding", "q_dedup_keep", "q_dedup_simhash",
+    "q_funnel", "q_histogram", "q_join_range_bucketed",
+    "q_join_skew_salted", "q_merge_upsert", "q_multimodal_decode",
+    "q_profile_columns", "q_quality_checks", "q_quality_outliers",
+    "q_scd2", "q_subquery_correlated", "q_subquery_scalar",
 ]
 
 # (Prior rotations: see git history of this file.)
