@@ -17,6 +17,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
+class EmptyTrainingSet(ValueError):
+    """No usable vectors remain to fit a quantizer (empty corpus, or every
+    vector dropped by the zero-norm policy / sampling). A distinct type so
+    query surfaces can map it to their empty-in/empty-out contract without
+    masking other ValueErrors (e.g. a dim % m mismatch) — the fit's own
+    first-row probe doubles as the emptiness check, so callers don't pay a
+    separate isEmpty() action on every non-empty run (ADVICE r10)."""
+
+
 def as_double(vec) -> Column:
     col = F.col(vec) if isinstance(vec, str) else vec
     return F.transform(col, lambda x: x.cast("double"))
@@ -173,7 +182,7 @@ def _mean_vector(ds: DataFrame, op: str) -> list[float]:
     # 1-row emptiness probe (sanctioned bounded fetch): Summarizer's JVM
     # buffer throws an opaque IllegalArgumentException on empty input.
     if ds.first() is None:
-        raise ValueError(
+        raise EmptyTrainingSet(
             f"{op}: empty training set — no usable vectors remain after the "
             "zero-norm drop / sampling; nothing to fit"
         )
@@ -392,7 +401,7 @@ def pq_train(
     v = v.select(nv.alias("v")).persist()
     first = v.first()
     if first is None:
-        raise ValueError(
+        raise EmptyTrainingSet(
             "pq_train: empty training set — no usable vectors remain after "
             "the zero-norm drop / sampling; nothing to fit"
         )

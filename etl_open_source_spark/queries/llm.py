@@ -114,9 +114,9 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle mirrors the cap (HAVING COUNT(*) <= 100), and doc sizes are
     computed after the drop on both sides. The engine keys shingles by
     xxhash64 (the oracle by string) — outputs agree unless two distinct
-    n-grams collide in 64 bits (p ≈ 1e-9 at fixture scale).
-    (Oracle shingles via a bounded 1..128 series: fixture docs are ≤100
-    words; the engine itself has no such bound.)"""
+    n-grams collide in 64 bits (p ≈ 1e-9 at fixture scale). The oracle
+    shingles via a correlated generate_series over each doc's own word
+    count — exact at any doc length (round-10 multi-MB axis)."""
     d = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=100
@@ -325,19 +325,19 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     to exploit — the fixture's uniform-random vectors bound ANY 16-bucket
     IVF's recall).
 
-    Empty-input contract: an empty corpus returns an empty result (no
-    queries exist either), mirroring q_sim_topk's natural empty-in/
-    empty-out — the quantizer is never trained, so kmeans_centroids'
-    empty-training-set ValueError (an operator-level contract for
-    explicit fit calls) is not reachable through the query surface. The
-    isEmpty() probe is a bounded first-row fetch, same sanctioned class
-    as the 1-row connection probes."""
+    Empty-input contract: a corpus with no usable vectors (empty, or
+    every vector zero-norm/non-finite) returns an empty result,
+    mirroring q_sim_topk's natural empty-in/empty-out. The emptiness
+    check is the fit's own first-row probe — kmeans_centroids raises
+    EmptyTrainingSet, mapped here to the typed empty frame — so
+    non-empty runs pay no extra isEmpty() action (ADVICE r10)."""
     e = load_table(spark, sf_dir, "embeddings")
-    if e.isEmpty():
+    try:
+        centroids = S.kmeans_centroids(e, n=16, seed=42)
+    except S.EmptyTrainingSet:
         return spark.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, sim double, rnk bigint"
         )
-    centroids = S.kmeans_centroids(e, n=16, seed=42)
     queries = e.filter(F.col("vec_id") < 50)
     return S.ivf_topk(queries, e, centroids, k=5, nprobe=2).withColumnRenamed("rank", "rnk")
 

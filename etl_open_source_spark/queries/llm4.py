@@ -295,17 +295,19 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (k-means training is iterative, not SQL-expressible);
     recall@5 vs the exact baseline and encode determinism are pinned in
     tests/test_llm_ops.py. Scan-local encode/score: the only exchange is
-    the per-query top-k window. Empty-input contract: empty corpus →
-    empty result, no codebook fit (same as q_sim_ann — pinned by the
-    empty-input axis)."""
+    the per-query top-k window. Empty-input contract: a corpus with no
+    usable vectors → empty result; the fit's own first-row probe raises
+    EmptyTrainingSet and is mapped here, so non-empty runs pay no extra
+    isEmpty() action (same as q_sim_ann — ADVICE r10)."""
     from etl_open_source_spark.operators import similarity as S2
 
     e = load_table(spark, sf_dir, "embeddings")
-    if e.isEmpty():
+    try:
+        books = S2.pq_train(e, m=8, k=16, seed=42)
+    except S2.EmptyTrainingSet:
         return spark.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, adist double, rnk bigint"
         )
-    books = S2.pq_train(e, m=8, k=16, seed=42)
     queries = e.filter(F.col("vec_id") < 50)
     return S2.pq_topk(queries, e, books, k=5, rerank=50).withColumnRenamed("rank", "rnk")
 
@@ -322,16 +324,18 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only (two trained quantizers); recall floor and the
     bucket-pruning evidence are pinned in tests/test_llm_ops.py.
-    Empty-input contract: empty corpus → empty result, no quantizer fit
-    (same as q_sim_ann — pinned by the empty-input axis)."""
+    Empty-input contract: a corpus with no usable vectors → empty
+    result; the coarse fit's first-row probe raises EmptyTrainingSet
+    and is mapped here (same as q_sim_ann — ADVICE r10)."""
     from etl_open_source_spark.operators import similarity as S2
 
     e = load_table(spark, sf_dir, "embeddings")
-    if e.isEmpty():
+    try:
+        centroids = S2.kmeans_centroids(e, n=16, seed=42)
+    except S2.EmptyTrainingSet:
         return spark.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, adist double, rnk bigint"
         )
-    centroids = S2.kmeans_centroids(e, n=16, seed=42)
     books = S2.pq_train(e, m=8, k=16, seed=42)
     queries = e.filter(F.col("vec_id") < 50)
     return S2.ivfpq_topk(

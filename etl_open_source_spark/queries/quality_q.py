@@ -180,37 +180,37 @@ def q_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT 'lineitem.l_orderkey->orders' AS edge,
        COUNT(*) AS n_rows,
        COUNT(DISTINCT l_orderkey) AS n_keys,
-       CAST(COALESCE(SUM(CASE WHEN l_orderkey IS NOT NULL AND l_orderkey NOT IN (SELECT o_orderkey FROM orders) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
+       CAST(COALESCE(SUM(CASE WHEN l_orderkey IS NOT NULL AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
 FROM lineitem
 UNION ALL
 SELECT 'lineitem.l_partkey->part',
        COUNT(*), COUNT(DISTINCT l_partkey),
-       CAST(COALESCE(SUM(CASE WHEN l_partkey IS NOT NULL AND l_partkey NOT IN (SELECT p_partkey FROM part) THEN 1 ELSE 0 END), 0) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN l_partkey IS NOT NULL AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL) THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM lineitem
 UNION ALL
 SELECT 'lineitem.l_suppkey->supplier',
        COUNT(*), COUNT(DISTINCT l_suppkey),
-       CAST(COALESCE(SUM(CASE WHEN l_suppkey IS NOT NULL AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier) THEN 1 ELSE 0 END), 0) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN l_suppkey IS NOT NULL AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL) THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM lineitem
 UNION ALL
 SELECT 'orders.o_custkey->customer',
        COUNT(*), COUNT(DISTINCT o_custkey),
-       CAST(COALESCE(SUM(CASE WHEN o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END), 0) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL) THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM orders
 UNION ALL
 SELECT 'customer.c_nationkey->nation',
        COUNT(*), COUNT(DISTINCT c_nationkey),
-       CAST(COALESCE(SUM(CASE WHEN c_nationkey IS NOT NULL AND c_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 ELSE 0 END), 0) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN c_nationkey IS NOT NULL AND c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL) THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM customer
 UNION ALL
 SELECT 'supplier.s_nationkey->nation',
        COUNT(*), COUNT(DISTINCT s_nationkey),
-       CAST(COALESCE(SUM(CASE WHEN s_nationkey IS NOT NULL AND s_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 ELSE 0 END), 0) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN s_nationkey IS NOT NULL AND s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL) THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM supplier
 UNION ALL
 SELECT 'nation.n_regionkey->region',
        COUNT(*), COUNT(DISTINCT n_regionkey),
-       CAST(COALESCE(SUM(CASE WHEN n_regionkey IS NOT NULL AND n_regionkey NOT IN (SELECT r_regionkey FROM region) THEN 1 ELSE 0 END), 0) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN n_regionkey IS NOT NULL AND n_regionkey NOT IN (SELECT r_regionkey FROM region WHERE r_regionkey IS NOT NULL) THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM nation
 """,
     tags=("quality",),
@@ -236,7 +236,13 @@ def q_quality_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     `NULL NOT IN (empty set)` is TRUE in SQL (no comparisons happen),
     so a bare NOT IN counts NULL children as orphans exactly when the
     parent table is empty, violating MATCH SIMPLE; the guard restores
-    the contract for every parent cardinality."""
+    the contract for every parent cardinality. NULL-PARENT-key contract
+    (ADVICE r10): a NULL inside the parent key set makes `x NOT IN
+    (..., NULL)` UNKNOWN for every true orphan, so the oracle also
+    filters `WHERE <pk> IS NOT NULL` inside each subquery — matching
+    the engine's null-unsafe join equality, where a NULL parent key
+    matches nothing and genuine orphans still count
+    (tests/test_quality.py pins it with a NULL-parent fixture)."""
     from pyspark.sql import functions as F
 
     from etl_open_source_spark.catalog import FK_GRAPH

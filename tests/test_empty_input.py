@@ -35,9 +35,10 @@ First-run catches (all fixed, contracts in the affected docstrings):
   counts floor at 1 — oracle now GREATEST(1, LEAST(n, rows)).
 - q_sim_ann / q_sim_pq / q_sim_ivfpq: the ADVICE-r9 named
   empty-training-set ValueError leaked through the query surface —
-  queries now answer empty-in/empty-out like q_sim_topk, without
-  fitting a quantizer (the operator-level raise stays, for explicit
-  fit calls on nothing).
+  queries now answer empty-in/empty-out like q_sim_topk. Since r11 the
+  emptiness check IS the fit's first-row probe (EmptyTrainingSet caught
+  at the query layer, ADVICE r10) — no separate isEmpty() action; the
+  operator-level raise stays for explicit fit calls on nothing.
 
 No composition with the hostile plan: with zero rows there is no
 partition order, batch split, or shuffle fan-in to vary — the composed
@@ -123,3 +124,58 @@ def test_fk_audit_empty_parent_null_children(spark, tmp_path, sf_dir):
     assert_frames_match(got, run_oracle(qd.oracle, str(d)))
     row = got[got["edge"] == "orders.o_custkey->customer"].iloc[0]
     assert int(row["n_orphans"]) == 3  # the NULL custkeys are NOT orphans
+
+
+def test_fk_audit_null_parent_key(spark, tmp_path, sf_dir):
+    """ADVICE-r10 pin, the dual of the empty-parent catch: a NULL value
+    inside the PARENT key set makes `x NOT IN (..., NULL)` UNKNOWN for
+    every genuine orphan, so an unguarded oracle undercounts orphans to
+    0 while the engine's null-unsafe left-join equality (a NULL parent
+    key matches nothing) correctly counts them. The oracle now filters
+    `WHERE <pk> IS NOT NULL` inside each subquery; this fixture
+    (customer keys {1, NULL}, orders custkeys {1, 99, NULL}) diverges
+    1 vs 0 without the parent-side guard."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "fk_null_parent"
+    d.mkdir()
+    for t in TABLES:
+        schema = pq.read_schema(f"{sf_dir}/{t}.parquet")
+        if t == "customer":
+            cust = pd.DataFrame(
+                {
+                    "c_custkey": pd.array([1, None], dtype="Int64"),
+                    "c_name": ["Customer#1", "Customer#null"],
+                    "c_nationkey": pd.array([None, None], dtype="Int32"),
+                    "c_acctbal": [0.0, 0.0],
+                    "c_mktsegment": ["BUILDING", "BUILDING"],
+                }
+            )
+            tbl = pa.Table.from_pandas(cust, preserve_index=False)
+            tbl = tbl.select(schema.names).cast(schema)
+            pq.write_table(tbl, d / f"{t}.parquet")
+        elif t == "orders":
+            orders = pd.DataFrame(
+                {
+                    "o_orderkey": [0, 1, 2],
+                    "o_custkey": pd.array([1, 99, None], dtype="Int64"),
+                    "o_orderstatus": ["F", "O", "F"],
+                    "o_totalprice": [10.0, 20.0, 30.0],
+                    "o_orderdate": pd.to_datetime(["1996-01-01"] * 3),
+                    "o_orderpriority": ["1-URGENT"] * 3,
+                }
+            )
+            tbl = pa.Table.from_pandas(orders, preserve_index=False)
+            tbl = tbl.select(schema.names).cast(schema)
+            pq.write_table(tbl, d / f"{t}.parquet")
+        else:
+            pq.write_table(schema.empty_table(), d / f"{t}.parquet")
+    qd = REGISTRY["q_quality_fk"]
+    got = qd.fn(spark, str(d)).toPandas()
+    assert_frames_match(got, run_oracle(qd.oracle, str(d)))
+    row = got[got["edge"] == "orders.o_custkey->customer"].iloc[0]
+    # 99 is a genuine orphan even though the parent set contains NULL;
+    # the NULL child is not an orphan (MATCH SIMPLE)
+    assert int(row["n_orphans"]) == 1

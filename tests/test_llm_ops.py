@@ -910,18 +910,21 @@ def test_kmeans_constant_corpus_centroid_is_the_point(spark):
 
 
 def test_kmeans_and_pq_empty_training_raise_clearly(spark):
-    """An empty training frame raises a named error, not an opaque
-    'NoneType is not subscriptable' (ADVICE r9)."""
+    """An empty training frame raises the NAMED EmptyTrainingSet (still a
+    ValueError), not an opaque 'NoneType is not subscriptable' (ADVICE
+    r9); the distinct type is what lets the ANN query surfaces map it to
+    empty-in/empty-out without a separate isEmpty() action (ADVICE r10)."""
     empty = spark.createDataFrame([], "vec_id int, embedding array<double>")
-    with pytest.raises(ValueError, match="empty training set"):
+    with pytest.raises(S.EmptyTrainingSet, match="empty training set"):
         S.kmeans_centroids(empty, n=4)
-    with pytest.raises(ValueError, match="empty training set"):
+    with pytest.raises(S.EmptyTrainingSet, match="empty training set"):
         S.pq_train(empty, m=2, k=4)
+    assert issubclass(S.EmptyTrainingSet, ValueError)
     # zero-norm-only corpora are dropped to empty by policy → same error
     zeros = spark.createDataFrame(
         [(1, [0.0, 0.0]), (2, [0.0, 0.0])], "vec_id int, embedding array<double>"
     )
-    with pytest.raises(ValueError, match="empty training set"):
+    with pytest.raises(S.EmptyTrainingSet, match="empty training set"):
         S.kmeans_centroids(zeros, n=2)
 
 
