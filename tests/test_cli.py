@@ -190,3 +190,56 @@ def test_list_queries_surface(capsys):
     assert main(["list-queries", "--tag", "maintenance"]) == 0
     out = capsys.readouterr().out
     assert "q_snapshot_diff" in out and "q_agg_groupby" not in out
+
+
+def test_changed_queries_fingerprint_ignores_docs_flags_expressions(tmp_path):
+    """The mechanized window-cut detector (scripts/changed_queries.py,
+    VERDICT r10 item 2): its fingerprint must IGNORE docstring/comment
+    edits (doc-only changes don't demand a driver-window slot) while
+    flagging any expression or oracle change. Exercised on the dump
+    snippet it actually runs, not a reimplementation."""
+    import hashlib
+    import importlib.util
+    import textwrap
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "changed_queries",
+        Path(__file__).resolve().parents[1] / "scripts" / "changed_queries.py",
+    )
+    cq = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cq)
+    ns: dict = {}
+    exec(  # noqa: S102 - executing our own snippet minus its __main__ dump
+        cq._DUMP_SNIPPET.split("out = {}")[0], ns
+    )
+    fp = ns["_fn_fingerprint"]
+
+    def make(idx: int, body_doc: str, expr: str):
+        # inspect.getsource needs a real file, so each variant becomes a
+        # throwaway module on disk
+        src = textwrap.dedent(
+            f'''
+            def q(spark, sf_dir):
+                """{body_doc}"""
+                # a comment that AST drops
+                return {expr}
+            '''
+        )
+        mod_path = tmp_path / f"fpmod{idx}.py"
+        mod_path.write_text(src)
+        mspec = importlib.util.spec_from_file_location(f"fpmod{idx}", mod_path)
+        mod = importlib.util.module_from_spec(mspec)
+        mspec.loader.exec_module(mod)
+        return mod.q
+
+    base = make(0, "original doc", "1 + 1")
+    doc_only = make(1, "totally rewritten documentation", "1 + 1")
+    expr_change = make(2, "original doc", "2 + 2")
+    assert fp(base) == fp(doc_only)
+    assert fp(base) != fp(expr_change)
+    # oracle strings are fingerprinted verbatim — any byte counts
+    assert (
+        hashlib.sha256(b"SELECT 1").hexdigest()
+        != hashlib.sha256(b"SELECT  1").hexdigest()
+    )
