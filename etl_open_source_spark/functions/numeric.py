@@ -78,8 +78,42 @@ def sql_rate(expr: str) -> str:
     return f"CAST({expr} AS DECIMAL(4,2))"
 
 
+def sql_finite(expr: str) -> str:
+    """DuckDB mirror of ``finite_or_null`` / Spark's silent ANSI
+    decimal-cast NULL for non-finite doubles. DuckDB's integer-backed
+    decimal cast HARD-ERRORS on NaN/±Inf, so any oracle decimal cast
+    over a possibly-corrupt column needs this guard (NaN-axis r11 —
+    reached through o_totalprice/c_acctbal after the r10 events.value
+    sweep guarded the measure sites)."""
+    return f"CASE WHEN ISFINITE({expr}) THEN {expr} END"
+
+
 def sql_dsum(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def sql_dsum_finite(expr: str) -> str:
+    """``sql_dsum`` with the non-finite→NULL ingestion guard — mirrors
+    what the engine's ``dsum`` already does by mechanism (Spark's ANSI
+    cast NULLs non-finite silently, so the decimal fold skips them)."""
+    return sql_dsum(sql_finite(expr))
+
+
+def sql_finite_portable(expr: str) -> str:
+    """The finite→value / non-finite→NULL guard in SQL that BOTH engines
+    parse identically (Spark has no ISFINITE): probed r11 —
+    Spark and DuckDB agree on ISNAN() and on CAST('Infinity' AS DOUBLE).
+    For SQL strings executed by Spark SQL *and* DuckDB (q_sql_transform
+    pattern)."""
+    return (
+        f"CASE WHEN NOT ISNAN({expr})"
+        f" AND ABS({expr}) <> CAST('Infinity' AS DOUBLE)"
+        f" THEN {expr} END"
+    )
+
+
+def sql_dsum_finite_portable(expr: str) -> str:
+    return sql_dsum(sql_finite_portable(expr))
 
 
 def sql_davg(expr: str) -> str:

@@ -26,6 +26,7 @@ from etl_open_source_spark.functions.numeric import (
     rate,
     sql_davg,
     sql_dsum,
+    sql_dsum_finite,
     sql_money,
     sql_rate,
 )
@@ -160,7 +161,7 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT o_custkey,
        COUNT(*) AS order_count,
-       {sql_dsum('o_totalprice')} AS total_spent
+       {sql_dsum_finite('o_totalprice')} AS total_spent
 FROM orders
 GROUP BY o_custkey
 HAVING COUNT(*) >= 10
@@ -189,12 +190,24 @@ _ROLLUP_AGGS_SQL = f"""
        {sql_dsum('o_totalprice')} AS sum_price
 """
 
+# Oracle twin of the fragment above: DuckDB's integer-backed decimal cast
+# hard-errors on NaN/±Inf where Spark's ANSI cast silently NULLs them
+# (NaN-axis r11) — the guard changes nothing on finite data. The engine
+# fragment stays unguarded: Spark SQL has no ISFINITE and doesn't need
+# one (the NULL-at-decimal-boundary contract holds by cast mechanism).
+_ROLLUP_AGGS_ORACLE = f"""
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS cnt,
+       {sql_dsum_finite('o_totalprice')} AS sum_price
+"""
+
 
 @query(
     "q_agg_rollup",
     oracle=f"""
 SELECT o_orderstatus, o_orderpriority,
-{_ROLLUP_AGGS_SQL}
+{_ROLLUP_AGGS_ORACLE}
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 HAVING COUNT(*) > 0
@@ -227,7 +240,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_cube",
     oracle=f"""
 SELECT o_orderstatus, o_orderpriority,
-{_ROLLUP_AGGS_SQL}
+{_ROLLUP_AGGS_ORACLE}
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 HAVING COUNT(*) > 0
@@ -259,7 +272,7 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_groupingsets",
     oracle=f"""
 SELECT o_orderstatus, o_orderpriority,
-{_ROLLUP_AGGS_SQL}
+{_ROLLUP_AGGS_ORACLE}
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 HAVING COUNT(*) > 0

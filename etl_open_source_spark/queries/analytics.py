@@ -100,7 +100,7 @@ WITH base AS (
   SELECT o_custkey,
          MAX(o_orderdate) AS last_order,
          COUNT(*) AS freq,
-         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+         SUM(CAST(CASE WHEN ISFINITE(o_totalprice) THEN o_totalprice END AS DECIMAL(18,4))) AS monetary
   FROM orders GROUP BY o_custkey
 )
 SELECT o_custkey,

@@ -487,7 +487,7 @@ def q_ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH digits AS (
   SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
-  FROM orders WHERE o_totalprice >= 1
+  FROM orders WHERE o_totalprice >= 1 AND ISFINITE(o_totalprice)
 ),
 tot AS (SELECT COUNT(*) AS n FROM digits)
 SELECT d AS digit,
@@ -508,8 +508,17 @@ def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The first digit is taken through FLOOR -> BIGINT -> string (never
     float formatting, whose shortest-round-trip text differs between
-    engines). One scan + a 9-row aggregate; the 1-row total broadcasts."""
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    engines). One scan + a 9-row aggregate; the 1-row total broadcasts.
+
+    Non-finite prices are excluded on BOTH sides (NaN-axis r11): a
+    corrupt price has no first digit, and they are not even safely
+    inert — NaN passes the >= 1 filter in both engines (NaN-high), then
+    Spark's FLOOR(NaN) returns 0 whose digit d=0 hits DIVIDE_BY_ZERO in
+    log10(1 + 1/d) under ANSI, while FLOOR(Inf) yields Long.MAX's bogus
+    leading 9."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_totalprice") >= 1) & finite_or_null("o_totalprice").isNotNull()
+    )
     digits = o.select(
         F.substring(
             F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1

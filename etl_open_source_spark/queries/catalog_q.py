@@ -17,7 +17,7 @@ from etl_open_source_spark.catalog import (
     load_table,
     register_views,
 )
-from etl_open_source_spark.functions.numeric import sql_dsum, dsum
+from etl_open_source_spark.functions.numeric import dsum, sql_dsum, sql_dsum_finite_portable
 from etl_open_source_spark.plans.sanitize import sanitize_nulls
 from etl_open_source_spark.queries.scans import _tmp  # shared sf-scoped temp dirs
 from etl_open_source_spark.registry import query
@@ -262,7 +262,7 @@ _PUSHDOWN_SQL = f"""
 SELECT c.c_mktsegment,
        n.n_name,
        COUNT(*) AS order_cnt,
-       {sql_dsum('o.o_totalprice')} AS revenue
+       {sql_dsum_finite_portable('o.o_totalprice')} AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey

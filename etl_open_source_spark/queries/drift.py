@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_open_source_spark.catalog import load_table
+from etl_open_source_spark.functions.numeric import finite_or_null
 from etl_open_source_spark.registry import query
 
 
@@ -339,7 +340,7 @@ WITH ranked AS (
          CAST(o_totalprice AS DECIMAL(18,4)) AS x,
          CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
                                  ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS i
-  FROM orders WHERE o_totalprice IS NOT NULL
+  FROM orders WHERE o_totalprice IS NOT NULL AND ISFINITE(o_totalprice)
 ),
 s AS (
   SELECT prio,
@@ -377,9 +378,12 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices are excluded on BOTH sides before ranking: a NULL contributes
     nothing to Σx, but its row_number position differs between Spark's
     NULLS FIRST and DuckDB's NULLS LAST, shifting every non-NULL rank
-    (caught by the randomized orders differential)."""
+    (caught by the randomized orders differential). Non-finite prices
+    are excluded the same way (NaN-axis r11): a corrupt price has no
+    place in a concentration statistic, and leaving it in would count it
+    in n while contributing nothing to the sums."""
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice").isNotNull()
+        finite_or_null("o_totalprice").isNotNull()
     )
     wr = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     ranked = o.select(

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from etl_open_source_spark.catalog import load_table, load_tables
-from etl_open_source_spark.functions.numeric import dsum, sql_dsum
+from etl_open_source_spark.functions.numeric import dsum, sql_dsum, sql_dsum_finite
 from etl_open_source_spark.operators.asof import asof_join
 from etl_open_source_spark.registry import query
 
@@ -141,7 +141,7 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_join_broadcast",
     oracle=f"""
-SELECT r.r_name, {sql_dsum('o.o_totalprice')} AS revenue, COUNT(*) AS order_cnt
+SELECT r.r_name, {sql_dsum_finite('o.o_totalprice')} AS revenue, COUNT(*) AS order_cnt
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -171,7 +171,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_multikey",
     oracle=f"""
 WITH seg AS (
-  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS grp_cnt, {sql_dsum('o_totalprice')} AS grp_total
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS grp_cnt, {sql_dsum_finite('o_totalprice')} AS grp_total
   FROM orders GROUP BY o_orderstatus, o_orderpriority
 )
 SELECT o.o_orderkey, o.o_orderstatus, o.o_orderpriority, s.grp_cnt, s.grp_total

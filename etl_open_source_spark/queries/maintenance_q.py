@@ -254,8 +254,8 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price
+       CAST(SUM(CAST(CASE WHEN ISFINITE(o_totalprice) THEN o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(CASE WHEN ISFINITE(o_totalprice) THEN o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price
 FROM orders
 GROUP BY o_orderpriority
 """,
@@ -307,8 +307,8 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT NULLIF(o_orderstatus, '') AS o_orderstatus,
        COUNT(*) AS n_rows,
        CAST(SUM(CASE WHEN o_orderstatus = 'F'
-                     THEN CAST(o_totalprice AS DECIMAL(18,4)) * 2
-                     ELSE CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+                     THEN CAST(CASE WHEN ISFINITE(o_totalprice) THEN o_totalprice END AS DECIMAL(18,4)) * 2
+                     ELSE CAST(CASE WHEN ISFINITE(o_totalprice) THEN o_totalprice END AS DECIMAL(18,4)) END) AS DOUBLE)
          AS sum_price
 FROM orders
 GROUP BY NULLIF(o_orderstatus, '')

@@ -89,7 +89,7 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderpriority,
        COUNT(*) AS cnt,
        COUNT(*) FILTER (WHERE o_totalprice > 150000) AS hi_cnt,
-       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+       CAST(COALESCE(SUM(CAST(CASE WHEN ISFINITE(o_totalprice) THEN o_totalprice END AS DECIMAL(18,4)))
                      FILTER (WHERE o_totalprice > 150000),
                      0) AS DOUBLE) AS hi_total,
        BOOL_OR(o_orderstatus = 'O') AS any_open,

@@ -231,7 +231,7 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scan_partition_pruned",
     oracle="""
 SELECT o_orderpriority, COUNT(*) AS cnt,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       CAST(SUM(CAST(CASE WHEN ISFINITE(o_totalprice) THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders
 WHERE o_orderstatus = 'F'
 GROUP BY o_orderpriority
@@ -355,7 +355,7 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT COUNT(CASE WHEN o_orderkey % 50 <> 0 THEN 1 END) AS n_good,
        COUNT(CASE WHEN o_orderkey % 50 = 0 THEN 1 END) AS n_corrupt,
        CAST(SUM(CASE WHEN o_orderkey % 50 <> 0
-                     THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_good
+                     THEN CAST(CASE WHEN ISFINITE(o_totalprice) THEN o_totalprice END AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_good
 FROM orders
 """,
     tags=("scan",),

@@ -773,7 +773,7 @@ def q_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH monthly AS (
   SELECT DATE_TRUNC('month', o_orderdate) AS month,
          COUNT(*) AS n_orders,
-         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+         SUM(CAST(CASE WHEN ISFINITE(o_totalprice) THEN o_totalprice END AS DECIMAL(18,4))) AS rev
   FROM orders GROUP BY 1
 )
 SELECT month,

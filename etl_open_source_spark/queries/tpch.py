@@ -682,12 +682,12 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q22",
     oracle="""
 SELECT n.n_name AS cntrycode, COUNT(*) AS numcust,
-       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+       CAST(SUM(CAST(CASE WHEN ISFINITE(c.c_acctbal) THEN c.c_acctbal END AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE n.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5','NATION_6','NATION_7')
   AND c.c_acctbal > (
-    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c2.c_acctbal)
+    SELECT CAST(SUM(CAST(CASE WHEN ISFINITE(c2.c_acctbal) THEN c2.c_acctbal END AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c2.c_acctbal)
     FROM customer c2
     JOIN nation n2 ON c2.c_nationkey = n2.n_nationkey
     WHERE c2.c_acctbal > 0.0

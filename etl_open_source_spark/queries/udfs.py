@@ -26,7 +26,7 @@ from etl_open_source_spark.registry import query
     "q_udf_scalar",
     oracle="""
 SELECT o_orderkey,
-       CASE WHEN o_totalprice IS NULL THEN NULL
+       CASE WHEN o_totalprice IS NULL OR ISNAN(o_totalprice) THEN NULL
             WHEN o_totalprice >= 300000 THEN 'high'
             WHEN o_totalprice >= 100000 THEN 'mid'
             ELSE 'low' END AS tier
@@ -41,13 +41,18 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL contract (ADVICE r8): NULL-in → NULL-out. A missing price has
     no tier — the UDF returns None and the oracle's first CASE arm
     mirrors it, rather than silently classifying missing prices as a
-    real 'low' tier."""
+    real 'low' tier. NaN contract (NaN-axis r11): NaN also has no tier —
+    and the engines disagree by default: Python's IEEE comparisons make
+    NaN fail every >= (falling through to 'low') while SQL's NaN-high
+    total order makes it 'high'; both sides pin NULL explicitly. ±Inf
+    need no pin: inf >= 300000 and -inf-falls-through agree between
+    Python and SQL."""
 
     @udf(StringType())
     def tier(price):
-        # NULL-in -> NULL-out (ADVICE r8); plain args — a `float | None`
-        # hint defeats pyspark's eval-type inference and warns
-        if price is None:
+        # NULL/NaN-in -> NULL-out (ADVICE r8; NaN-axis r11); plain args —
+        # a `float | None` hint defeats pyspark's eval-type inference
+        if price is None or price != price:
             return None
         if price >= 300000:
             return "high"
