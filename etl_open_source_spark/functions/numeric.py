@@ -84,7 +84,12 @@ def sql_finite(expr: str) -> str:
     decimal cast HARD-ERRORS on NaN/±Inf, so any oracle decimal cast
     over a possibly-corrupt column needs this guard (NaN-axis r11 —
     reached through o_totalprice/c_acctbal after the r10 events.value
-    sweep guarded the measure sites)."""
+    sweep guarded the measure sites). ORACLE-side only: Spark has no
+    ISFINITE and needs none — its ANSI cast already NULLs non-finite by
+    mechanism, so queries whose engine side runs SQL through spark.sql
+    keep that string unguarded and give only the DuckDB twin this guard
+    (a per-row guard riding along in the engine string measured ~1.2x
+    on q_sql_transform for semantics the cast already had)."""
     return f"CASE WHEN ISFINITE({expr}) THEN {expr} END"
 
 
@@ -97,23 +102,6 @@ def sql_dsum_finite(expr: str) -> str:
     what the engine's ``dsum`` already does by mechanism (Spark's ANSI
     cast NULLs non-finite silently, so the decimal fold skips them)."""
     return sql_dsum(sql_finite(expr))
-
-
-def sql_finite_portable(expr: str) -> str:
-    """The finite→value / non-finite→NULL guard in SQL that BOTH engines
-    parse identically (Spark has no ISFINITE): probed r11 —
-    Spark and DuckDB agree on ISNAN() and on CAST('Infinity' AS DOUBLE).
-    For SQL strings executed by Spark SQL *and* DuckDB (q_sql_transform
-    pattern)."""
-    return (
-        f"CASE WHEN NOT ISNAN({expr})"
-        f" AND ABS({expr}) <> CAST('Infinity' AS DOUBLE)"
-        f" THEN {expr} END"
-    )
-
-
-def sql_dsum_finite_portable(expr: str) -> str:
-    return sql_dsum(sql_finite_portable(expr))
 
 
 def sql_davg(expr: str) -> str:

@@ -168,7 +168,7 @@ def q_filter_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
 FROM orders o
 WHERE o.o_totalprice > 2 * (
-  SELECT CAST(SUM(CAST(CASE WHEN NOT ISNAN(o2.o_totalprice) AND ABS(o2.o_totalprice) <> CAST('Infinity' AS DOUBLE) THEN o2.o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+  SELECT CAST(SUM(CAST(CASE WHEN ISFINITE(o2.o_totalprice) THEN o2.o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
   FROM orders o2 WHERE o2.o_custkey = o.o_custkey
 )
 """,
@@ -184,7 +184,7 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
         FROM corr_orders o
         WHERE o.o_totalprice > 2 * (
-          SELECT CAST(SUM(CAST(CASE WHEN NOT ISNAN(o2.o_totalprice) AND ABS(o2.o_totalprice) <> CAST('Infinity' AS DOUBLE) THEN o2.o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+          SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
           FROM corr_orders o2 WHERE o2.o_custkey = o.o_custkey
         )
         """

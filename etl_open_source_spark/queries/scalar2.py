@@ -108,7 +108,7 @@ def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_name, c_acctbal
 FROM customer
-WHERE c_acctbal > (SELECT CAST(SUM(CAST(CASE WHEN NOT ISNAN(c_acctbal) AND ABS(c_acctbal) <> CAST('Infinity' AS DOUBLE) THEN c_acctbal END AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) FROM customer)
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(CASE WHEN ISFINITE(c_acctbal) THEN c_acctbal END AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) FROM customer)
 """,
     tags=("subquery",),
 )
@@ -121,7 +121,7 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, c_name, c_acctbal
         FROM sq_customer
         WHERE c_acctbal > (
-          SELECT CAST(SUM(CAST(CASE WHEN NOT ISNAN(c_acctbal) AND ABS(c_acctbal) <> CAST('Infinity' AS DOUBLE) THEN c_acctbal END AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
           FROM sq_customer
         )
         """

@@ -40,10 +40,13 @@ a rank-weighted concentration statistic), q_join_broadcast,
 q_join_multikey, q_mv_incremental, q_rfm_segments,
 q_scan_csv_permissive, q_scan_partition_pruned,
 q_sink_partition_overwrite, q_sql_transform, q_subquery_correlated,
-q_subquery_scalar (the last three need the PORTABLE guard form — their
-engine side executes the same/twin SQL through Spark SQL, which has no
-ISFINITE: sql_finite_portable in functions/numeric.py, probed on both
-engines), q_tpch_q22, q_ts_mom_change.
+q_subquery_scalar (for these three the engine side executes SQL through
+Spark SQL, which has no ISFINITE and needs none — Spark's ANSI cast
+NULLs non-finite by mechanism — so the engine string stays pure ANSI
+and only the DuckDB oracle twin carries the guard; a first draft rode a
+portable ISNAN/ABS guard along in the engine string and measured ~1.2x
+on the benched q_sql_transform for semantics the cast already had),
+q_tpch_q22, q_ts_mom_change.
 Plus one ENGINE crash: q_quality_benford — NaN passes `>= 1` in both
 engines (NaN-high), then Spark's FLOOR(NaN) = 0 (not NULL, not an
 error) drives d=0 into log10(1 + 1/d) → ANSI DIVIDE_BY_ZERO, while
