@@ -19,12 +19,15 @@ tree) dumps {name: {fn: sha256, oracle: sha256}} for its registry; the
 same dump runs in-process for the current tree; the two dicts diff.
 
 Known limitation (documented, deliberate): the fingerprint covers the
-registered function body + oracle string, not the transitive closure of
-operators/ helpers it calls. A behavior change buried in an operator
-module with an unchanged query fn will not flag — those are exactly the
-changes the full-registry sf0.01 parity sweep exists to catch; this
-script's job is the narrower driver-evidence-freshness policy ("a query
-whose EXPRESSION changed outranks aging refresh in the window").
+registered function body + oracle string + module-level STRING
+constants the function references (SQL kept in module constants — the
+q_sql_transform pattern, whose engine change the fn axis missed in r11
+before this was added), not the transitive closure of operators/
+helpers it calls. A behavior change buried in an operator module with
+an unchanged query fn will not flag — those are exactly the changes the
+full-registry sf0.01 parity sweep exists to catch; this script's job is
+the narrower driver-evidence-freshness policy ("a query whose
+EXPRESSION changed outranks aging refresh in the window").
 """
 
 from __future__ import annotations
@@ -62,6 +65,15 @@ def _fn_fingerprint(fn):
         norm = ast.unparse(tree)
     except SyntaxError:  # pragma: no cover - unparseable source
         norm = src
+    # Module-level STRING constants the fn references (co_names) join the
+    # fingerprint: a query like q_sql_transform keeps its Spark SQL in a
+    # module constant, so an engine change there never touches the fn
+    # body (observed r11 — only the oracle axis caught it).
+    mod = sys.modules.get(fn.__module__)
+    for nm in sorted(set(fn.__code__.co_names)):
+        v = getattr(mod, nm, None)
+        if isinstance(v, str):
+            norm += f"\n#const {nm}={v}"
     return hashlib.sha256(norm.encode()).hexdigest()
 
 

@@ -633,3 +633,19 @@ def test_pq_codes_zero_exchange_scan_local(spark, sf_dir):
     assert _n_exchanges(plan) == 0, plan
     assert plan.count("Scan parquet") >= 1
     assert "Join" not in plan
+
+
+def test_sql_transform_pushdown_and_broadcasts(spark, sf_dir):
+    """The user-SQL surface must still get the full Catalyst treatment:
+    the date filter reaches the orders parquet scan and both dimension
+    joins (customer, nation) broadcast — no sort-merge shuffle for a
+    dim-sized side. Also pins that the engine string stays pure ANSI
+    with NO per-row finite guard riding in the aggregate (NaN-axis r11:
+    the guard lives only in the DuckDB oracle twin; in the engine it
+    measured ~1.2x for semantics Spark's ANSI decimal cast already
+    has)."""
+    plan = _formatted_plan(spark, sf_dir, "q_sql_transform")
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "isnan" not in plan.lower()
