@@ -238,8 +238,8 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_json",
     oracle="""
 SELECT event_id,
-       TRY_CAST(JSON_EXTRACT_STRING(props, 'k') AS BIGINT) AS k_val,
-       JSON_EXTRACT_STRING(props, 'k') AS k_str
+       TRY_CAST(JSON_EXTRACT_STRING(TRY_CAST(props AS JSON), 'k') AS BIGINT) AS k_val,
+       JSON_EXTRACT_STRING(TRY_CAST(props AS JSON), 'k') AS k_str
 FROM events
 """,
     tags=("fn", "json"),
@@ -248,7 +248,17 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the events.props string column. The numeric
     view is TRY_CAST on both sides: a non-numeric "k" must yield NULL,
     not an ANSI CAST_INVALID_INPUT error — extracted JSON is untrusted
-    input by definition (caught by the randomized events differential)."""
+    input by definition (caught by the randomized events differential).
+    MALFORMED-JSON contract (r11): Spark's get_json_object returns NULL
+    for any unparseable document ('', truncated objects, free text)
+    while DuckDB's JSON_EXTRACT_STRING hard-errors at bind — the oracle
+    routes through TRY_CAST(props AS JSON), which NULLs malformed input
+    and changes nothing on valid JSON (probed; the randomized props
+    pool now draws malformed documents). Known un-mirrored edge, pinned
+    in tests/test_random_differential.py: a JSON number overflowing to
+    Infinity ({"k": 1e400}) extracts as the quoted string '"Infinity"'
+    in Spark but unquoted 'Infinity' in DuckDB — absurd-overflow
+    literals stay out of the draw pools."""
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
     return e.select(

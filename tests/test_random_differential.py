@@ -68,8 +68,15 @@ _TYPES = ["view", "click", "purchase", "signup", "error", None, ""]
 # "" is NOT NULL: an empty-string event type is a real group/path step in
 # both engines (STRING_AGG of [''] is '', of [NULL] is NULL) — the two
 # must never be conflated (q_path_topk catch).
-# hostile props: NULL, missing key, JSON-null k, non-numeric k
-_PROPS = ["{}", "{}", None, '{"k": 3}', '{"k": null}', '{"k": "x"}']
+# hostile props: NULL, missing key, JSON-null k, non-numeric k — and
+# MALFORMED documents (r11): empty string, free text, a truncated
+# object. Spark's get_json_object NULLs all three; DuckDB's
+# JSON_EXTRACT_STRING hard-errors unless routed through TRY_CAST(x AS
+# JSON) (the q_fn_json oracle guard this pool exists to keep honest).
+_PROPS = [
+    "{}", "{}", None, '{"k": 3}', '{"k": null}', '{"k": "x"}',
+    "", "not json", '{"k": 1',
+]
 
 
 def _write_events(df, d):
@@ -1410,3 +1417,45 @@ def test_random_documents2_differential(spark_prop, tbl):
             assert_frames_match(got, want)
         except AssertionError as ex:  # pragma: no cover - diagnostic path
             raise AssertionError(f"{name} diverged on random input:\n{ex}") from ex
+
+
+def test_malformed_json_extraction_contract(spark_prop):
+    """Mechanism pin for the r11 _PROPS malformed entries: Spark's
+    get_json_object returns NULL for unparseable JSON while DuckDB's
+    JSON_EXTRACT_STRING hard-errors — the oracle-side TRY_CAST(x AS
+    JSON) guard NULLs malformed and is a no-op on valid documents. Also
+    pins the one known un-mirrored edge kept OUT of the pools: a JSON
+    number overflowing to Infinity extracts quoted ('"Infinity"') in
+    Spark but unquoted in DuckDB."""
+    import duckdb
+    import pytest as _pt
+
+    from pyspark.sql import functions as F
+
+    cases = ["", "not json", '{"k": 1', "{}", '{"k": 3}', '{"k": "x"}', None]
+    df = spark_prop.createDataFrame([(c,) for c in cases], "props string")
+    got = {
+        r.props: r.k
+        for r in df.select("props", F.get_json_object("props", "$.k").alias("k")).collect()
+    }
+    assert got[""] is None and got["not json"] is None and got['{"k": 1'] is None
+    assert got['{"k": 3}'] == "3" and got['{"k": "x"}'] == "x"
+
+    con = duckdb.connect()
+    with _pt.raises(duckdb.InvalidInputException):
+        con.sql("SELECT JSON_EXTRACT_STRING('not json', 'k')").fetchone()
+    for c in cases:
+        lit = "NULL" if c is None else "'" + c.replace("'", "''") + "'"
+        v = con.sql(
+            f"SELECT JSON_EXTRACT_STRING(TRY_CAST({lit} AS JSON), 'k')"
+        ).fetchone()[0]
+        assert v == got.get(c), (c, v, got.get(c))
+
+    # the documented divergence that keeps 1e400 out of the draw pools
+    sp = df.sparkSession.sql(
+        """SELECT get_json_object('{"k": 1e400}', '$.k')"""
+    ).collect()[0][0]
+    dk = con.sql(
+        """SELECT JSON_EXTRACT_STRING('{"k": 1e400}', 'k')"""
+    ).fetchone()[0]
+    assert sp == '"Infinity"' and dk == "Infinity" and sp != dk
