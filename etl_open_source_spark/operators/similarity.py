@@ -214,20 +214,26 @@ def kmeans_centroids(
     if sample_fraction is not None:
         v = v.sample(fraction=sample_fraction, seed=seed)
     ds = v.select(array_to_vector(F.col("__v")).alias("features")).persist()
-    n_eff = _k_clamped_to_distinct(v, F.col("__v"), n)
-    if n_eff < 2:
-        # KMeans rejects k=1, so this branch covers (a) an explicit n=1
-        # request on a diverse corpus and (b) a fully-constant training
-        # set. Both have the same exact answer: the k=1 k-means optimum
-        # is the MEAN vector (which for constant data is the point
-        # itself) — never an arbitrary first row (ADVICE r9).
-        centers = [(0, _mean_vector(ds, "kmeans_centroids"))]
+    # try/finally: _mean_vector raises EmptyTrainingSet on an empty corpus
+    # AFTER the persist — without the finally, every empty-corpus query run
+    # leaves a cached empty frame registered for the session (ADVICE r11).
+    try:
+        n_eff = _k_clamped_to_distinct(v, F.col("__v"), n)
+        if n_eff < 2:
+            # KMeans rejects k=1, so this branch covers (a) an explicit n=1
+            # request on a diverse corpus and (b) a fully-constant training
+            # set. Both have the same exact answer: the k=1 k-means optimum
+            # is the MEAN vector (which for constant data is the point
+            # itself) — never an arbitrary first row (ADVICE r9).
+            centers = [(0, _mean_vector(ds, "kmeans_centroids"))]
+            return corpus.sparkSession.createDataFrame(
+                centers, "centroid_id int, centroid array<double>"
+            )
+        model = KMeans(
+            k=n_eff, seed=seed, maxIter=max_iter, initMode="k-means||"
+        ).fit(ds)
+    finally:
         ds.unpersist()
-        return corpus.sparkSession.createDataFrame(
-            centers, "centroid_id int, centroid array<double>"
-        )
-    model = KMeans(k=n_eff, seed=seed, maxIter=max_iter, initMode="k-means||").fit(ds)
-    ds.unpersist()
     centers = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
@@ -399,38 +405,50 @@ def pq_train(
         v = v.sample(fraction=sample_fraction, seed=seed)
     nv = F.transform("v", lambda x: x / norm(F.col("v")))
     v = v.select(nv.alias("v")).persist()
-    first = v.first()
-    if first is None:
-        raise EmptyTrainingSet(
-            "pq_train: empty training set — no usable vectors remain after "
-            "the zero-norm drop / sampling; nothing to fit"
-        )
-    dim = len(first["v"])
-    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
-    dsub = dim // m
-    books: list[list[list[float]]] = []
-    for s in range(m):
-        ds = v.select(
-            array_to_vector(F.slice("v", s * dsub + 1, dsub)).alias("features")
-        ).persist()
-        # A collapsed/degenerate subspace (e.g. a corpus of near-identical
-        # vectors) has fewer than k distinct points and crashes block-mode
-        # KMeans — clamp, via the sketch-first guard (ADVICE r8). KMeans
-        # also rejects k=1 outright, so a fully-constant subspace (or an
-        # explicit k=1 request) takes the exact k=1 optimum instead: the
-        # subspace MEAN (for constant data, the point itself) — never an
-        # arbitrary first row (ADVICE r9).
-        k_eff = _k_clamped_to_distinct(v, F.slice("v", s * dsub + 1, dsub), k)
-        if k_eff < 2:
-            books.append([_mean_vector(ds, "pq_train")])
-            ds.unpersist()
-            continue
-        model = KMeans(
-            k=k_eff, seed=seed + s, maxIter=max_iter, initMode="k-means||"
-        ).fit(ds)
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
-        ds.unpersist()
-    v.unpersist()
+    # try/finally: the empty-corpus raise (and the dim%m assert) fire AFTER
+    # the persist — without the finally, every such run leaves a cached
+    # frame registered for the session (ADVICE r11).
+    try:
+        first = v.first()
+        if first is None:
+            raise EmptyTrainingSet(
+                "pq_train: empty training set — no usable vectors remain "
+                "after the zero-norm drop / sampling; nothing to fit"
+            )
+        dim = len(first["v"])
+        assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+        dsub = dim // m
+        books: list[list[list[float]]] = []
+        for s in range(m):
+            ds = v.select(
+                array_to_vector(F.slice("v", s * dsub + 1, dsub)).alias("features")
+            ).persist()
+            try:
+                # A collapsed/degenerate subspace (e.g. a corpus of
+                # near-identical vectors) has fewer than k distinct points
+                # and crashes block-mode KMeans — clamp, via the
+                # sketch-first guard (ADVICE r8). KMeans also rejects k=1
+                # outright, so a fully-constant subspace (or an explicit
+                # k=1 request) takes the exact k=1 optimum instead: the
+                # subspace MEAN (for constant data, the point itself) —
+                # never an arbitrary first row (ADVICE r9).
+                k_eff = _k_clamped_to_distinct(
+                    v, F.slice("v", s * dsub + 1, dsub), k
+                )
+                if k_eff < 2:
+                    books.append([_mean_vector(ds, "pq_train")])
+                    continue
+                model = KMeans(
+                    k=k_eff, seed=seed + s, maxIter=max_iter,
+                    initMode="k-means||",
+                ).fit(ds)
+                books.append(
+                    [[float(x) for x in c] for c in model.clusterCenters()]
+                )
+            finally:
+                ds.unpersist()
+    finally:
+        v.unpersist()
     return books
 
 

@@ -280,6 +280,14 @@ LIMIT 20
 _PUSHDOWN_ORACLE = _PUSHDOWN_SQL.replace(
     sql_dsum("o.o_totalprice"), sql_dsum_finite("o.o_totalprice")
 )
+# The replace must actually have fired: if _PUSHDOWN_SQL is ever edited so
+# the sql_dsum fragment no longer matches byte-for-byte, a silent no-op
+# here would drop the oracle's ISFINITE guard and reintroduce the DuckDB
+# non-finite decimal-cast crash (ADVICE r11).
+assert _PUSHDOWN_ORACLE != _PUSHDOWN_SQL, (
+    "q_sql_transform oracle twin: sql_dsum fragment not found in "
+    "_PUSHDOWN_SQL — the ISFINITE substitution silently no-opped"
+)
 
 
 @query("q_sql_transform", oracle=_PUSHDOWN_ORACLE, bench=True, tags=("sql",))

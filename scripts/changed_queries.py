@@ -18,16 +18,27 @@ ref and a subprocess (cwd = that worktree, so imports resolve to the OLD
 tree) dumps {name: {fn: sha256, oracle: sha256}} for its registry; the
 same dump runs in-process for the current tree; the two dicts diff.
 
-Known limitation (documented, deliberate): the fingerprint covers the
-registered function body + oracle string + module-level STRING
+The fingerprint covers, per registered query: the function body
+(AST-normalized), the oracle string (verbatim), module-level STRING
 constants the function references (SQL kept in module constants — the
 q_sql_transform pattern, whose engine change the fn axis missed in r11
-before this was added), not the transitive closure of operators/
-helpers it calls. A behavior change buried in an operator module with
-an unchanged query fn will not flag — those are exactly the changes the
-full-registry sf0.01 parity sweep exists to catch; this script's job is
-the narrower driver-evidence-freshness policy ("a query whose
-EXPRESSION changed outranks aging refresh in the window").
+before this was added), and — one import-graph level deep — the source
+hash of every `operators/` / `functions/` helper module the function
+references (VERDICT r11 item 3: an operator-module behavior change
+under an unchanged query fn used to escape the cut). Name collection
+recurses into nested code objects (lambdas / comprehensions / inner
+defs), so a constant or helper referenced only inside a closure still
+joins the fingerprint (ADVICE r11).
+
+Known limitation (documented, deliberate): helper hashing is ONE level
+deep and scoped to `operators/` + `functions/` — a change buried two
+imports away (helper-of-helper), or in a shared non-operator module
+(catalog/session/sources), will not flag. Those are exactly the changes
+the full-registry sf0.01 parity sweep exists to catch; this script's
+job is the narrower driver-evidence-freshness policy ("a query whose
+EXPRESSION changed outranks aging refresh in the window"). Helper-module
+hashes are RAW SOURCE (comment edits flag) — deliberately conservative:
+a false rotation costs one window slot, a missed one costs evidence.
 """
 
 from __future__ import annotations
@@ -40,9 +51,65 @@ import tempfile
 from pathlib import Path
 
 _DUMP_SNIPPET = r"""
-import ast, hashlib, inspect, json, sys, textwrap
+import ast, hashlib, inspect, json, sys, textwrap, types
 
 from etl_open_source_spark.registry import get_registry
+
+_PKG = "etl_open_source_spark"
+_HELPER_PREFIXES = (_PKG + ".operators.", _PKG + ".functions.")
+
+
+def _code_names(code):
+    # co_names of the top-level code object PLUS every nested code object
+    # (lambda / comprehension / inner def) — a module constant or helper
+    # referenced only inside a closure gets its own code object and would
+    # otherwise escape the fingerprint (ADVICE r11).
+    names = set(code.co_names)
+    for c in code.co_consts:
+        if isinstance(c, types.CodeType):
+            names |= _code_names(c)
+    return names
+
+
+_MOD_SRC_CACHE = {}
+
+
+def _module_src_hash(modname):
+    if modname not in _MOD_SRC_CACHE:
+        try:
+            import importlib
+
+            mod = sys.modules.get(modname) or importlib.import_module(modname)
+            src = inspect.getsource(mod)
+        except Exception:  # pragma: no cover - not importable / no source
+            src = ""
+        _MOD_SRC_CACHE[modname] = hashlib.sha256(src.encode()).hexdigest()
+    return _MOD_SRC_CACHE[modname]
+
+
+def _ast_helper_imports(tree):
+    # Function-LOCAL imports (`from ...operators import similarity as S2`
+    # inside the body) bind locals, so co_names resolution against the
+    # module globals misses them — walk the AST import statements too.
+    mods = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if _is_helper_module(a.name):
+                    mods.add(a.name)
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            if _is_helper_module(node.module):
+                mods.add(node.module)
+            else:
+                for a in node.names:
+                    cand = node.module + "." + a.name
+                    if _is_helper_module(cand):
+                        mods.add(cand)
+    return mods
+
+
+def _is_helper_module(modname):
+    return isinstance(modname, str) and modname.startswith(_HELPER_PREFIXES)
 
 
 def _fn_fingerprint(fn):
@@ -63,17 +130,30 @@ def _fn_fingerprint(fn):
         # double-flag and also flag tag/bench metadata edits
         fdef.decorator_list = []
         norm = ast.unparse(tree)
+        ast_helpers = _ast_helper_imports(tree)
     except SyntaxError:  # pragma: no cover - unparseable source
         norm = src
-    # Module-level STRING constants the fn references (co_names) join the
-    # fingerprint: a query like q_sql_transform keeps its Spark SQL in a
-    # module constant, so an engine change there never touches the fn
-    # body (observed r11 — only the oracle axis caught it).
+        ast_helpers = set()
+    # Module-level STRING constants the fn references join the fingerprint:
+    # a query like q_sql_transform keeps its Spark SQL in a module
+    # constant, so an engine change there never touches the fn body
+    # (observed r11 — only the oracle axis caught it). Name collection
+    # recurses into nested code objects (ADVICE r11).
     mod = sys.modules.get(fn.__module__)
-    for nm in sorted(set(fn.__code__.co_names)):
+    helper_mods = set(ast_helpers)
+    for nm in sorted(_code_names(fn.__code__)):
         v = getattr(mod, nm, None)
         if isinstance(v, str):
             norm += f"\n#const {nm}={v}"
+        elif isinstance(v, types.ModuleType) and _is_helper_module(v.__name__):
+            helper_mods.add(v.__name__)
+        elif callable(v) and _is_helper_module(getattr(v, "__module__", None)):
+            helper_mods.add(v.__module__)
+    # One import-graph level deep: the raw source hash of every operators/
+    # and functions/ module the fn references — an operator behavior
+    # change under an unchanged query fn must still flag (VERDICT r11).
+    for hm in sorted(helper_mods):
+        norm += f"\n#helper {hm}={_module_src_hash(hm)}"
     return hashlib.sha256(norm.encode()).hexdigest()
 
 

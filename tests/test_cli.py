@@ -243,3 +243,113 @@ def test_changed_queries_fingerprint_ignores_docs_flags_expressions(tmp_path):
         hashlib.sha256(b"SELECT 1").hexdigest()
         != hashlib.sha256(b"SELECT  1").hexdigest()
     )
+
+
+def _load_dump_snippet_ns() -> dict:
+    """Exec the detector's _DUMP_SNIPPET preamble (everything before the
+    registry dump loop) so tests exercise the code it actually runs."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "changed_queries",
+        Path(__file__).resolve().parents[1] / "scripts" / "changed_queries.py",
+    )
+    cq = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cq)
+    ns: dict = {}
+    exec(cq._DUMP_SNIPPET.split("out = {}")[0], ns)  # noqa: S102
+    return ns
+
+
+def _make_fn(tmp_path, idx: int, src: str):
+    import importlib.util
+    import sys
+    import textwrap
+
+    mod_path = tmp_path / f"helpermod{idx}.py"
+    mod_path.write_text(textwrap.dedent(src))
+    mspec = importlib.util.spec_from_file_location(f"helpermod{idx}", mod_path)
+    mod = importlib.util.module_from_spec(mspec)
+    # registered: the fingerprint resolves fn globals via
+    # sys.modules[fn.__module__], exactly as it does for real query modules
+    sys.modules[mspec.name] = mod
+    mspec.loader.exec_module(mod)
+    return mod.q
+
+
+def test_changed_queries_flags_helper_module_edit(tmp_path):
+    """VERDICT r11 item 3: a no-op (comment-only) edit to an operators/
+    helper module must flag every query that references it — via a
+    module-global reference AND via a function-LOCAL import — because an
+    operator behavior change under an unchanged query fn used to escape
+    the window cut. Exercised on the dump snippet itself."""
+    import importlib.util
+    import sys
+
+    ns = _load_dump_snippet_ns()
+    fp, cache = ns["_fn_fingerprint"], ns["_MOD_SRC_CACHE"]
+
+    helper_name = "etl_open_source_spark.operators._fp_test_helper"
+    helper_path = tmp_path / "_fp_test_helper.py"
+    helper_path.write_text("def helper_fn(x):\n    return x + 1\n")
+    hspec = importlib.util.spec_from_file_location(helper_name, helper_path)
+    helper = importlib.util.module_from_spec(hspec)
+    hspec.loader.exec_module(helper)
+    sys.modules[helper_name] = helper
+    try:
+        q_global = _make_fn(
+            tmp_path,
+            10,
+            f'''
+            import sys
+            H = sys.modules["{helper_name}"]
+            def q(spark, sf_dir):
+                return H.helper_fn(1)
+            ''',
+        )
+        q_local = _make_fn(
+            tmp_path,
+            11,
+            """
+            def q(spark, sf_dir):
+                from etl_open_source_spark.operators import (
+                    _fp_test_helper as H,
+                )
+                return H.helper_fn(1)
+            """,
+        )
+        before_global, before_local = fp(q_global), fp(q_local)
+
+        # comment-only edit: raw-source helper hashing is deliberately
+        # conservative — even this must rotate the dependents
+        helper_path.write_text(
+            "# tightened epsilon rationale\ndef helper_fn(x):\n    return x + 1\n"
+        )
+        hspec.loader.exec_module(helper)
+        import linecache
+
+        linecache.clearcache()  # inspect.getsource caches per-path
+        cache.clear()
+        assert fp(q_global) != before_global, "global helper ref did not flag"
+        assert fp(q_local) != before_local, "function-local import did not flag"
+    finally:
+        sys.modules.pop(helper_name, None)
+
+
+def test_changed_queries_sees_constants_in_nested_code_objects(tmp_path):
+    """ADVICE r11: a module-level SQL constant referenced ONLY inside a
+    nested code object (lambda/comprehension/inner def) has its name in
+    the nested co_names, not the top-level fn's — the fingerprint must
+    recurse or the q_sql_transform-style miss recurs one level down."""
+    ns = _load_dump_snippet_ns()
+    fp = ns["_fn_fingerprint"]
+    template = '''
+        CONST_SQL = "{sql}"
+        def q(spark, sf_dir):
+            inner = lambda: CONST_SQL
+            return [inner() for _ in range(1)]
+        '''
+    before = fp(_make_fn(tmp_path, 20, template.format(sql="SELECT 1")))
+    after = fp(_make_fn(tmp_path, 21, template.format(sql="SELECT 2")))
+    assert before != after, "nested-closure constant edit did not flag"

@@ -914,6 +914,7 @@ def test_kmeans_and_pq_empty_training_raise_clearly(spark):
     ValueError), not an opaque 'NoneType is not subscriptable' (ADVICE
     r9); the distinct type is what lets the ANN query surfaces map it to
     empty-in/empty-out without a separate isEmpty() action (ADVICE r10)."""
+    cached_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     empty = spark.createDataFrame([], "vec_id int, embedding array<double>")
     with pytest.raises(S.EmptyTrainingSet, match="empty training set"):
         S.kmeans_centroids(empty, n=4)
@@ -926,6 +927,14 @@ def test_kmeans_and_pq_empty_training_raise_clearly(spark):
     )
     with pytest.raises(S.EmptyTrainingSet, match="empty training set"):
         S.kmeans_centroids(zeros, n=2)
+    # the raise path must not LEAK its persisted training frame: every
+    # empty-corpus query run would otherwise pin a cached (empty) RDD for
+    # the whole session (ADVICE r11 — try/finally around the fit)
+    cached_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert cached_after == cached_before, (
+        "EmptyTrainingSet raise leaked a persisted training frame: "
+        f"{cached_before} cached RDDs before, {cached_after} after"
+    )
 
 
 def test_pq_train_k1_codebook_is_subspace_mean(spark):

@@ -86,21 +86,19 @@ NAN, INF, NINF = float("nan"), float("inf"), float("-inf")
 
 def _append_rows(src_parquet: str, dst_parquet, extra: dict) -> None:
     """Append rows (python-list arrays: NaN stays a VALUE, None stays
-    null) to a parquet table, preserving the production schema."""
-    schema = pq.read_schema(src_parquet)
-    base = pq.read_table(src_parquet).to_pandas()
-    arrays = []
-    for f in schema:
-        vals = list(base[f.name]) + list(extra[f.name])
-        if pa.types.is_floating(f.type):
-            arrays.append(
-                pa.array(
-                    [None if v is None else float(v) for v in vals], type=f.type
-                )
-            )
-        else:
-            arrays.append(pa.array(vals, type=f.type))
-    pq.write_table(pa.table(arrays, schema=schema), dst_parquet)
+    null) to a parquet table, preserving the production schema.
+
+    The base table is concatenated at the ARROW level, never round-tripped
+    through pandas: a pandas rewrite would conflate any pre-existing NULL
+    in a base float column into a NaN VALUE (pandas NaN-as-missing) and
+    widen a nullable int column to float64, silently changing the axis
+    fixture if future sf fixtures gain NULLs (ADVICE r11)."""
+    base = pq.read_table(src_parquet)
+    poison = pa.table(
+        [pa.array(list(extra[f.name]), type=f.type) for f in base.schema],
+        schema=base.schema,
+    )
+    pq.write_table(pa.concat_tables([base, poison]), dst_parquet)
 
 
 @pytest.fixture(scope="module")
