@@ -29,10 +29,29 @@ import sys
 import time
 
 
+def _wait_for_quiet_box() -> float:
+    """Best-effort quiet-box gate (VERDICT r11 item 2: the r11 artifact was
+    taken at 1-min load 3.62 and read ~14% slow across the board). Polls
+    until the 1-min load drops under SPARK_GRAFT_BENCH_MAX_LOAD (default
+    2.0), giving up after SPARK_GRAFT_BENCH_QUIET_WAIT seconds (default
+    300) so a busy driver box degrades to the old behavior instead of
+    deadlocking — the recorded load_avg_before then documents the noise.
+    Runs BEFORE the JVM starts, so bench's own warm-up never trips it.
+    Returns the seconds spent waiting (recorded in the JSON)."""
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "300"))
+    waited = 0.0
+    while os.getloadavg()[0] >= max_load and waited < budget:
+        time.sleep(10)
+        waited += 10
+    return waited
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    quiet_wait = _wait_for_quiet_box()
 
     from etl_open_source_spark.registry import get_registry
     from etl_open_source_spark.session import get_spark
@@ -109,6 +128,7 @@ def main() -> None:
                 "n_samples": reps,
                 "load_avg_before": [round(x, 2) for x in load_before],
                 "load_avg_after": [round(x, 2) for x in os.getloadavg()],
+                "quiet_wait_sec": quiet_wait,
                 "sf": sf,
             }
         )

@@ -26,12 +26,11 @@ bounds AS (
   FROM events GROUP BY 1
 ),
 spine AS (
-  SELECT b.user_id, g.h AS hour
+  -- data-derived, like the engine's sequence(min, max): a constant
+  -- series here silently truncated any user whose activity left the
+  -- constant's range (calendar-axis r12 fixture artifact)
+  SELECT b.user_id, UNNEST(GENERATE_SERIES(b.s, b.e, INTERVAL '1 hour')) AS hour
   FROM bounds b
-  JOIN (SELECT * FROM GENERATE_SERIES(TIMESTAMP '2024-01-01 00:00:00',
-                                      TIMESTAMP '2024-02-01 00:00:00',
-                                      INTERVAL '1 hour')) g(h)
-    ON g.h BETWEEN b.s AND b.e
 )
 SELECT s.user_id, s.hour,
        COALESCE(h.cnt, 0) AS cnt,
@@ -50,9 +49,10 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At scale the spine is generated, not materialized: |users|×|hours|
     rows stream out of the explode; the join key (user, hour) spreads the
-    shuffle. (The oracle uses a constant series clipped per user — DuckDB's
-    generate_series takes constants only; the engine derives bounds from
-    the data.)"""
+    shuffle. (The oracle spine is data-derived too — DuckDB's list-valued
+    GENERATE_SERIES accepts column bounds under UNNEST; the earlier
+    constant-series form silently truncated users outside its range,
+    which the calendar axis would have misread as an engine bug.)"""
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("hour")
@@ -289,12 +289,9 @@ bounds AS (
   FROM events GROUP BY 1
 ),
 spine AS (
-  SELECT b.user_id, g.h AS hour
+  -- data-derived, like the engine's sequence(min, max) (calendar-axis r12)
+  SELECT b.user_id, UNNEST(GENERATE_SERIES(b.s, b.e, INTERVAL '1 hour')) AS hour
   FROM bounds b
-  JOIN (SELECT * FROM GENERATE_SERIES(TIMESTAMP '2024-01-01 00:00:00',
-                                      TIMESTAMP '2024-02-01 00:00:00',
-                                      INTERVAL '1 hour')) g(h)
-    ON g.h BETWEEN b.s AND b.e
 ),
 staged AS (
   SELECT s.user_id, s.hour, h.hour_sum,
@@ -717,10 +714,16 @@ WITH seq AS (
   FROM events
 ),
 seg AS (
+  -- durations via epoch_us // 1000000 (truncate-toward-zero), matching
+  -- the engine's per-endpoint cast-to-long exactly. DATE_DIFF('second')
+  -- instead counts FLOOR-boundary crossings, which differs on negative
+  -- (pre-1970) epochs with fractional seconds (calendar axis r12).
   SELECT user_id,
          CAST(CASE WHEN ISFINITE(value) THEN value END AS DECIMAL(18,4))
-           * CAST(DATE_DIFF('second', ts, next_ts) AS BIGINT) AS weighted,
-         CAST(DATE_DIFF('second', ts, next_ts) AS BIGINT) AS dur
+           * CAST(epoch_us(next_ts) // 1000000
+                  - epoch_us(ts) // 1000000 AS BIGINT) AS weighted,
+         CAST(epoch_us(next_ts) // 1000000
+              - epoch_us(ts) // 1000000 AS BIGINT) AS dur
   FROM seq WHERE next_ts IS NOT NULL
 )
 SELECT user_id,
@@ -741,7 +744,13 @@ def q_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable aggregate: value×duration products fold through
     DECIMAL(18,4)·BIGINT (exact, order-independent), one double division
     at the end. One shuffle total; at 100 TB the window and the
-    aggregate share the user-key exchange."""
+    aggregate share the user-key exchange.
+
+    Duration contract: whole seconds, each endpoint truncated toward
+    zero (Spark's timestamp→long cast; oracle mirrors with
+    epoch_us // 1000000 — the calendar axis pinned that DATE_DIFF
+    'second' floor-counting diverges on pre-1970 fractional
+    timestamps)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     seq = e.select(
@@ -750,7 +759,11 @@ def q_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.lead("ts").over(w).alias("next_ts"),
     ).filter(F.col("next_ts").isNotNull())
-    dur = F.col("next_ts").cast("long") - F.col("ts").cast("long")
+    # to_unix_timestamp truncates toward zero like the oracle's
+    # epoch_us // 1000000 (the sanctioned pairing, q_window_range_frame);
+    # a bare cast-to-long FLOORS instead and diverges on pre-1970
+    # fractional timestamps (calendar axis r12)
+    dur = F.expr("to_unix_timestamp(next_ts)") - F.expr("to_unix_timestamp(ts)")
     weighted = F.col("value").cast("decimal(18,4)") * dur.cast("bigint")
     return (
         seq.select("user_id", weighted.alias("weighted"), dur.cast("bigint").alias("dur"))
