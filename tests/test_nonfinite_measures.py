@@ -66,9 +66,11 @@ NAN, INF, NINF = float("nan"), float("inf"), float("-inf")
 def nonfinite_dir(tmp_path_factory, sf_dir):
     """sf0.001 with six poisoned events appended: NaN/±Inf values across
     two users and the view/click/purchase types, timestamps inside
-    January 2024 (the gapfill/interpolate oracles clip their constant
-    GENERATE_SERIES spine to 2024-01; rows outside it would vanish from
-    the oracle only — a fixture artifact, not an engine bug)."""
+    January 2024. (Historical note: staying inside 2024-01 was originally
+    forced by the gapfill/interpolate oracles' constant GENERATE_SERIES
+    spine; those oracles derive their spine from per-user bounds since
+    the r12 calendar axis, so the January confinement is now just a
+    benign fixture choice.)"""
     d = tmp_path_factory.mktemp("nonfinite_sf")
     ev_schema = pq.read_schema(f"{sf_dir}/events.parquet")
     ev = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
