@@ -41,7 +41,10 @@ def _wait_for_quiet_box() -> float:
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "300"))
     waited = 0.0
-    while os.getloadavg()[0] >= max_load and waited < budget:
+    # gate on max(1-min, 5-min): measured r12 A/B — a box seconds after a
+    # heavy job read 1-min 0.15 but 5-min 2.47 and benched ~70% slow
+    # (19.24 s vs 11.25 s true-quiet on the same tree)
+    while max(os.getloadavg()[:2]) >= max_load and waited < budget:
         time.sleep(10)
         waited += 10
     return waited

@@ -169,16 +169,31 @@ def main() -> None:
     print(f"  bit-parity restored on all {len(s_rows)} groups (OK)")
 
     if args.full_sweep:
-        print("[5] full-registry sweep on the amplified fixture")
+        # Scope: only queries whose engine fn or oracle reads the AMPLIFIED
+        # tables (lineitem/orders). Every other registered query reads
+        # byte-identical inputs to the r11 full sf0.1 sweep (251/251) —
+        # re-running them here would prove nothing new about the boundary.
+        print("[5] registry sweep over amplified-table queries", flush=True)
+        import inspect
+        import time
+
         from etl_open_source_spark.registry import get_registry
 
-        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
         from tests.oracle_utils import canon_frame, run_oracle
 
         results = {}
+        todo = []
         for name, qd in sorted(get_registry().items()):
             if qd.oracle is None:
                 continue
+            surface = qd.oracle + inspect.getsource(qd.fn)
+            if "lineitem" in surface or "orders" in surface:
+                todo.append((name, qd))
+        print(f"  {len(todo)} amplified-table queries of "
+              f"{sum(1 for _, q in get_registry().items() if q.oracle)}",
+              flush=True)
+        for name, qd in todo:
+            t0 = time.perf_counter()
             try:
                 s_pdf = qd.fn(spark, str(dst)).toPandas()
                 o_pdf = run_oracle(qd.oracle, str(dst))
@@ -191,16 +206,16 @@ def main() -> None:
                 )
             except Exception as exc:  # noqa: BLE001 - recorded, not raised
                 results[name] = f"ERR: {type(exc).__name__}: {exc}"[:200]
-            if results[name] != "exact":
-                print(f"  {name}: {results[name]}")
+            print(f"  {name}: {results[name]} "
+                  f"({time.perf_counter() - t0:.1f}s)", flush=True)
         counts = {}
         for v in results.values():
             k = v.split(":")[0]
             counts[k] = counts.get(k, 0) + 1
-        print(json.dumps(counts))
+        print(json.dumps(counts), flush=True)
         out = Path("/tmp/boundary_sweep_results.json")
         out.write_text(json.dumps(results, indent=1, sort_keys=True))
-        print(f"  per-query results -> {out}")
+        print(f"  per-query results -> {out}", flush=True)
 
     print("PROOF COMPLETE")
 
