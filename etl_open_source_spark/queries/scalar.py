@@ -66,14 +66,18 @@ SELECT o_orderkey,
        CAST(DATEDIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_95,
        o_orderdate + INTERVAL 3 MONTH AS plus_3_months,
        CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date_only,
-       CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_sec
+       CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS epoch_sec
 FROM orders
 """,
     tags=("fn",),
 )
 def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Core date/time pack (trunc, extract, add/diff) — codegen'd
-    builtins over the timestamp column; scan-local."""
+    builtins over the timestamp column; scan-local. The oracle's
+    epoch_sec uses the sanctioned epoch_us // 1000000 form (truncates
+    like Spark's unix_timestamp); the earlier CAST(EPOCH(..) AS BIGINT)
+    ROUNDS fractional seconds — benign on these midnight-aligned dates
+    but outlawed by the calendar axis (tests/test_calendar_hostility)."""
     o = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
     return o.select(
