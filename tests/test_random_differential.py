@@ -133,10 +133,16 @@ def _events_rows(draw, ts_pool):
 
 @st.composite
 def events_table(draw):
-    # 4-value timestamp pool → guaranteed heavy ties
+    # 6-value timestamp pool → guaranteed heavy ties; the last two fold
+    # the calendar axis (r12) into every fresh draw: a leap-day instant
+    # with FRACTIONAL seconds (sub-second epoch arithmetic) and a
+    # microsecond-boundary tie at .999999
     ts_pool = [
         pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=m)
         for m in (0, 17, 17, 60 * 26)  # duplicate pool entry: more ties
+    ] + [
+        pd.Timestamp("2024-02-29 12:00:00.750000"),
+        pd.Timestamp("2024-01-01 00:16:59.999999"),
     ]
     return _events_rows(draw, ts_pool)
 
@@ -159,6 +165,12 @@ def events_negepoch_table(draw):
         pd.Timestamp("1969-12-31 22:58:00"),
         pd.Timestamp("1969-12-31 23:42:17"),
         pd.Timestamp("1969-12-31 23:42:17"),  # duplicate: ties
+        # FRACTIONAL pre-epoch seconds (calendar axis r12): the one
+        # input where truncate-toward-zero (to_unix_timestamp,
+        # epoch_us // 1e6), floor (CAST AS LONG) and DATE_DIFF all
+        # disagree — q_ts_twap's duration contract lives or dies here
+        pd.Timestamp("1969-12-31 23:30:00.500000"),
+        pd.Timestamp("1970-01-01 00:30:00.750000"),
         # exact epoch 0, DUPLICATED: as-of/session ties sitting ON the
         # sign boundary of every epoch-seconds expression (round-10 axis
         # seed) — 0 is the one value where truncate and floor agree but
