@@ -215,7 +215,10 @@ p AS (
     AND ts + CAST(FLOOR(value) AS BIGINT) * INTERVAL 1 MINUTE >= ts
 )
 SELECT err_id, buy_id,
-       EPOCH_MS(LEAST(ee, pe)) - EPOCH_MS(GREATEST(es, ps)) AS overlap_ms
+       -- per-endpoint ms via the truncating pair epoch_us // 1000 (engine:
+       -- unix_micros div 1000): EPOCH_MS truncates but Spark's unix_millis
+       -- FLOORS, diverging on pre-1970 sub-millisecond timestamps (r12)
+       epoch_us(LEAST(ee, pe)) // 1000 - epoch_us(GREATEST(es, ps)) // 1000 AS overlap_ms
 FROM e JOIN p ON es <= pe AND ps <= ee
 """,
     tags=("join", "timeseries"),
@@ -253,9 +256,12 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("buy_id"), F.col("ts").alias("ps"), win.alias("pe")
     )
     joined = interval_overlap_join(e, p, "es", "ee", "ps", "pe", bucket_seconds=3600)
+    # unix_micros div 1000 truncates toward zero like the oracle's
+    # epoch_us // 1000; unix_millis FLOORS and diverges on pre-1970
+    # sub-millisecond timestamps (calendar axis r12)
     overlap_ms = (
-        F.unix_millis(F.least("ee", "pe"))
-        - F.unix_millis(F.greatest("es", "ps"))
+        F.expr("unix_micros(least(ee, pe)) div 1000")
+        - F.expr("unix_micros(greatest(es, ps)) div 1000")
     ).cast("bigint")
     return joined.select("err_id", "buy_id", overlap_ms.alias("overlap_ms"))
 
@@ -563,7 +569,7 @@ m AS (
   GROUP BY c.click_id, c.user_id, c.cts
 )
 SELECT click_id, user_id, pts AS last_purchase_ts,
-       EPOCH_MS(cts) - EPOCH_MS(pts) AS gap_ms
+       epoch_us(cts) // 1000 - epoch_us(pts) // 1000 AS gap_ms
 FROM m
 """,
     tags=("join", "timeseries"),
@@ -596,7 +602,9 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "user_id",
         F.col("pts").alias("last_purchase_ts"),
-        (F.unix_millis("cts") - F.unix_millis("pts")).alias("gap_ms"),
+        (
+            F.expr("unix_micros(cts) div 1000") - F.expr("unix_micros(pts) div 1000")
+        ).alias("gap_ms"),
     )
 
 

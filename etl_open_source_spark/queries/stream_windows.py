@@ -151,7 +151,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_interval_join",
     oracle="""
 SELECT p.event_id AS buy_id, c.event_id AS click_id,
-       EPOCH_MS(p.ts) - EPOCH_MS(c.ts) AS gap_ms
+       epoch_us(p.ts) // 1000 - epoch_us(c.ts) // 1000 AS gap_ms
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
 JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id
@@ -190,6 +190,9 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "buy_id",
             "click_id",
-            (F.unix_millis("pts") - F.unix_millis("cts")).alias("gap_ms"),
+            (
+                F.expr("unix_micros(pts) div 1000")
+                - F.expr("unix_micros(cts) div 1000")
+            ).alias("gap_ms"),
         )
     )

@@ -1022,10 +1022,13 @@ per_user AS (
   FROM w3 GROUP BY user_id
 ),
 conv AS (
+  -- latencies via the sanctioned truncating pair (epoch_us // 1000000,
+  -- matching engine to_unix_timestamp): DATE_DIFF('second') follows a
+  -- different rule on pre-1970 fractional timestamps (r12 soak catch)
   SELECT user_id,
-         CAST(DATE_DIFF('second', v1, c1) AS BIGINT) AS s_view_click,
-         CAST(DATE_DIFF('second', c1, p1) AS BIGINT) AS s_click_purch,
-         CAST(DATE_DIFF('second', v1, p1) AS BIGINT) AS s_total
+         CAST(epoch_us(c1) // 1000000 - epoch_us(v1) // 1000000 AS BIGINT) AS s_view_click,
+         CAST(epoch_us(p1) // 1000000 - epoch_us(c1) // 1000000 AS BIGINT) AS s_click_purch,
+         CAST(epoch_us(p1) // 1000000 - epoch_us(v1) // 1000000 AS BIGINT) AS s_total
   FROM per_user WHERE p1 IS NOT NULL
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
@@ -1082,8 +1085,11 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = staged.groupBy("user_id").agg(
         F.max("v1").alias("v1"), F.max("c1").alias("c1"), F.max("p1").alias("p1")
     )
+    # to_unix_timestamp truncates toward zero like the oracle's
+    # epoch_us // 1000000; a bare cast-to-long FLOORS and diverges on
+    # pre-1970 fractional timestamps (r12 soak catch, twap's sibling)
     sec = lambda a, b: (  # noqa: E731
-        F.col(b).cast("long") - F.col(a).cast("long")
+        F.expr(f"to_unix_timestamp({b})") - F.expr(f"to_unix_timestamp({a})")
     ).cast("bigint")
     conv = per_user.filter(F.col("p1").isNotNull()).select(
         sec("v1", "c1").alias("s_view_click"),
@@ -1219,9 +1225,13 @@ sessioned AS (
   FROM ordered
 ),
 sess AS (
+  -- duration via the sanctioned truncating pair (epoch_us // 1000000,
+  -- matching engine to_unix_timestamp): DATE_DIFF('second') follows a
+  -- different rule on pre-1970 fractional timestamps (r12 soak catch)
   SELECT user_id, session_num,
          CAST(COUNT(*) AS BIGINT) AS n_events,
-         CAST(DATE_DIFF('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+         CAST(epoch_us(MAX(ts)) // 1000000
+              - epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS duration_s
   FROM sessioned GROUP BY user_id, session_num
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
@@ -1270,7 +1280,13 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sess = sessioned.groupBy("user_id", "session_num").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        (F.max("ts").cast("long") - F.min("ts").cast("long"))
+        # to_unix_timestamp truncates toward zero like the oracle's
+        # epoch_us // 1000000; a bare cast-to-long FLOORS and diverges on
+        # pre-1970 fractional timestamps (r12 soak catch, twap's sibling)
+        (
+            F.expr("to_unix_timestamp(max(ts))")
+            - F.expr("to_unix_timestamp(min(ts))")
+        )
         .cast("bigint")
         .alias("duration_s"),
     )

@@ -168,8 +168,11 @@ def events_negepoch_table(draw):
         # FRACTIONAL pre-epoch seconds (calendar axis r12): the one
         # input where truncate-toward-zero (to_unix_timestamp,
         # epoch_us // 1e6), floor (CAST AS LONG) and DATE_DIFF all
-        # disagree — q_ts_twap's duration contract lives or dies here
-        pd.Timestamp("1969-12-31 23:30:00.500000"),
+        # disagree — q_ts_twap's duration contract lives or dies here.
+        # The .500400 draw is additionally SUB-MILLISECOND, splitting
+        # unix_millis (floor) from epoch_us // 1000 (truncate) for the
+        # gap_ms/overlap_ms family.
+        pd.Timestamp("1969-12-31 23:30:00.500400"),
         pd.Timestamp("1970-01-01 00:30:00.750000"),
         # exact epoch 0, DUPLICATED: as-of/session ties sitting ON the
         # sign boundary of every epoch-seconds expression (round-10 axis
