@@ -640,6 +640,12 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge order can differ between engines in the last ulps — same
     contract as q_agg_corr, hash-green since r5).
 
+    The correlations are NOT the built-in ``F.corr``: under ANSI mode it
+    raises DIVIDE_BY_ZERO on a zero-variance/single-pair series (a
+    constant daily series — caught by the r12 soak after the calendar
+    pool enrichment) where DuckDB's corr yields NULL. Same masked
+    try_divide(covar, sd·sd) form as q_agg_corr, pairwise-complete.
+
     Shape: one daily aggregate, one per-type window for the lags, one
     type-cardinality aggregate."""
     e = load_table(spark, sf_dir, "events")
@@ -654,8 +660,15 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("x", 1).over(w).alias("x1"),
         F.lag("x", 7).over(w).alias("x7"),
     )
+    def _acf(lag_col: str):
+        both = F.col("x").isNotNull() & F.col(lag_col).isNotNull()
+        a, b = F.when(both, F.col("x")), F.when(both, F.col(lag_col))
+        return F.try_divide(
+            F.covar_samp(a, b), F.stddev_samp(a) * F.stddev_samp(b)
+        )
+
     return lagged.groupBy("event_type").agg(
         F.count("x1").cast("bigint").alias("n_lag1"),
-        F.round(F.corr("x", "x1"), 6).alias("acf_lag1"),
-        F.round(F.corr("x", "x7"), 6).alias("acf_lag7"),
+        F.round(_acf("x1"), 6).alias("acf_lag1"),
+        F.round(_acf("x7"), 6).alias("acf_lag7"),
     )

@@ -1474,3 +1474,41 @@ def test_malformed_json_extraction_contract(spark_prop):
         """SELECT JSON_EXTRACT_STRING('{"k": 1e400}', 'k')"""
     ).fetchone()[0]
     assert sp == '"Infinity"' and dk == "Infinity" and sp != dk
+
+
+def test_constant_series_autocorr_contract(spark_prop, tmp_path):
+    """Deterministic pin of the r12 soak catch: a CONSTANT daily series
+    has zero variance, so Pearson's denominator is 0 — Spark's built-in
+    F.corr raises ANSI DIVIDE_BY_ZERO where DuckDB's corr yields NULL.
+    q_ts_autocorr therefore computes the masked try_divide(covar, sd·sd)
+    form (q_agg_corr's contract): both engines answer NULL acf for the
+    degenerate series instead of one of them crashing."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (i, pd.Timestamp(f"2024-01-0{i + 1} 00:00:00"), 1, "view", 5.0, "{}")
+        for i in range(3)
+    ]
+    df = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array(df.event_id, type=pa.int64()),
+            "ts": pa.array(df.ts, type=pa.timestamp("us")),
+            "user_id": pa.array(df.user_id, type=pa.int64()),
+            "event_type": pa.array(df.event_type),
+            "value": pa.array(df.value, type=pa.float64()),
+            "props": pa.array(df.props),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    qd = REGISTRY["q_ts_autocorr"]
+    got = qd.fn(spark_prop, str(tmp_path)).toPandas()
+    want = run_oracle(qd.oracle, str(tmp_path))
+    assert_frames_match(got, want)
+    assert got["acf_lag1"].isna().all(), "constant series must yield NULL acf"
