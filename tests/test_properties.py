@@ -16,6 +16,7 @@ from hypothesis import strategies as st
 from etl_open_source_spark.operators.asof import asof_join
 from etl_open_source_spark.operators.merge import merge_upsert
 from etl_open_source_spark.plans.cron import next_run_from_cron
+from tests.oracle_utils import fixture_dir
 
 # ------------------------------------------------------------------ cron
 
@@ -1292,8 +1293,9 @@ def test_ks_matches_naive(spark_prop):
         columns=["o_orderkey", "o_custkey", "o_orderstatus",
                  "o_totalprice", "o_orderdate", "o_orderpriority"],
     )
-    import tempfile, os
-    d = tempfile.mkdtemp(prefix="ks_prop_")
+    import os
+
+    d = fixture_dir(prefix="ks_prop_")
     pdf.to_parquet(os.path.join(d, "orders.parquet"), index=False)
 
     from etl_open_source_spark.registry import get_registry
@@ -1328,7 +1330,6 @@ def test_skew_kurt_matches_naive(spark_prop):
     power sums themselves are decimal-exact)."""
     import math
     import os
-    import tempfile
 
     import pandas as pd
 
@@ -1340,7 +1341,7 @@ def test_skew_kurt_matches_naive(spark_prop):
     pdf = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
     )
-    d = tempfile.mkdtemp(prefix="moments_prop_")
+    d = fixture_dir(prefix="moments_prop_")
     pdf.to_parquet(os.path.join(d, "events.parquet"), index=False)
 
     from etl_open_source_spark.registry import get_registry
@@ -1363,7 +1364,6 @@ def test_chisq_matches_naive(spark_prop):
     """Chi-square == the textbook homogeneity statistic on a hand-built
     two-period contingency table."""
     import os
-    import tempfile
 
     import pandas as pd
 
@@ -1378,7 +1378,7 @@ def test_chisq_matches_naive(spark_prop):
     pdf = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
     )
-    d = tempfile.mkdtemp(prefix="chisq_prop_")
+    d = fixture_dir(prefix="chisq_prop_")
     pdf.to_parquet(os.path.join(d, "events.parquet"), index=False)
 
     from etl_open_source_spark.registry import get_registry
@@ -1437,7 +1437,6 @@ def test_gini_closed_form_cases(spark_prop):
     """Gini == known closed forms: all-equal values → 0; one order holding
     all the mass among zeros → (n-1)/n; all-zero group → NULL."""
     import os
-    import tempfile
 
     import pandas as pd
 
@@ -1456,7 +1455,7 @@ def test_gini_closed_form_cases(spark_prop):
         columns=["o_orderkey", "o_custkey", "o_orderstatus",
                  "o_totalprice", "o_orderdate", "o_orderpriority"],
     )
-    d = tempfile.mkdtemp(prefix="gini_prop_")
+    d = fixture_dir(prefix="gini_prop_")
     pdf.to_parquet(os.path.join(d, "orders.parquet"), index=False)
 
     from etl_open_source_spark.registry import get_registry

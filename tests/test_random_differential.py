@@ -19,14 +19,13 @@ folding the tiny-table class into the fresh-draw soak permanently.
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from etl_open_source_spark.registry import get_registry
-from tests.oracle_utils import assert_frames_match, run_oracle
+from tests.oracle_utils import assert_frames_match, fixture_dir, run_oracle
 
 REGISTRY = get_registry()
 
@@ -190,7 +189,7 @@ def events_negepoch_table(draw):
     max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
 )
 def test_random_events_differential(spark_prop, tbl):
-    d = tempfile.mkdtemp(prefix="randdiff_")
+    d = fixture_dir(prefix="randdiff_")
     _write_events(tbl, d)
     for name in QUERIES:
         qd = REGISTRY[name]
@@ -241,7 +240,7 @@ def test_random_ts_differential(spark_prop, tbl):
     Hampel windows on tied timestamps, STL/autocorr on constant series,
     chi-square/PSI on degenerate distributions, funnels and journeys with
     NULL users."""
-    d = tempfile.mkdtemp(prefix="randdiff_ts_")
+    d = fixture_dir(prefix="randdiff_ts_")
     _write_events(tbl, d)
     for name in TS_QUERIES:
         qd = REGISTRY[name]
@@ -274,7 +273,7 @@ def test_random_events_misc_differential(spark_prop, tbl):
     """Streaming-window expressions (batch form) and events IO/layout over
     random events: tumbling/sliding/session windows on tied timestamps,
     dedup keys with NULL users, JSON roundtrips of NULL-ridden rows."""
-    d = tempfile.mkdtemp(prefix="randdiff_ev_")
+    d = fixture_dir(prefix="randdiff_ev_")
     _write_events(tbl, d)
     for name in EV_MISC_QUERIES:
         qd = REGISTRY[name]
@@ -367,7 +366,7 @@ def negepoch_pinned_df():
 
 def test_negepoch_pinned_differential(spark_prop):
     df = negepoch_pinned_df()
-    d = tempfile.mkdtemp(prefix="negepoch_pin_")
+    d = fixture_dir(prefix="negepoch_pin_")
     _write_events(df, d)
     for name in NEG_EPOCH_QUERIES:
         qd = REGISTRY[name]
@@ -388,7 +387,7 @@ def test_random_negepoch_differential(spark_prop, tbl):
     tumbling/sliding/session windows, sessionize gaps, as-of distances,
     OHLC buckets and day-granularity folds must floor (never truncate
     toward zero) on negative epoch seconds, identically in both engines."""
-    d = tempfile.mkdtemp(prefix="randdiff_ne_")
+    d = fixture_dir(prefix="randdiff_ne_")
     _write_events(tbl, d)
     for name in NEG_EPOCH_QUERIES:
         qd = REGISTRY[name]
@@ -468,7 +467,7 @@ def test_random_orders_differential(spark_prop, tbl):
     paths must stay bit-identical to their oracles."""
     import pyarrow as pa
 
-    d = tempfile.mkdtemp(prefix="randdiff_o_")
+    d = fixture_dir(prefix="randdiff_o_")
     _write_pinned(
         tbl,
         os.path.join(d, "orders.parquet"),
@@ -686,7 +685,7 @@ def test_random_relational_differential(spark_prop, tbls):
     import pyarrow as pa
 
     cust, orders = tbls
-    d = tempfile.mkdtemp(prefix="randdiff_r_")
+    d = fixture_dir(prefix="randdiff_r_")
     _write_pinned(
         cust,
         os.path.join(d, "customer.parquet"),
@@ -793,7 +792,7 @@ def test_random_lineitem_differential(spark_prop, tbl):
     winsorize, exact percentiles)."""
     import pyarrow as pa
 
-    d = tempfile.mkdtemp(prefix="randdiff_l_")
+    d = fixture_dir(prefix="randdiff_l_")
     _write_pinned(
         tbl,
         os.path.join(d, "lineitem.parquet"),
@@ -1014,7 +1013,7 @@ def _write_tpch(db) -> str:
     import pyarrow as pa
 
     region, nation, customer, supplier, part, orders, lineitem = db
-    d = tempfile.mkdtemp(prefix="randdiff_t_")
+    d = fixture_dir(prefix="randdiff_t_")
     _write_pinned(region, os.path.join(d, "region.parquet"),
                   [("r_regionkey", pa.int32()), ("r_name", pa.string())])
     _write_pinned(nation, os.path.join(d, "nation.parquet"),
@@ -1340,7 +1339,7 @@ def test_random_embeddings_differential(spark_prop, tbl):
     multiples), zero-norm and near-zero vectors, and NULL
     embeddings/labels/ids — the similarity/centroid/quantize paths must
     stay bit-identical to their oracles."""
-    d = tempfile.mkdtemp(prefix="randdiff_e_")
+    d = fixture_dir(prefix="randdiff_e_")
     _write_embeddings(tbl, os.path.join(d, "embeddings.parquet"))
     for name in EMB_QUERIES:
         qd = REGISTRY[name]
@@ -1360,7 +1359,7 @@ def test_random_documents_differential(spark_prop, tbl):
     """Random documents built from tokenizer/hash edge fragments —
     whitespace runs, multibyte chars, punctuation, repeats, newlines,
     the empty string — through the text pipeline queries."""
-    d = tempfile.mkdtemp(prefix="randdiff_d_")
+    d = fixture_dir(prefix="randdiff_d_")
     _write_documents(tbl, d)
     for name in DOC_QUERIES:
         qd = REGISTRY[name]
@@ -1422,7 +1421,7 @@ def test_random_documents2_differential(spark_prop, tbl):
     hostile random documents: sorted-neighborhood and winnowing miners on
     near-identical fragments, domain mixing, deterministic sharding and
     weighted sampling, BPE steps and LM scoring on edge-fragment text."""
-    d = tempfile.mkdtemp(prefix="randdiff_d2_")
+    d = fixture_dir(prefix="randdiff_d2_")
     _write_documents(tbl, d)
     for name in DOC2_QUERIES:
         qd = REGISTRY[name]
