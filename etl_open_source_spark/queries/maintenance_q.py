@@ -335,8 +335,9 @@ def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-run unique dir (not the shared _tmp path): a concurrent run's
     # static overwrite mid-flight would make the read-back see a MIX of
     # two runs' partitions — the same stale/concurrent hazard fixed in
-    # q_scan_binary_files (self-review finding)
-    import tempfile as _tf
+    # q_scan_binary_files (self-review finding); removed at interpreter
+    # exit (it holds a full orders copy per invocation)
+    from etl_open_source_spark.catalog import scratch_dir
 
     from etl_open_source_spark.sources.writers import write_parquet
 
@@ -344,7 +345,7 @@ def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # also applies the documented Hive-layout contract: '' partition
     # values canonicalize to NULL (a Hive directory layout cannot
     # represent an empty-string partition; the oracle mirrors NULLIF)
-    dest = _tf.mkdtemp(prefix="etl_orders_backfill_")
+    dest = scratch_dir("etl_orders_backfill_")
     src = load_table(spark, sf_dir, "orders")
     write_parquet(src, dest, mode="replace", partition_by=["o_orderstatus"])
     fixed = src.filter(F.col("o_orderstatus") == "F").withColumn(

@@ -22,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_open_source_spark.catalog import load_table
+from etl_open_source_spark.catalog import cleanup_at_exit, load_table, scratch_dir
 from etl_open_source_spark.registry import query
 from etl_open_source_spark.sources.readers import (
     read_csv,
@@ -41,8 +41,17 @@ _TMP_ROOT = os.path.join(tempfile.gettempdir(), "etl_open_source_spark_io")
 
 
 def _tmp(sf_dir: str, name: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(_TMP_ROOT, tag, name)
+    """Per-process, sf-scoped scratch path for sink round-trips.
+
+    The tag dir is keyed by (sf basename, pid) and removed at interpreter
+    exit (catalog.cleanup_at_exit): every round-trip is write-then-read
+    within one query fn, so nothing is shared across processes — the old
+    shared per-sf dir only ever enabled the concurrent mode=replace
+    mid-flight hazard (see q_backfill_partition's note) and leaked one
+    dir per unique sf_dir basename (2,079 of them on the r12 box, one
+    per pytest tmp_path fixture)."""
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}"
+    return os.path.join(cleanup_at_exit(os.path.join(_TMP_ROOT, tag)), name)
 
 
 @query(
@@ -491,7 +500,8 @@ def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     # any stale file a concurrent or older run left behind, breaking the
     # constant-table oracle (ADVICE r6) — mkdtemp keeps the scan's input
     # exactly the 3 fixture files, like the other round-trip queries
-    d = tempfile.mkdtemp(prefix="etl_scan_binary_demo_")
+    # (removed at interpreter exit, after the returned frame's lazy read)
+    d = scratch_dir("etl_scan_binary_demo_")
     payloads = {
         "a.bin": bytes(range(16)),
         "b.bin": b"spark-binary-source",
