@@ -9,8 +9,34 @@ single-threaded `pd.read_sql` full materialization.
 
 from __future__ import annotations
 
+import os
+import stat as _stat
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+# (abspath, mtime_ns, size) -> (nanos_cols, inferred raw StructType).
+# Spark runs a one-task JOB per parquet read just to infer the schema from
+# footers (plus our own pyarrow TIMESTAMP(NANOS) probe opens the footer a
+# second time on the driver): for the fixture tables that is pure per-query
+# overhead — a bench pass issues ~35 load_table calls per rep, each paying
+# ~50-150 ms of driver+job latency for a schema that never changes. Caching
+# the footer metadata and passing the schema explicitly skips both (guide
+# §5: the driver should do almost no data work; §6: metadata caching).
+# Keyed on mtime_ns+size so a rewritten file re-probes; REGULAR FILES ONLY —
+# a directory can gain part files (appends, partition overwrites) without
+# its top-level mtime changing, so directory reads always re-infer.
+_FOOTER_CACHE: dict[tuple[str, int, int], tuple[list[str], StructType]] = {}
+
+
+def _footer_cache_key(path: str) -> tuple[str, int, int] | None:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    if not _stat.S_ISREG(st.st_mode):
+        return None
+    return (os.path.abspath(path), st.st_mtime_ns, st.st_size)
 
 
 def nanos_timestamp_columns(path: str) -> list[str]:
@@ -69,13 +95,29 @@ def read_parquet(spark: SparkSession, path: str, schema=None) -> DataFrame:
     without this, Spark rejects TIMESTAMP(NANOS) parquet outright."""
     if schema is not None:
         return spark.read.schema(schema).parquet(path)
-    ns_cols = nanos_timestamp_columns(path)
+    key = _footer_cache_key(path)
+    cached = _FOOTER_CACHE.get(key) if key is not None else None
+    if cached is not None:
+        ns_cols, raw_schema = cached
+    else:
+        ns_cols = nanos_timestamp_columns(path)
+        raw_schema = None
     if not ns_cols:
-        return spark.read.parquet(path)
+        if raw_schema is not None:
+            return spark.read.schema(raw_schema).parquet(path)
+        df = spark.read.parquet(path)
+        if key is not None:
+            _FOOTER_CACHE[key] = ([], df.schema)
+        return df
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    if raw_schema is not None:
+        df = spark.read.schema(raw_schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _FOOTER_CACHE[key] = (ns_cols, df.schema)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df

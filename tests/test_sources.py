@@ -316,3 +316,51 @@ def test_binary_file_source_glob_and_recursive(spark, tmp_path):
         .collect()
     )
     assert {(r.name, r.n) for r in got} == {("x.bin", 2), ("y.bin", 3)}
+
+
+def test_footer_cache_file_reads(spark, sf_dir, tmp_path):
+    """r12 optimization: read_parquet caches (nanos_cols, schema) per
+    regular file keyed on mtime+size, so repeat reads skip the
+    schema-inference job AND the pyarrow footer probe — while a REWRITTEN
+    file (new mtime/size) re-probes, and directories are never cached."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_open_source_spark.sources import readers
+
+    # repeat fixture read: second call must hit the cache and agree exactly
+    path = f"{sf_dir}/orders.parquet"
+    key = readers._footer_cache_key(path)
+    readers._FOOTER_CACHE.pop(key, None)
+    df1 = readers.read_parquet(spark, path)
+    assert key in readers._FOOTER_CACHE
+    df2 = readers.read_parquet(spark, path)
+    assert df1.schema == df2.schema
+    assert df1.count() == df2.count()
+
+    # rewritten file: schema change must be seen (stale cache would mask it)
+    f = str(tmp_path / "evolve.parquet")
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64())}), f)
+    assert readers.read_parquet(spark, f).columns == ["a"]
+    pq.write_table(
+        pa.table({"a": pa.array([1], pa.int64()), "b": pa.array(["x"])}), f
+    )
+    assert sorted(readers.read_parquet(spark, f).columns) == ["a", "b"]
+
+    # nanos-timestamp fixture still converts to µs timestamps on the HIT path
+    epath = f"{sf_dir}/events.parquet"
+    ekey = readers._footer_cache_key(epath)
+    readers._FOOTER_CACHE.pop(ekey, None)
+    miss = readers.read_parquet(spark, epath)
+    hit = readers.read_parquet(spark, epath)
+    assert miss.schema == hit.schema
+    assert [f.dataType.simpleString() for f in miss.schema if f.name == "ts"] == [
+        t for t in ["timestamp"]
+    ]
+    assert miss.select("ts").orderBy("ts").first() == hit.select("ts").orderBy("ts").first()
+
+    # directories are never cached (appends don't bump the dir mtime)
+    d = str(tmp_path / "dirsink")
+    spark.range(3).write.parquet(d)
+    assert readers._footer_cache_key(d) is None
+    assert readers.read_parquet(spark, d).count() == 3
