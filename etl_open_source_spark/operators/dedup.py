@@ -64,7 +64,12 @@ def shingle_positions(
 
 
 def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_doc_freq: int | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_doc_freq: int | None = None,
+    persist: bool = False,
 ) -> DataFrame:
     """Distinct word n-gram shingles: (id, shingle) with the shingle as a
     64-bit xxhash64 of its n words — the n-gram string is never built
@@ -77,8 +82,20 @@ def word_shingles(
     ``max_doc_freq`` drops shingles appearing in more than that many docs
     — the skew guard for the inverted-index join (a shingle in 1M docs
     creates 10^12 join rows); pairs sharing ONLY ultra-common shingles are
-    then missed, by design."""
+    then missed, by design.
+
+    ``persist=True`` caches the PRE-cap explode: the hot-list aggregate and
+    every downstream consumer (self-join sides, size counts) then read the
+    cached rows instead of re-scanning + re-shingling the corpus — with the
+    cap this halves the corpus passes (the old shape persisted the POST-cap
+    frame, whose one materialization ran the explode twice: once for the
+    hot-list build, once for the anti-join's left side). The returned
+    capped frame itself stays lazy — the anti-join is a broadcast hash
+    probe per cached row, far cheaper than a second cache. Callers own the
+    session-lifetime cache exactly as they did with their own persist()."""
     out = shingle_positions(df, id_col, text_col, n, distinct=True)
+    if persist:
+        out = out.persist()
     if max_doc_freq is not None:
         # The hot list is |{shingles with df > cap}| — tiny by construction
         # (bounded by corpus_size/cap) — so broadcast it: the anti-join then
@@ -144,7 +161,7 @@ def ngram_jaccard_pairs(
     recomputes the corpus scan + shingling 8x (AQE does not reuse the
     exchanges across the aliased self-join branches), which is exactly
     the plan that dies at 100 TB, so the persist stays.]"""
-    sh = word_shingles(df, id_col, text_col, n, max_doc_freq).persist()
+    sh = word_shingles(df, id_col, text_col, n, max_doc_freq, persist=True)
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (
@@ -238,7 +255,7 @@ def minhash_lsh_pairs(
     buckets. Pairs discoverable ONLY through an over-cap bucket are
     missed by design."""
     # persisted: reused by signatures AND candidate verification
-    sh = word_shingles(df, id_col, text_col, n, max_doc_freq).persist()
+    sh = word_shingles(df, id_col, text_col, n, max_doc_freq, persist=True)
     sig = minhash_signatures(sh, num_hashes)
     candidates = lsh_candidate_pairs(sig, num_hashes, bands, max_bucket_size)
     return _jaccard_on_pairs(candidates, sh).filter(F.col("jaccard") >= threshold)
@@ -320,6 +337,15 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     converged = False
+    # Convergence = the label-sum going stable: min-propagation can only
+    # DECREASE a node's label (the min is over a set that includes its own
+    # previous rep) and the id universe is fixed, so Σ rep strictly
+    # decreases iff at least one label changed. One cheap partial-agg scan
+    # of the just-checkpointed labels replaces the old per-round
+    # join+filter+count (a full extra shuffle of both label sets per
+    # round). Decimal sum: ids are arbitrary 64-bit values, a long sum
+    # could overflow under ANSI.
+    prev_sum = labels.agg(F.sum(F.col("rep").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iterations):
         # every node pulls its neighbors' current labels, keeps the min of
         # (own label, neighbor labels)
@@ -333,16 +359,12 @@ def connected_components(
             .agg(F.min("rep").alias("rep"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("rep", "old_rep"), "id")
-            .filter(F.col("rep") != F.col("old_rep"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum(F.col("rep").cast("decimal(38,0)"))).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     if not converged:
         raise RuntimeError(
             f"connected_components: no convergence in {max_iterations} rounds "
@@ -539,7 +561,7 @@ def ngram_containment_pairs(
     their source size. ``max_doc_freq`` bounds the posting lists exactly
     as in the Jaccard path; the persisted shingle set is shared by the
     join and the size aggregate."""
-    sh = word_shingles(df, id_col, text_col, n, max_doc_freq).persist()
+    sh = word_shingles(df, id_col, text_col, n, max_doc_freq, persist=True)
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (

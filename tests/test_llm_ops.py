@@ -952,3 +952,31 @@ def test_pq_train_k1_codebook_is_subspace_mean(spark):
     assert [len(b) for b in books] == [1, 1]
     assert abs(books[0][0][0] - exp0) < 1e-12
     assert abs(books[1][0][0] - exp1) < 1e-12
+
+
+def test_word_shingles_precap_persist_equivalence(spark):
+    """r12 optimization: persist=True caches the PRE-cap explode (one
+    corpus scan instead of two) — the capped output must be identical to
+    the unpersisted path, and the cap must still drop hot shingles."""
+    rows = [(i, "alpha beta gamma delta common common common") for i in range(8)]
+    rows += [(100, "unique words only here nothing shared at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spark.catalog.clearCache()
+    capped_p = D.word_shingles(df, "doc_id", "text", 3, max_doc_freq=5, persist=True)
+    capped = D.word_shingles(df, "doc_id", "text", 3, max_doc_freq=5, persist=False)
+    assert sorted(map(tuple, capped_p.collect())) == sorted(map(tuple, capped.collect()))
+    # the 8 duplicate docs share every shingle (df=8 > 5) -> all dropped;
+    # the unique doc's shingles (df=1) survive
+    ids = {r["id"] for r in capped_p.collect()}
+    assert ids == {100}
+    spark.catalog.clearCache()
+
+
+def test_connected_components_sum_convergence_rounds(spark):
+    """r12 optimization: convergence is detected by the monotone label-sum
+    going stable (join-free). A diameter-d chain must still converge
+    within d+1 rounds — the same bound the old join-based check had."""
+    chain = [(i, i + 1) for i in range(1, 7)]  # path 1-2-...-7, diameter 6
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {r.id: r.rep for r in D.connected_components(pairs, max_iterations=7).collect()}
+    assert got == {i: 1 for i in range(1, 8)}
