@@ -208,12 +208,18 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 64) -> DataFrame:
     hashes would cost 64× the CPU). One shuffle; signature size constant
     regardless of doc length. Shingles arrive already 64-bit-hashed from
     word_shingles, so the base value is just a fold into [0, p)."""
-    p = F.lit(_MERSENNE_31)
+    p = _MERSENNE_31
     # fold once per row into a column — 64 agg exprs each re-folding
     # would not be CSE'd across aggregates
-    hashed = shingles.withColumn("__hb", F.pmod(F.col("shingle"), p))
+    hashed = shingles.withColumn("__hb", F.pmod(F.col("shingle"), F.lit(p)))
+    # one F.expr per aggregate instead of a ~6-deep Column composition:
+    # the Column API costs a py4j round-trip per node, and 64 aggregates
+    # built that way were ~0.7 s of driver time PER QUERY BUILD (measured
+    # r12, ~2500 of q_dedup_near's 5554 py4j commands). The parsed SQL is
+    # the identical expression tree — same literals, same long promotion,
+    # same pmod — so signature values are bit-identical.
     aggs = [
-        F.min(F.pmod(F.col("__hb") * F.lit(a) + F.lit(b), p)).alias(f"h{i}")
+        F.expr(f"min(pmod(__hb * {a} + {b}, {p})) AS h{i}")
         for i, (a, b) in enumerate(_affine_constants(num_hashes))
     ]
     return hashed.groupBy("id").agg(*aggs)
@@ -273,11 +279,16 @@ def lsh_candidate_pairs(
     directly measurable (tests/test_properties.py pins it against a
     degenerate corpus)."""
     rows = num_hashes // bands
-    band_keys = F.array(
-        *[
-            F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)])
+    # single parsed expression (identical tree to the old per-Column
+    # composition, same int-literal band seed): the Column API paid one
+    # py4j round-trip per node — ~0.2 s of driver time per build here
+    band_keys = F.expr(
+        "array("
+        + ", ".join(
+            f"xxhash64({b}, " + ", ".join(f"h{b * rows + r}" for r in range(rows)) + ")"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     banded = sig.select(
         F.col("id"), F.posexplode(band_keys).alias("band", "band_key")
@@ -487,21 +498,28 @@ def simhash_bands(
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(F.array_distinct(words)).alias("tok")
     )
-    h = F.xxhash64(F.col("tok"))
+    # parsed-expression construction (same trees as the old per-Column
+    # composition): 64 sum aggs + 4×16 band folds built via the Column API
+    # cost a py4j round-trip per node — ~1000 driver round-trips per build
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{i}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(xxhash64(tok), {i}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS s{i}"
+        )
         for i in range(64)
     ]
     sums = toks.groupBy("id").agg(*bit_sums)
-    band_cols = []
-    for b in range(4):
-        expr = F.lit(0)
-        for j in range(16):
-            i = b * 16 + j
-            expr = expr + F.when(F.col(f"s{i}") > 0, F.lit(1 << j)).otherwise(0)
-        band_cols.append(expr.cast("long").alias(f"b{b}"))
+    band_cols = [
+        F.expr(
+            "CAST(("
+            + " + ".join(
+                f"CASE WHEN s{b * 16 + j} > 0 THEN {1 << j} ELSE 0 END"
+                for j in range(16)
+            )
+            + f") AS BIGINT) AS b{b}"
+        )
+        for b in range(4)
+    ]
     return sums.select("id", *band_cols)
 
 

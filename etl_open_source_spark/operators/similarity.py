@@ -341,13 +341,17 @@ def embedding_near_dup_pairs(
             )
         ),
     )
-    # plane p component d ∈ [-1,1): deterministic hash-derived pseudo-randoms
+    # plane p component d ∈ [-1,1): deterministic hash-derived pseudo-randoms.
+    # Built as ONE parsed expression per plane: the per-Column composition
+    # cost a py4j round-trip per node (16 planes × 64 components × ~6 nodes
+    # ≈ 6000 driver round-trips per build). Identical tree — same int
+    # literals, same % remainder (not pmod), same double divide — and the
+    # all-literal array constant-folds at optimize time either way.
     def plane_dot(p: int):
-        comps = F.array(
-            *[
-                ((F.xxhash64(F.lit(p), F.lit(d)) % 10007) / F.lit(10007.0))
-                for d in range(dim)
-            ]
+        comps = F.expr(
+            "array("
+            + ", ".join(f"(xxhash64({p}, {d}) % 10007) / 10007.0" for d in range(dim))
+            + ")"
         )
         return dot(F.col("v"), comps)
 
