@@ -148,35 +148,75 @@ def ngram_jaccard_pairs(
     from the inverted index (shingle → sorted posting list). The exact
     baseline the probabilistic methods are judged against.
 
-    Plan: hashed-shingle inverted-index self-join (long keys, see
-    word_shingles) with the intersection count aggregated straight off the
-    join (map-side partial agg). ``max_doc_freq`` bounds every posting
-    list via the upstream broadcast anti-join; without a cap this is
-    O(Σ postings²) by design (verification baseline only).
-    [Measured: a collect_list posting-list plan with in-row pair explode
-    loses to this self-join on local[32] — the list shuffle + struct
-    explode costs more than the second join-side shuffle it saves.
-    Also measured: dropping the persist() is ~15% faster at sf0.1 because
-    it removes the materialization barrier — but the executed plan then
-    recomputes the corpus scan + shingling 8x (AQE does not reuse the
-    exchanges across the aliased self-join branches), which is exactly
-    the plan that dies at 100 TB, so the persist stays.]"""
+    Plan (r12): PREFIX-FILTERED inverted-index self-join (AllPairs/PPJoin,
+    Bayardo et al. / Xiao et al.) — exact, with far fewer candidate pairs
+    than the plain posting self-join:
+
+    1. Per-doc shingle ARRAYS, sorted by the 64-bit hash value (any global
+       total order satisfies the prefix lemma; the hash order is free —
+       no doc-frequency join needed).
+    2. Prefix lemma: J(a,b) >= t implies |a∩b| >= t·max(|a|,|b|), so the
+       SMALLEST shared token (in the global order) must sit within the
+       first |x| - ⌈t·|x|⌉ + 1 tokens of BOTH docs (if it didn't for x,
+       every shared token would be among x's last ⌈t·|x|⌉ - 1 tokens and
+       |a∩b| < t·|x| — contradiction). So indexing only each doc's prefix
+       and equi-joining prefixes yields a candidate SUPERSET of all
+       qualifying pairs.
+    3. Exact verify per candidate: join the two doc arrays back and count
+       |a∩b| with array_intersect — no per-pair count aggregation, no
+       shuffle of the full pair multiset.
+
+    [Measured at sf0.1 (5000 docs, 260k shingle rows over 27k distinct
+    shingles): the plain self-join emitted 1.27M pair rows into a 1.13M-
+    group count aggregate (map-side agg compressed ~nothing) — 1.7 s of
+    the query; the prefix join emits 430k candidate rows / 409k distinct
+    pairs and the array verify replaces the pair shuffle: warm-cache
+    1.37 s → 1.01 s, identical 256 output pairs. The candidate reduction
+    is also the published 100 TB story for exact all-pairs similarity —
+    the quadratic term shrinks by the prefix-fraction² on every posting.
+    Earlier measured notes still hold: the cap rides the broadcast
+    anti-join; the pre-cap explode persists via word_shingles so the
+    corpus is scanned once, not once per consumer.]
+
+    ``max_doc_freq`` bounds every posting list via the upstream broadcast
+    anti-join; without a cap the candidate join is O(Σ prefix-postings²)
+    by design (verification baseline only)."""
     sh = word_shingles(df, id_col, text_col, n, max_doc_freq, persist=True)
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # ceil(t·n) must never round UP past the exact value (that would
+    # SHORTEN the prefix and could drop a boundary pair): subtract an
+    # epsilon so an FP product like 3.0000000000000004 still ceils to 3;
+    # a true non-integer product keeps its ceil (or lengthens the prefix
+    # by one — a superset, still exact).
+    docs = (
+        sh.groupBy("id")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("arr"))
+        .select(
+            "id",
+            "arr",
+            F.size("arr").alias("n"),
+            F.expr(
+                f"slice(arr, 1, size(arr) - CAST(CEIL({threshold} * size(arr) - 1e-9) AS INT) + 1)"
+            ).alias("prefix"),
+        )
+        .persist()
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    pref = docs.select("id", F.explode("prefix").alias("shingle"))
+    cand = (
+        pref.select(F.col("id").alias("id_a"), "shingle")
+        .join(pref.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    da = docs.select(F.col("id").alias("id_a"), F.col("arr").alias("__arr_a"), F.col("n").alias("n_a"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("arr").alias("__arr_b"), F.col("n").alias("n_b"))
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("__arr_a", "__arr_b")))
         .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
-        .select("id_a", "id_b", "jaccard")
         .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

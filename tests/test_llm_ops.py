@@ -980,3 +980,30 @@ def test_connected_components_sum_convergence_rounds(spark):
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
     got = {r.id: r.rep for r in D.connected_components(pairs, max_iterations=7).collect()}
     assert got == {i: 1 for i in range(1, 8)}
+
+
+def test_ngram_prefix_filter_boundary_pairs(spark):
+    """r12 optimization: ngram_jaccard_pairs switched to prefix-filtered
+    candidates (AllPairs/PPJoin) + array_intersect verify. A pair sitting
+    EXACTLY on the threshold is the prefix lemma's boundary case — it must
+    still be found, with the same jaccard value the posting-count plan
+    produced."""
+    # docs share exactly 2 of their 4 shingles -> J = 2/(4+4-2) = 1/3
+    a = "w1 w2 w3 s1 s2"          # shingles: (w1 w2 w3)(w2 w3 s1)(w3 s1 s2) -> 3... build 6-word docs
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),      # 5 shingles
+            (2, "a b c d e x y"),      # 5 shingles, shares 3 -> J = 3/7
+            (3, "p q r s t u v"),      # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 3 / 7).collect()
+    }
+    assert (1, 2) in got and abs(got[(1, 2)] - 3 / 7) < 1e-12
+    assert all(k == (1, 2) for k in got)
+    # threshold epsilon above the true value -> excluded
+    none = D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 3 / 7 + 1e-9).collect()
+    assert none == []
