@@ -96,19 +96,115 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
     ).withColumn("cn", norm(F.col("cv"))).filter(usable_norm(F.col("cn")))
-    sim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = _brute_force_scores(q, c)
+    sim = F.col("sim")
     if sim_decimals is not None:
+        # rounding stays JVM-side: Spark's ROUND is shortest-repr HALF_UP
+        # (BigDecimal.valueOf) while numpy rounds the binary value half-even
+        # — the worker must hand back the RAW double for parity
         sim = F.round(sim, sim_decimals)
-    scored = (
-        c.crossJoin(broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("sim"))
+    scored = scored.filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", sim.alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def _brute_force_scores(q: DataFrame, c: DataFrame) -> DataFrame:
+    """All-pairs raw cosine scores: (query_id, neighbor_id, sim) for every
+    (query, corpus) row pair — the scoring heart of brute_force_topk.
+
+    Executed as ONE numpy pass per corpus partition (mapInArrow, guide
+    §4.2): the query side is driver-collected (bounded by the operator's
+    contract — it was previously broadcast, the identical memory
+    footprint) and closed over; each Arrow batch of corpus vectors scores
+    against the whole query matrix.
+
+    BIT-EXACT by construction, not approximately: the JVM path folded
+    aggregate(zip_with(qv, cv, *), 0.0, +) — a left-to-right scalar chain
+    ((0 + q0·c0) + q1·c1) + ... — so the kernel accumulates S += Q[:, d] ·
+    C[:, d] one dimension at a time, the same IEEE op sequence per element
+    (NOT a BLAS matmul, whose blocked/pairwise summation differs in the
+    last ulp and can flip a ROUND boundary). Division by (qn · cn) uses
+    the JVM-computed norms shipped in with each row. Batch-size
+    independent: every element's op sequence depends only on its own row
+    pair. Dimension-mismatched pairs yield NULL sim, matching zip_with's
+    NULL padding through the fold."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qtype = q.schema["query_id"].dataType
+    ctype = c.schema["neighbor_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("query_id", qtype, True),
+            StructField("neighbor_id", ctype, True),
+            StructField("sim", DoubleType(), True),
+        ]
+    )
+    spark = q.sparkSession
+    # bounded driver fetch: the query side of a brute-force scan is small
+    # by contract (it was broadcast before — same footprint, now explicit)
+    qrows = q.select("query_id", "qv", "qn").collect()
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    q_ids = [r["query_id"] for r in qrows]
+    q_vecs = [list(r["qv"]) for r in qrows]
+    q_norms = [float(r["qn"]) for r in qrows]
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        qa_type, ca_type = to_arrow_type(qtype), to_arrow_type(ctype)
+        # group queries by dimension once per task
+        dims: dict[int, list[int]] = {}
+        for i, v in enumerate(q_vecs):
+            dims.setdefault(len(v), []).append(i)
+        by_dim = {
+            d: (
+                idx,
+                np.asarray([q_vecs[i] for i in idx], dtype=np.float64),
+                np.asarray([q_norms[i] for i in idx], dtype=np.float64),
+            )
+            for d, idx in dims.items()
+        }
+        nq = len(q_ids)
+        for batch in batches:
+            tbl = batch.to_pydict()
+            n_ids, n_vecs, n_norms = tbl["neighbor_id"], tbl["cv"], tbl["cn"]
+            nc = len(n_ids)
+            sims = np.zeros((nc, nq))
+            valid = np.zeros((nc, nq), dtype=bool)
+            lens = np.asarray([len(v) for v in n_vecs])
+            for d, (idx, QM, qns) in by_dim.items():
+                rows = np.nonzero(lens == d)[0]
+                if rows.size == 0:
+                    continue
+                C = np.asarray([n_vecs[r] for r in rows], dtype=np.float64)
+                cns = np.asarray([n_norms[r] for r in rows], dtype=np.float64)
+                # left-to-right fold, one dimension per step — the exact
+                # ((0 + x0·y0) + x1·y1) + ... sequence of the JVM aggregate()
+                S = np.zeros((rows.size, QM.shape[0]))
+                for k in range(d):
+                    S = S + C[:, k, None] * QM[None, :, k]
+                S = S / (qns[None, :] * cns[:, None])
+                sims[np.ix_(rows, idx)] = S
+                valid[np.ix_(rows, idx)] = True
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(list(q_ids) * nc, qa_type),
+                    pa.array(np.repeat(np.asarray(n_ids, dtype=object), nq), ca_type),
+                    pa.array(sims.ravel(), pa.float64(), mask=~valid.ravel()),
+                ],
+                names=["query_id", "neighbor_id", "sim"],
+            )
+
+    return c.select("neighbor_id", "cv", "cn").mapInArrow(score, out_schema)
 
 
 # ------------------------------------------------------------------ IVF

@@ -1007,3 +1007,43 @@ def test_ngram_prefix_filter_boundary_pairs(spark):
     # threshold epsilon above the true value -> excluded
     none = D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 3 / 7 + 1e-9).collect()
     assert none == []
+
+
+def test_brute_force_scores_numpy_parity(spark):
+    """r12 optimization: brute_force_topk scores via a mapInArrow numpy
+    kernel that accumulates dimension-by-dimension — the same left-to-right
+    IEEE op sequence as the old JVM aggregate(zip_with) fold — so results
+    are BIT-identical, not merely close. Pins the hairy contracts: ragged
+    dimensions yield NULL sim (zip_with padding semantics), degenerate
+    vectors are dropped by the JVM-side usable_norm filter before the
+    Python hop, and output is Arrow-batch-size independent."""
+    rows = [
+        (0, [1.0] + [0.0] * 63),
+        (1, [1.0] + [0.0] * 63),          # exact dup of 0
+        (2, [1.0, 0.01] + [0.0] * 62),    # near dup
+        (3, [0.0] * 64),                  # zero norm: dropped
+        (4, [float("nan")] * 64),         # NaN: dropped
+        (5, [1.0, 2.0, 3.0]),             # ragged dim-3
+    ]
+    adv = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = S.brute_force_topk(adv, adv, k=5).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r.query_id, []).append(r)
+    # dropped vectors appear on neither side
+    assert 3 not in by_query and 4 not in by_query
+    assert all(r.neighbor_id not in (3, 4) for r in got)
+    # exact dup pair scores 1.0 both ways
+    assert [r.sim for r in by_query[0] if r.neighbor_id == 1] == [1.0]
+    # ragged pairs present with NULL sim (ranked after non-NULL under DESC)
+    ragged = [r for r in got if 5 in (r.query_id, r.neighbor_id)]
+    assert ragged and all(
+        r.sim is None for r in ragged if r.query_id != r.neighbor_id and 5 in (r.query_id, r.neighbor_id) and (r.query_id == 5) != (r.neighbor_id == 5)
+    )
+    # batch-size independence
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        got2 = S.brute_force_topk(adv, adv, k=5).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
