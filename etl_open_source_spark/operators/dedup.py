@@ -36,30 +36,75 @@ def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
 # ------------------------------------------------------------- shingling
 
 
+def _shingle_expr(n: int, distinct: bool) -> F.Column:
+    """The ONE shingle-array expression every n-gram consumer shares
+    (over a materialized ``__ws`` words column): a fork of this expression
+    silently diverging is a cross-metric inconsistency, not duplication.
+
+    Direct ws[i] indexing codegens ~6x faster than slice()-per-shingle
+    (no sub-array allocation per element); multi-arg xxhash64 chains the
+    running hash as seed so word boundaries stay unambiguous. The CASE
+    guard makes the expression TOTAL on short docs: callers filter
+    size(__ws) >= n, but optimizer rules (InferFiltersFromGenerate) can
+    re-evaluate the transform on pre-filter rows, where
+    sequence(0, size-n) DESCENDS for size < n and __ws[i+1] then
+    hard-errors under ANSI (measured crash on a 1-word doc, r12)."""
+    terms = ", ".join(f"__ws[i+{j}]" for j in range(n))
+    sh = F.expr(
+        f"CASE WHEN size(__ws) >= {n} "
+        f"THEN transform(sequence(0, size(__ws) - {n}), i -> xxhash64({terms})) "
+        f"ELSE array() END"
+    )
+    return F.array_distinct(sh) if distinct else sh
+
+
+def _with_words(df: DataFrame, text_col: str) -> DataFrame:
+    from etl_open_source_spark.operators.text import ascii_fold
+
+    return df.withColumn("__ws", F.split(ascii_fold(text_col), " "))
+
+
+def word_shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Per-doc DISTINCT shingle sets as (id, shingles: array<long>) — the
+    scan-local (zero-exchange) form of ``word_shingles``: sizes become
+    ``size(shingles)``, exact intersections become ``array_intersect``.
+    Consumers that never need a doc-frequency cap (MinHash verify,
+    uncapped Jaccard) should prefer this and skip the explode + groupBy
+    round-trip entirely (r12). CAUTION: explode this frame only AFTER a
+    persist()/materialization — explode directly over the lazy projection
+    lets predicate pushdown rewrite the optimizer's inferred
+    size(...)>0 generate-filter in terms of the raw text column, where
+    the lambda re-splits the text PER ELEMENT: O(doc²), a measured
+    25-minute hang on the multi-MB-doc axis (r12; same class as the
+    winnowing hang fixed in operators/text.py)."""
+    return (
+        _with_words(df, text_col)
+        .filter(F.size("__ws") >= n)
+        .select(F.col(id_col).alias("id"), _shingle_expr(n, True).alias("shingles"))
+    )
+
+
 def shingle_positions(
     df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = True
 ) -> DataFrame:
-    """(id, shingle) rows over 64-bit-hashed word n-grams — the ONE
-    shingling transform every n-gram consumer shares (word_shingles for
-    set-semantics Jaccard, curation.dup_ngram_fraction for positional
-    Gopher fractions): a fork of this expression silently diverging is a
-    cross-metric inconsistency, not just duplication.
+    """(id, shingle) rows over 64-bit-hashed word n-grams — the exploded
+    (inverted-index) view of :func:`_shingle_expr`.
 
     ``distinct=True`` dedupes within-doc (set semantics); ``False`` keeps
-    every position."""
-    from etl_open_source_spark.operators.text import ascii_fold
+    every position.
 
-    words = F.split(ascii_fold(text_col), " ")
-    # direct ws[i] indexing codegens ~6x faster than slice()-per-shingle
-    # (no sub-array allocation per element); multi-arg xxhash64 chains the
-    # running hash as seed so word boundaries stay unambiguous
-    terms = ", ".join(f"__ws[i+{j}]" for j in range(n))
-    sh = F.expr(f"transform(sequence(0, size(__ws) - {n}), i -> xxhash64({terms}))")
-    arr = F.array_distinct(sh) if distinct else sh
+    The explode lives in the SAME projection as the words column (no
+    intermediate array-column select): with an extra projection boundary,
+    the optimizer's inferred generate-filter gets substituted through to
+    the raw text column and its lambda re-splits the text per element —
+    O(doc²), measured 0.55 s → 92.7 s on one 8000-word doc (r12)."""
     return (
-        df.withColumn("__ws", words)
+        _with_words(df, text_col)
         .filter(F.size("__ws") >= n)
-        .select(F.col(id_col).alias("id"), F.explode(arr).alias("shingle"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(_shingle_expr(n, distinct)).alias("shingle"),
+        )
     )
 
 
@@ -181,15 +226,24 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` bounds every posting list via the upstream broadcast
     anti-join; without a cap the candidate join is O(Σ prefix-postings²)
     by design (verification baseline only)."""
-    sh = word_shingles(df, id_col, text_col, n, max_doc_freq, persist=True)
+    if max_doc_freq is None:
+        # no cap → the doc sets are computable SCAN-LOCALLY: no explode, no
+        # groupBy — the only exchanges left are the candidate join's own
+        docs_base = word_shingle_arrays(df, id_col, text_col, n).select(
+            "id", F.sort_array("shingles").alias("arr")
+        )
+    else:
+        sh = word_shingles(df, id_col, text_col, n, max_doc_freq, persist=True)
+        docs_base = sh.groupBy("id").agg(
+            F.sort_array(F.collect_list("shingle")).alias("arr")
+        )
     # ceil(t·n) must never round UP past the exact value (that would
     # SHORTEN the prefix and could drop a boundary pair): subtract an
     # epsilon so an FP product like 3.0000000000000004 still ceils to 3;
     # a true non-integer product keeps its ceil (or lengthens the prefix
     # by one — a superset, still exact).
     docs = (
-        sh.groupBy("id")
-        .agg(F.sort_array(F.collect_list("shingle")).alias("arr"))
+        docs_base
         .select(
             "id",
             "arr",
@@ -300,11 +354,42 @@ def minhash_lsh_pairs(
     identical docs collapse to one representative and never form such
     buckets. Pairs discoverable ONLY through an over-cap bucket are
     missed by design."""
-    # persisted: reused by signatures AND candidate verification
-    sh = word_shingles(df, id_col, text_col, n, max_doc_freq, persist=True)
+    if max_doc_freq is not None:
+        # capped variant (tests/robustness): the doc-frequency drop needs
+        # the exploded view for its global count, so this path keeps the
+        # persisted inverted index and the posting-join verify
+        sh = word_shingles(df, id_col, text_col, n, max_doc_freq, persist=True)
+        sig = minhash_signatures(sh, num_hashes)
+        candidates = lsh_candidate_pairs(sig, num_hashes, bands, max_bucket_size)
+        return _jaccard_on_pairs(candidates, sh).filter(F.col("jaccard") >= threshold)
+    # Production path (r12): persist per-doc shingle ARRAYS (scan-local to
+    # build — no explode, no groupBy), derive the exploded view for the
+    # signature aggregate by a scan-local explode off the cache, and verify
+    # candidates with array_intersect on the two doc arrays. Removes two
+    # full exchanges vs the old exploded pipeline (the sizes groupBy(id)
+    # and the per-pair intersection count groupBy) and shrinks the cache
+    # from one row per (doc, shingle) to one row per doc. Jaccard values
+    # identical: |a∩b| over distinct sets either way.
+    docs = word_shingle_arrays(df, id_col, text_col, n).persist()
+    sh = docs.select("id", F.explode("shingles").alias("shingle"))
     sig = minhash_signatures(sh, num_hashes)
     candidates = lsh_candidate_pairs(sig, num_hashes, bands, max_bucket_size)
-    return _jaccard_on_pairs(candidates, sh).filter(F.col("jaccard") >= threshold)
+    da = docs.select(
+        F.col("id").alias("id_a"), F.col("shingles").alias("__arr_a"),
+        F.size("shingles").alias("n_a"),
+    )
+    db = docs.select(
+        F.col("id").alias("id_b"), F.col("shingles").alias("__arr_b"),
+        F.size("shingles").alias("n_b"),
+    )
+    return (
+        candidates.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("__arr_a", "__arr_b")))
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def lsh_candidate_pairs(
