@@ -89,14 +89,34 @@ def brute_force_topk(
     across engines/platforms (FP dot products differ in the last ulp).
     Zero-norm and non-finite vectors are dropped from both sides —
     cosine against them is undefined (ANSI divide-by-zero / NaN sorting
-    first), same policy as the PQ/IVF entry points."""
+    first), same policy as the PQ/IVF entry points. The norms AND the
+    usability drop both happen inside the Arrow kernel (r13): the JVM-side
+    usable_norm(norm(v)) filter cost FOUR interpreted 64-element folds per
+    corpus row (Catalyst pushes the filter below the projection and
+    re-substitutes the norm expression into every conjunct — no CSE),
+    ~0.10 s of the 0.74 s query at sf0.1; the kernel's per-dimension
+    accumulation produces the identical IEEE bits (see
+    _brute_force_scores)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    ).withColumn("qn", norm(F.col("qv"))).filter(usable_norm(F.col("qn")))
+        F.col(id_col).alias("query_id"), _vec_for_arrow(vec_col, queries).alias("qv")
+    )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    ).withColumn("cn", norm(F.col("cv"))).filter(usable_norm(F.col("cn")))
-    scored = _brute_force_scores(q, c)
+        F.col(id_col).alias("neighbor_id"), _vec_for_arrow(vec_col, corpus).alias("cv")
+    )
+    # map-side top-k (r13): the kernel emits, per batch, only a provably
+    # sufficient superset of each query's global top-k (threshold at the
+    # (k + self/dup-inflation)-th best raw sim, widened by a rounding
+    # slack) instead of |C|·|Q| rows — the distributed-top-k analogue of
+    # WindowGroupLimit, but BEFORE the Python→JVM hop, so the boundary,
+    # sort and shuffle all see k·|Q|-sized data. [Measured at sf0.1:
+    # q_sim_knn_graph's 2000×2000 scorer fed a 4M-row single-task
+    # window sort — 7.1 s of the query; pruned it emits ≤(k+1)·|Q| rows.]
+    scored = _brute_force_scores(
+        q,
+        c,
+        keep_top=k,
+        keep_slack=(1.5 * 10.0 ** -sim_decimals) if sim_decimals is not None else 0.0,
+    )
     sim = F.col("sim")
     if sim_decimals is not None:
         # rounding stays JVM-side: Spark's ROUND is shortest-repr HALF_UP
@@ -113,27 +133,162 @@ def brute_force_topk(
     )
 
 
-def _brute_force_scores(q: DataFrame, c: DataFrame) -> DataFrame:
+def _vec_for_arrow(vec_col: str, df: DataFrame) -> Column:
+    """The vector column as shipped to the Arrow kernel: float/double
+    arrays cross RAW (the kernel's astype(float64) is the identical exact
+    IEEE widening the old JVM cast performed, and skipping the JVM-side
+    transform(cast) saves one interpreted per-element pass per row); any
+    other element type keeps the JVM double cast so the kernel only ever
+    sees numeric Arrow lists."""
+    from pyspark.sql.types import ArrayType, DoubleType, FloatType
+
+    dt = df.schema[vec_col].dataType
+    if isinstance(dt, ArrayType) and isinstance(dt.elementType, (FloatType, DoubleType)):
+        return F.col(vec_col)
+    return as_double(vec_col)
+
+
+def _vec_matrix_groups(vec_arr):
+    """Group an Arrow list-of-numbers array by row dimension.
+
+    Returns ``(groups, norms)``: ``groups`` maps dim → ``(row_indices,
+    MT)`` where ``MT`` is the (dim × n_rows) float64 matrix of those rows
+    TRANSPOSED (dimension-major, C-contiguous — the layout the
+    per-dimension fold streams through); ``norms`` is a per-row float64
+    vector of sqrt(left-to-right sum of squares), NaN for rows that are
+    NULL or contain NULL elements (exactly the rows usable_norm() drops:
+    their JVM norm is NULL). The fold order matches the JVM
+    aggregate(zip_with(v, v, *), 0.0, +) chain bit-for-bit, and float32
+    input is widened by astype — the same exact IEEE conversion as the
+    JVM's cast(x as double)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = len(vec_arr)
+    norms = np.full(n, np.nan)
+    groups: dict[int, tuple] = {}
+    if n == 0:
+        return groups, norms
+    flat = None
+    if vec_arr.null_count == 0:
+        flat = vec_arr.flatten()
+        if flat.null_count != 0:
+            flat = None
+    if flat is not None:
+        # fast path (no NULL rows/elements): one flat buffer + a vectorized
+        # gather per dim group — zero Python-object churn
+        lens = pc.list_value_length(vec_arr).to_numpy().astype(np.int64)
+        vals = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=np.float64)
+        starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+        for d in np.unique(lens):
+            rows = np.nonzero(lens == d)[0]
+            d = int(d)
+            idx = starts[rows][None, :] + np.arange(d)[:, None]
+            groups[d] = (rows, vals[idx])
+    else:
+        pyrows = vec_arr.to_pylist()
+        by_dim: dict[int, list[int]] = {}
+        for i, v in enumerate(pyrows):
+            if v is None or any(x is None for x in v):
+                continue  # norm would be NULL → usable_norm drops the row
+            by_dim.setdefault(len(v), []).append(i)
+        for d, ridx in by_dim.items():
+            rows = np.asarray(ridx, dtype=np.int64)
+            M = np.asarray([pyrows[i] for i in ridx], dtype=np.float64).reshape(
+                rows.size, d
+            )
+            groups[d] = (rows, np.ascontiguousarray(M.T))
+    # errstate: overflow/invalid (e.g. a 1e308² square, a NaN element) are
+    # the exact IEEE results the JVM fold produces silently — the row is
+    # then dropped by the usable_norm predicate; don't spam worker stderr
+    with np.errstate(over="ignore", invalid="ignore"):
+        for d, (rows, MT) in groups.items():
+            acc = np.zeros(rows.size)
+            t = np.empty(rows.size)
+            for k in range(d):
+                np.multiply(MT[k], MT[k], out=t)
+                acc += t
+            norms[rows] = np.sqrt(acc)
+    return groups, norms
+
+
+def _prunable_id_type(dt) -> bool:
+    """Id types where Arrow value_counts equality provably matches Spark
+    `=` semantics (integers, strings): the map-side top-k prune's
+    self/duplicate-id inflation bound counts id multiplicities with Arrow,
+    so any type whose equality could diverge (floats: NaN/-0.0 folding;
+    decimals; cross-type coercion) disables pruning rather than risk
+    dropping a row the JVM self-filter would have kept."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    return isinstance(dt, (ByteType, ShortType, IntegerType, LongType, StringType))
+
+
+def _brute_force_scores(
+    q: DataFrame,
+    c: DataFrame,
+    keep_top: int | None = None,
+    keep_slack: float = 0.0,
+) -> DataFrame:
     """All-pairs raw cosine scores: (query_id, neighbor_id, sim) for every
-    (query, corpus) row pair — the scoring heart of brute_force_topk.
+    USABLE (query, corpus) row pair — the scoring heart of brute_force_topk,
+    including the usable_norm() drop of zero-norm / non-finite / NULL
+    vectors on both sides (computed inside the kernel — the JVM plan is
+    scan → MapInArrow with no interpreted folds at all).
 
     Executed as ONE numpy pass per corpus partition (mapInArrow, guide
-    §4.2): the query side is driver-collected (bounded by the operator's
-    contract — it was previously broadcast, the identical memory
-    footprint) and closed over; each Arrow batch of corpus vectors scores
-    against the whole query matrix.
+    §4.2): the query side is driver-fetched via toArrow() (bounded by the
+    operator's broadcast-scale contract AND an explicit row cap,
+    SPARK_GRAFT_BF_MAX_QUERY_ROWS, default 1M — a too-big query side now
+    fails with a sizing error instead of an opaque driver OOM), shipped
+    once per executor as a Spark broadcast (not re-pickled into every task
+    closure), and each Arrow batch of corpus vectors scores against the
+    whole query matrix with no per-row Python objects (flat-buffer gather
+    in, Arrow take out).
 
-    BIT-EXACT by construction, not approximately: the JVM path folded
+    BIT-EXACT by construction, not approximately: the old JVM path folded
     aggregate(zip_with(qv, cv, *), 0.0, +) — a left-to-right scalar chain
-    ((0 + q0·c0) + q1·c1) + ... — so the kernel accumulates S += Q[:, d] ·
-    C[:, d] one dimension at a time, the same IEEE op sequence per element
-    (NOT a BLAS matmul, whose blocked/pairwise summation differs in the
-    last ulp and can flip a ROUND boundary). Division by (qn · cn) uses
-    the JVM-computed norms shipped in with each row. Batch-size
-    independent: every element's op sequence depends only on its own row
-    pair. Dimension-mismatched pairs yield NULL sim, matching zip_with's
-    NULL padding through the fold."""
+    ((0 + q0·c0) + q1·c1) + ... — so the kernel accumulates S += C[k]·Q[k]
+    one dimension at a time into a preallocated buffer, the same IEEE op
+    sequence per element (NOT a BLAS matmul, whose blocked/pairwise
+    summation differs in the last ulp and can flip a ROUND boundary).
+    Norms are the same per-dimension fold of squares + sqrt (both
+    java.lang.Math.sqrt and np.sqrt are correctly rounded), and the
+    divisor is one rounded qn·cn product then one divide — the JVM's
+    dot/(qn*cn) exactly. Batch-size independent: every element's op
+    sequence depends only on its own row pair. Dimension-mismatched pairs
+    yield NULL sim, matching zip_with's NULL padding through the fold.
+
+    ``keep_top=k`` enables MAP-SIDE TOP-K: each batch emits only rows whose
+    raw sim is within ``keep_slack`` of the batch's K-th best per query
+    (K = k + the batch's worst-case self-match/duplicate-id/NULL-id
+    inflation), a provable superset of every query's global top-k under
+    the downstream (round(sim) DESC, neighbor ASC) ranking:
+
+    - any global top-k row r has at most k-1 rows anywhere with rounded
+      sim strictly greater, plus ≤ max-id-multiplicity self rows and ≤
+      null-id rows in its batch that the JVM self-filter later removes —
+      so at most K-1 batch rows can have raw sim > raw(r) + slack (a raw
+      gap above 10^-decimals forces a strictly greater rounded value);
+    - hence raw(r) ≥ (K-th best raw) − slack and the threshold keeps it;
+      rounding-tie bands and NULL sims (threshold +inf) are kept whole.
+
+    Only enabled when both id types are integer/string (Arrow multiplicity
+    counts provably match Spark `=` semantics — see _prunable_id_type);
+    otherwise every pair is emitted and the JVM window does all the work.
+    This is the operator's 100 TB output-volume lever: the Python→JVM
+    boundary, partial sort and exchange see O(k·|Q|) rows per batch
+    instead of O(|C|·|Q|)."""
+    import os
+
     import numpy as np
+    import pyarrow as pa
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     qtype = q.schema["query_id"].dataType
@@ -147,64 +302,132 @@ def _brute_force_scores(q: DataFrame, c: DataFrame) -> DataFrame:
     )
     spark = q.sparkSession
     # bounded driver fetch: the query side of a brute-force scan is small
-    # by contract (it was broadcast before — same footprint, now explicit)
-    qrows = q.select("query_id", "qv", "qn").collect()
-    if not qrows:
+    # by contract (it was broadcast before — same footprint, now explicit).
+    # limit(cap+1) bounds what the fetch can ever pull to the driver; one
+    # row over the cap raises a descriptive sizing error (ADVICE r12).
+    max_q = int(os.environ.get("SPARK_GRAFT_BF_MAX_QUERY_ROWS", "1000000"))
+    qtbl = q.select("query_id", "qv").limit(max_q + 1).toArrow().combine_chunks()
+    if qtbl.num_rows > max_q:
+        raise ValueError(
+            f"_brute_force_scores: query side exceeds {max_q} rows — the "
+            "brute-force kernel driver-fetches and broadcasts the whole "
+            "query matrix (broadcast-scale by contract). Batch the query "
+            "set, use ivf_topk/pq_topk for large query sides, or raise "
+            "SPARK_GRAFT_BF_MAX_QUERY_ROWS if the driver truly has the "
+            "memory."
+        )
+    qvec_chunks = qtbl.column("qv")
+    qvec = (
+        qvec_chunks.chunk(0)
+        if qvec_chunks.num_chunks
+        else pa.array([], qvec_chunks.type)
+    )
+    qgroups, qnorms = _vec_matrix_groups(qvec)
+    qusable = np.isfinite(qnorms) & (qnorms > 0)
+    qkept = np.nonzero(qusable)[0]
+    nq = int(qkept.size)
+    if nq == 0:
         return spark.createDataFrame([], out_schema)
-    q_ids = [r["query_id"] for r in qrows]
-    q_vecs = [list(r["qv"]) for r in qrows]
-    q_norms = [float(r["qn"]) for r in qrows]
+    qpos = np.full(len(qnorms), -1, dtype=np.int64)
+    qpos[qkept] = np.arange(nq)
+    qid_chunks = qtbl.column("query_id")
+    q_ids_arrow = (
+        qid_chunks.chunk(0) if qid_chunks.num_chunks else pa.array([], qid_chunks.type)
+    ).take(pa.array(qkept))
+    by_dim = {}
+    for d, (rows, QT) in qgroups.items():
+        kmask = qusable[rows]
+        if not kmask.any():
+            continue
+        rows_k = rows[kmask]
+        by_dim[d] = (
+            qpos[rows_k],
+            QT if kmask.all() else np.ascontiguousarray(QT[:, kmask]),
+            qnorms[rows_k],
+        )
+    if keep_top is not None and not (
+        qtype == ctype and _prunable_id_type(qtype) and _prunable_id_type(ctype)
+    ):
+        keep_top = None
+    bc = spark.sparkContext.broadcast(
+        {"q_ids": q_ids_arrow, "by_dim": by_dim, "nq": nq}
+    )
 
     def score(batches):
         import numpy as np
         import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_type
+        import pyarrow.compute as pc
 
-        qa_type, ca_type = to_arrow_type(qtype), to_arrow_type(ctype)
-        # group queries by dimension once per task
-        dims: dict[int, list[int]] = {}
-        for i, v in enumerate(q_vecs):
-            dims.setdefault(len(v), []).append(i)
-        by_dim = {
-            d: (
-                idx,
-                np.asarray([q_vecs[i] for i in idx], dtype=np.float64),
-                np.asarray([q_norms[i] for i in idx], dtype=np.float64),
-            )
-            for d, idx in dims.items()
-        }
-        nq = len(q_ids)
+        payload = bc.value
+        q_ids, q_by_dim, nq = payload["q_ids"], payload["by_dim"], payload["nq"]
         for batch in batches:
-            tbl = batch.to_pydict()
-            n_ids, n_vecs, n_norms = tbl["neighbor_id"], tbl["cv"], tbl["cn"]
-            nc = len(n_ids)
+            ids_arr = batch.column("neighbor_id")
+            groups, norms = _vec_matrix_groups(batch.column("cv"))
+            usable = np.isfinite(norms) & (norms > 0)
+            kept = np.nonzero(usable)[0]
+            nc = int(kept.size)
+            pos = np.full(len(norms), -1, dtype=np.int64)
+            pos[kept] = np.arange(nc)
             sims = np.zeros((nc, nq))
             valid = np.zeros((nc, nq), dtype=bool)
-            lens = np.asarray([len(v) for v in n_vecs])
-            for d, (idx, QM, qns) in by_dim.items():
-                rows = np.nonzero(lens == d)[0]
-                if rows.size == 0:
+            for d, (rows, CT) in groups.items():
+                qrec = q_by_dim.get(d)
+                if qrec is None:
                     continue
-                C = np.asarray([n_vecs[r] for r in rows], dtype=np.float64)
-                cns = np.asarray([n_norms[r] for r in rows], dtype=np.float64)
+                q_cols, QT, qns = qrec
+                kmask = usable[rows]
+                if not kmask.any():
+                    continue
+                rows_k = rows[kmask]
+                CTk = CT if kmask.all() else np.ascontiguousarray(CT[:, kmask])
+                cns = norms[rows_k]
+                S = np.zeros((rows_k.size, q_cols.size))
+                T = np.empty_like(S)
                 # left-to-right fold, one dimension per step — the exact
                 # ((0 + x0·y0) + x1·y1) + ... sequence of the JVM aggregate()
-                S = np.zeros((rows.size, QM.shape[0]))
-                for k in range(d):
-                    S = S + C[:, k, None] * QM[None, :, k]
-                S = S / (qns[None, :] * cns[:, None])
-                sims[np.ix_(rows, idx)] = S
-                valid[np.ix_(rows, idx)] = True
+                with np.errstate(over="ignore", invalid="ignore"):
+                    for k in range(d):
+                        np.multiply(CTk[k][:, None], QT[k][None, :], out=T)
+                        S += T
+                    np.multiply(qns[None, :], cns[:, None], out=T)
+                    S /= T
+                sims[np.ix_(pos[rows_k], q_cols)] = S
+                valid[np.ix_(pos[rows_k], q_cols)] = True
+            if keep_top is not None and nc:
+                # worst-case inflation: self rows the JVM filter removes
+                # later can occupy up to max-id-multiplicity top slots per
+                # query, NULL-id rows up to null_count more
+                kept_ids = ids_arr.take(pa.array(kept))
+                mult = 0
+                if len(kept_ids):
+                    vc = pc.value_counts(kept_ids)
+                    mx = pc.max(vc.field("counts")).as_py()
+                    mult = int(mx) if mx is not None else 0
+                K = keep_top + mult + kept_ids.null_count
+                if nc > K:
+                    key = np.where(valid, -sims, np.inf)
+                    thr = np.partition(key, K - 1, axis=0)[K - 1, :]
+                    keep = key <= (thr[None, :] + keep_slack)
+                    rows_i, cols_i = np.nonzero(keep)
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            q_ids.take(pa.array(cols_i)),
+                            ids_arr.take(pa.array(kept[rows_i])),
+                            pa.array(sims[keep], pa.float64(), mask=~valid[keep]),
+                        ],
+                        names=["query_id", "neighbor_id", "sim"],
+                    )
+                    continue
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(list(q_ids) * nc, qa_type),
-                    pa.array(np.repeat(np.asarray(n_ids, dtype=object), nq), ca_type),
+                    q_ids.take(pa.array(np.tile(np.arange(nq, dtype=np.int64), nc))),
+                    ids_arr.take(pa.array(np.repeat(kept, nq))),
                     pa.array(sims.ravel(), pa.float64(), mask=~valid.ravel()),
                 ],
                 names=["query_id", "neighbor_id", "sim"],
             )
 
-    return c.select("neighbor_id", "cv", "cn").mapInArrow(score, out_schema)
+    return c.select("neighbor_id", "cv").mapInArrow(score, out_schema)
 
 
 # ------------------------------------------------------------------ IVF

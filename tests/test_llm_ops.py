@@ -1047,3 +1047,59 @@ def test_brute_force_scores_numpy_parity(spark):
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
+def test_brute_force_mapside_topk_prune(spark):
+    """r13 optimization: the Arrow kernel prunes each batch to a provable
+    superset of every query's global top-k BEFORE the Python→JVM hop
+    (map-side top-k). Pins the three hazards that could make the prune
+    drop a needed row: (a) a rounding-tie band — corpus sims differing
+    only below the 6th decimal must ALL survive the threshold because the
+    final (round(sim,6) DESC, neighbor ASC) order breaks the tie by id;
+    (b) duplicate and NULL corpus ids inflating the keep bound (self rows
+    the downstream filter removes must not occupy all top slots); (c) the
+    prune is gated OFF for float ids where Arrow/Spark equality semantics
+    could diverge."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    # (a) 40 corpus vectors whose cosines against the query all round to
+    # the same 6-decimal value; the winner under the final order is the
+    # SMALLEST id, which has the LOWEST raw sim of the band — a threshold
+    # without rounding slack would prune it away.
+    rows = [(0, [1.0, 0.0])]
+    base = 0.1234561
+    for i in range(1, 40):
+        c_ = base + i * 1e-9
+        rows.append((i, [c_, math.sqrt(1.0 - c_ * c_)]))
+    for i in range(40, 60):
+        c_ = 0.02 + (i - 40) * 1e-3  # clearly below the band
+        rows.append((i, [c_, math.sqrt(1.0 - c_ * c_)]))
+    ties = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = S.brute_force_topk(ties.filter(F.col("vec_id") == 0), ties, k=3).collect()
+        assert [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)] == [1, 2, 3]
+        # (b) every id appears 6x plus two NULL-id rows; per-batch keep
+        # bound must stretch so true neighbors are not crowded out
+        dup_rows = [(i % 5, [1.0, i * 0.01, 0.5]) for i in range(30)]
+        dup_rows += [(None, [1.0, 0.0, 0.0]), (None, [0.9, 0.1, 0.0])]
+        dup = spark.createDataFrame(dup_rows, "vec_id long, embedding array<double>")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+        got_dup = S.brute_force_topk(dup.filter(F.col("vec_id") == 0), dup, k=4).collect()
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+        got_dup_big = S.brute_force_topk(dup.filter(F.col("vec_id") == 0), dup, k=4).collect()
+        # batch-split independence under id duplication + NULL ids, and
+        # the self-filter still holds post-prune
+        assert sorted(map(tuple, got_dup)) == sorted(map(tuple, got_dup_big))
+        assert got_dup and all(r.neighbor_id != r.query_id for r in got_dup)
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    # (c) float ids: prune disabled, results still correct
+    fids = spark.createDataFrame(
+        [(float(i), [float(i) + 1.0, 1.0, 2.0]) for i in range(25)],
+        "vec_id double, embedding array<double>",
+    )
+    got_f = S.brute_force_topk(fids.filter(F.col("vec_id") < 2.0), fids, k=3).collect()
+    assert len(got_f) == 6 and all(r.query_id != r.neighbor_id for r in got_f)
