@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_open_source_spark.operators.caching import owned_persist
+
 # ---------------------------------------------------------------- exact
 
 
@@ -140,7 +142,7 @@ def word_shingles(
     session-lifetime cache exactly as they did with their own persist()."""
     out = shingle_positions(df, id_col, text_col, n, distinct=True)
     if persist:
-        out = out.persist()
+        out = owned_persist(out)
     if max_doc_freq is not None:
         # The hot list is |{shingles with df > cap}| — tiny by construction
         # (bounded by corpus_size/cap) — so broadcast it: the anti-join then
@@ -241,7 +243,9 @@ def ngram_jaccard_pairs(
     # SHORTEN the prefix and could drop a boundary pair): subtract an
     # epsilon so an FP product like 3.0000000000000004 still ceils to 3;
     # a true non-integer product keeps its ceil (or lengthens the prefix
-    # by one — a superset, still exact).
+    # by one — a superset, still exact). The epsilon is SIZE-RELATIVE
+    # (1e-9 + n·1e-15): t·n's FP error is ~n·2⁻⁵³, so a constant epsilon
+    # alone could under-guard docs beyond ~10⁷ shingles (ADVICE r12).
     docs = (
         docs_base
         .select(
@@ -249,11 +253,12 @@ def ngram_jaccard_pairs(
             "arr",
             F.size("arr").alias("n"),
             F.expr(
-                f"slice(arr, 1, size(arr) - CAST(CEIL({threshold} * size(arr) - 1e-9) AS INT) + 1)"
+                f"slice(arr, 1, size(arr) - CAST(CEIL({threshold} * size(arr)"
+                f" - 1e-9 - size(arr) * 1e-15) AS INT) + 1)"
             ).alias("prefix"),
         )
-        .persist()
     )
+    docs = owned_persist(docs)
     pref = docs.select("id", F.explode("prefix").alias("shingle"))
     cand = (
         pref.select(F.col("id").alias("id_a"), "shingle")
@@ -370,7 +375,7 @@ def minhash_lsh_pairs(
     # and the per-pair intersection count groupBy) and shrinks the cache
     # from one row per (doc, shingle) to one row per doc. Jaccard values
     # identical: |a∩b| over distinct sets either way.
-    docs = word_shingle_arrays(df, id_col, text_col, n).persist()
+    docs = owned_persist(word_shingle_arrays(df, id_col, text_col, n))
     sh = docs.select("id", F.explode("shingles").alias("shingle"))
     sig = minhash_signatures(sh, num_hashes)
     candidates = lsh_candidate_pairs(sig, num_hashes, bands, max_bucket_size)
@@ -435,6 +440,26 @@ def lsh_candidate_pairs(
 # ------------------------------------------------- cluster formation
 
 
+def _checkpoint_partitioned(df: DataFrame) -> DataFrame:
+    """localCheckpoint that PRESERVES the physical output partitioning.
+
+    Under AQE the checkpoint's LogicalRDD records the AdaptiveSparkPlan's
+    partitioning as Unknown (measured r13: a hash(dst)-repartitioned,
+    checkpointed edge list still re-exchanged BOTH sides of every CC
+    round's join — 2 exchanges/round; with the checkpoint planned under
+    AQE-off the leaf keeps hashpartitioning and the round join plans with
+    1, or 0 when both sides are pre-partitioned). Only the checkpoint's
+    own materialization is planned non-adaptively; every round still
+    plans with AQE. The conf flip is restored in a finally."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def connected_components(
     pairs: DataFrame, max_iterations: int = 50
 ) -> DataFrame:
@@ -458,19 +483,28 @@ def connected_components(
     ``max_iterations`` — a silently-partial labeling must never escape."""
     # undirected edge list, both directions; eagerly materialized ONCE —
     # the pair pipeline feeding this is typically expensive (LSH / n-gram
-    # self-join) and must not re-execute inside the iteration
+    # self-join) and must not re-execute inside the iteration.
+    # repartition("dst") BEFORE the checkpoint (r13): every round joins
+    # edges ⋈ labels on dst, and a checkpoint preserves its physical
+    # partitioning — hash(dst) up front means the big (edge) side is
+    # never re-exchanged inside the loop; only the per-round label set
+    # shuffles. One extra exchange at build time buys one fewer exchange
+    # PER ROUND at any scale.
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    edges = _checkpoint_partitioned(
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("dst")
+    )
     # localCheckpoint (not persist): truncates lineage so round N's plan
     # doesn't nest rounds 1..N-1 (Catalyst re-analysis goes superlinear
     # on nested iterative plans)
-    labels = (
+    # labels keep their hash(id) partitioning through the checkpoint too:
+    # renamed to dst for the round join, the join then needs NO exchange
+    # on either side; only the union+groupBy shuffle remains per round
+    labels = _checkpoint_partitioned(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("rep", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     converged = False
     # Convergence = the label-sum going stable: min-propagation can only
@@ -489,11 +523,10 @@ def connected_components(
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
             .select(F.col("src").alias("id"), "rep")
         )
-        new_labels = (
+        new_labels = _checkpoint_partitioned(
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("rep").alias("rep"))
-            .localCheckpoint(eager=True)
         )
         cur_sum = new_labels.agg(F.sum(F.col("rep").cast("decimal(38,0)"))).collect()[0][0]
         labels = new_labels
@@ -698,32 +731,87 @@ def ngram_containment_pairs(
     |src|/|dst| ≈ 0, so resemblance dedup never sees it; containment is
     the quote/boilerplate/subset detector (Broder's original distinction).
 
-    Same plan as :func:`ngram_jaccard_pairs` — ONE inverted-index
-    self-join computes each unordered intersection once (id_a < id_b),
-    then both directed rows are emitted by a cheap union and divided by
-    their source size. ``max_doc_freq`` bounds the posting lists exactly
-    as in the Jaccard path; the persisted shingle set is shared by the
-    join and the size aggregate."""
-    sh = word_shingles(df, id_col, text_col, n, max_doc_freq, persist=True)
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    Plan (r13): ASYMMETRIC prefix filter — the one-sided variant of the
+    Jaccard path's AllPairs/PPJoin (Bayardo et al.; Xiao et al.):
+
+    1. Per-doc sorted shingle arrays (scan-local when uncapped; one
+       groupBy off the persisted capped index otherwise), exactly as in
+       :func:`ngram_jaccard_pairs`.
+    2. Lemma: a directed pair with C(src→dst) ≥ t has |a∩b| ≥ t·n_src ≥
+       t·min(n_a, n_b), so the SMALLER doc x (ties broken by id) must
+       share a token within its first n_x − ⌈t·n_x⌉ + 1 tokens — but the
+       larger doc gets NO prefix bound from containment (a tiny doc can
+       be contained in any suffix of a huge one). Hence the candidate
+       join is smaller-doc PREFIX ⋈ larger-doc FULL list — strictly
+       fewer candidate rows than the old full ⋈ full posting self-join,
+       and no per-pair count aggregate at all.
+    3. Exact verify per candidate with ``array_intersect`` on the two doc
+       arrays; both directed rows divide the one intersection by their
+       own source size.
+
+    The ⌈t·n⌉ epsilon is size-relative (1e-9 + n·1e-15): the FP error of
+    t·n is ~n·2⁻⁵³, so an absolute epsilon alone could shorten a prefix
+    for docs beyond ~10⁷ shingles (ADVICE r12) — the guard may only ever
+    LENGTHEN a prefix (superset stays exact).
+
+    ``max_doc_freq`` bounds every posting list via the upstream broadcast
+    anti-join exactly as in the Jaccard path."""
+    if max_doc_freq is None:
+        docs_base = word_shingle_arrays(df, id_col, text_col, n).select(
+            "id", F.sort_array("shingles").alias("arr")
+        )
+    else:
+        sh = word_shingles(df, id_col, text_col, n, max_doc_freq, persist=True)
+        docs_base = sh.groupBy("id").agg(
+            F.sort_array(F.collect_list("shingle")).alias("arr")
+        )
+    docs = docs_base.select(
+        "id",
+        "arr",
+        F.size("arr").alias("n"),
+        F.expr(
+            f"slice(arr, 1, size(arr) - CAST(CEIL({threshold} * size(arr)"
+            f" - 1e-9 - size(arr) * 1e-15) AS INT) + 1)"
+        ).alias("prefix"),
+    )
+    docs = owned_persist(docs)
+    pref = docs.select("id", "n", F.explode("prefix").alias("shingle"))
+    full = docs.select("id", "n", F.explode("arr").alias("shingle"))
+    cand = (
+        pref.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "shingle")
+        .join(
+            full.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "shingle"),
+            "shingle",
+        )
+        .filter(
+            (F.col("n_a") < F.col("n_b"))
+            | ((F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    da = docs.select(
+        F.col("id").alias("id_a"), F.col("arr").alias("__arr_a"), F.col("n").alias("n_a")
+    )
+    db = docs.select(
+        F.col("id").alias("id_b"), F.col("arr").alias("__arr_b"), F.col("n").alias("n_b")
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("__arr_a", "__arr_b")))
     )
     directed = inter.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "inter"
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "inter",
+        F.col("n_a").alias("n"),
     ).unionAll(
         inter.select(
-            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "inter"
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "inter",
+            F.col("n_b").alias("n"),
         )
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     return (
-        directed.join(sizes.withColumnRenamed("id", "src"), "src")
-        .withColumn("containment", F.col("inter") / F.col("n"))
+        directed.withColumn("containment", F.col("inter") / F.col("n"))
         .filter(F.col("containment") >= threshold)
         .select("src", "dst", "containment")
     )

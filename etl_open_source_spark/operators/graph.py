@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_open_source_spark.operators.caching import owned_persist
+
 SCALE = 1_000_000_000
 
 
@@ -52,9 +54,9 @@ def pagerank_integer(
         # is empty, so every downstream join is too).
         return nodes.select("v", F.lit(None).cast("bigint").alias("r")).limit(0)
     base = (15 * scale) // (100 * n)
-    e = edges.withColumn(
+    e = owned_persist(edges.withColumn(
         "wout", F.sum("w").over(Window.partitionBy("src"))
-    ).persist()
+    ))
     ranks = nodes.select("v", F.lit(scale // n).cast("bigint").alias("r"))
     for _ in range(iters):
         contrib = (
@@ -122,8 +124,8 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     the wedge, so no triangle is double-counted and no /6 fixup is
     needed. Two shuffles (wedge build, close join); nothing quadratic in
     a hub's raw degree."""
-    edges = edges.persist()
-    oriented = orient_by_degree(edges).persist()
+    edges = owned_persist(edges)
+    oriented = owned_persist(orient_by_degree(edges))
     w1 = oriented.select(F.col("src"), F.col("dst").alias("x"))
     w2 = oriented.select(F.col("src"), F.col("dst").alias("y"))
     wedges = w1.join(w2, "src").filter(F.col("x") < F.col("y"))
@@ -186,42 +188,98 @@ def link_prediction_jaccard(
     hot-bucket cap (operators/dedup.py) and the basket guard
     (operators/baskets.py).
 
-    Shuffles: adjacency build (one), degree aggregate (reuses the same
-    key), common-neighbor join keyed on the pivot node, pair-count
-    aggregate, degree join-back, existing-edge anti-join. All keys are
-    node ids — co-partitionable end to end.
-    """
+    Plan (r13): prefix-filtered set-similarity join over per-node
+    neighbor ARRAYS — the AllPairs/PPJoin machinery the n-gram dedup
+    family uses (operators/dedup.py), specialized to the graph measure:
+
+    1. ONE aggregate per node computes BOTH the full degree and the
+       sorted capped-pivot neighbor array (hubs arrive as a broadcast
+       left join and are skipped by collect_list's NULL drop — the old
+       shape paid a separate degree aggregate, a pair-count aggregate
+       over the full common-neighbor join, and two degree join-backs).
+    2. Prefix lemma, graph form: jaccard ≥ t means
+       common ≥ t·(deg_a + deg_b − common), so common ≥
+       (t/(1+t))·(deg_a+deg_b) ≥ (2t/(1+t))·n_small where n is the
+       capped-array size (deg ≥ n always). The SMALLER side (ties by id)
+       must therefore share a pivot within its first
+       n − ⌈(2t/(1+t))·n⌉ + 1 sorted elements — candidates come from
+       smaller-prefix ⋈ larger-full, a strict subset of the old full
+       common-neighbor self-join's rows.
+    3. Exact verify per candidate with ``array_intersect`` on the two
+       capped arrays (common counts capped pivots only, exactly as the
+       pivot-filtered count aggregate did); degrees ride along on the
+       same join — no extra join-backs.
+
+    Shuffles: adjacency aggregate (one), prefix candidate join (pivot
+    key), candidate distinct, two array join-backs, existing-edge
+    anti-join — the pair-count HashAggregate and both degree joins are
+    gone from the plan."""
     adj = edges.selectExpr("src AS v", "dst AS nbr").unionAll(
         edges.selectExpr("dst AS v", "src AS nbr")
     )
     deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
-    pivots = adj
+    marked = adj.withColumn("__pivot_nbr", F.col("nbr"))
     if max_degree is not None:
-        # Broadcast the HUB list and anti-join: hubs above the cap are few
-        # by definition (that is what makes them hubs), so the broadcast
-        # stays model-sized at any graph scale — broadcasting the
-        # small-degree complement would ship nearly every node.
+        # Broadcast the HUB list and left-join a marker: hubs above the
+        # cap are few by definition (that is what makes them hubs), so
+        # the broadcast stays model-sized at any graph scale. A hub
+        # neighbor still counts toward the node's DEGREE; it just never
+        # enters the pivot array.
         hubs = deg.filter(F.col("deg") > max_degree).select(
-            F.col("v").alias("nbr")
+            F.col("v").alias("nbr"), F.lit(True).alias("__hub")
         )
-        pivots = adj.join(F.broadcast(hubs), "nbr", "left_anti")
-    common = (
-        pivots.alias("a")
-        .join(pivots.alias("b"), "nbr")
-        .filter(F.col("a.v") < F.col("b.v"))
-        .groupBy(
-            F.col("a.v").alias("id_a"), F.col("b.v").alias("id_b")
+        marked = adj.join(F.broadcast(hubs), "nbr", "left").withColumn(
+            "__pivot_nbr", F.when(F.col("__hub").isNull(), F.col("nbr"))
         )
-        .agg(F.count(F.lit(1)).alias("common"))
+    # one exchange: degree AND sorted capped-pivot array per node
+    # (collect_list drops the NULLed hub neighbors)
+    nodes = marked.groupBy("v").agg(
+        F.count(F.lit(1)).alias("deg"),
+        F.sort_array(F.collect_list("__pivot_nbr")).alias("arr"),
     )
-    non_edges = common.join(
+    # prefix fraction 2t/(1+t); size-relative epsilon so FP error can only
+    # LENGTHEN a prefix (superset stays exact — see dedup.py)
+    frac = 2.0 * threshold / (1.0 + threshold)
+    nodes = owned_persist(
+        nodes.select(
+            "v",
+            "deg",
+            "arr",
+            F.size("arr").alias("n"),
+            F.expr(
+                f"slice(arr, 1, size(arr) - CAST(CEIL({frac} * size(arr)"
+                f" - 1e-9 - size(arr) * 1e-15) AS INT) + 1)"
+            ).alias("prefix"),
+        )
+    )
+    pref = nodes.select("v", "n", F.explode("prefix").alias("nbr"))
+    full = nodes.select("v", "n", F.explode("arr").alias("nbr"))
+    cand = (
+        pref.select(F.col("v").alias("id_a"), F.col("n").alias("n_a"), "nbr")
+        .join(full.select(F.col("v").alias("id_b"), F.col("n").alias("n_b"), "nbr"), "nbr")
+        .filter(
+            (F.col("n_a") < F.col("n_b"))
+            | ((F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        .select(F.least("id_a", "id_b").alias("id_a"), F.greatest("id_a", "id_b").alias("id_b"))
+        .distinct()
+    )
+    non_edges = cand.join(
         edges.selectExpr("src AS id_a", "dst AS id_b"),
         ["id_a", "id_b"],
         "left_anti",
     )
+    na = nodes.select(
+        F.col("v").alias("id_a"), F.col("arr").alias("__arr_a"), F.col("deg").alias("deg_a")
+    )
+    nb = nodes.select(
+        F.col("v").alias("id_b"), F.col("arr").alias("__arr_b"), F.col("deg").alias("deg_b")
+    )
     scored = (
-        non_edges.join(deg.withColumnsRenamed({"v": "id_a", "deg": "deg_a"}), "id_a")
-        .join(deg.withColumnsRenamed({"v": "id_b", "deg": "deg_b"}), "id_b")
+        non_edges.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("common", F.size(F.array_intersect("__arr_a", "__arr_b")))
+        .filter(F.col("common") >= 1)
         .select(
             "id_a",
             "id_b",

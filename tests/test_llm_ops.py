@@ -1103,3 +1103,22 @@ def test_brute_force_mapside_topk_prune(spark):
     )
     got_f = S.brute_force_topk(fids.filter(F.col("vec_id") < 2.0), fids, k=3).collect()
     assert len(got_f) == 6 and all(r.query_id != r.neighbor_id for r in got_f)
+
+
+def test_operator_cache_ownership_release(spark, sf_dir):
+    """r13 (VERDICT r12 item 6): operator-internal persist() calls whose
+    consumers are lazy register in the caching module, and
+    release_operator_caches() frees every one of them — a long-lived
+    session no longer accumulates session-lifetime shingle/doc caches."""
+    from etl_open_source_spark.operators.caching import release_operator_caches
+
+    spark.catalog.clearCache()
+    release_operator_caches()
+    d = load_table(spark, sf_dir, "documents")
+    D.ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5).count()
+    D.ngram_containment_pairs(d, "doc_id", "text", 3, 0.6, max_doc_freq=100).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    assert release_operator_caches() >= 2
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    # idempotent, and safe with actions still unrun
+    assert release_operator_caches() == 0
