@@ -183,6 +183,38 @@ def _jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
 # ------------------------------------------------- exact n-gram Jaccard
 
 
+def _capped_doc_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int
+) -> DataFrame:
+    """Per-doc sorted shingle arrays with the doc-frequency cap applied
+    ARRAY-SIDE (r13): persist the scan-local per-doc arrays (one row per
+    doc), build the over-cap hot list by exploding OFF that cache (the
+    explode-behind-a-persist shape — the O(doc²) inlining trap cannot
+    fire through an InMemoryRelation), fold it to a single broadcast row,
+    and subtract per doc with array_except. The old shape persisted the
+    exploded (doc, shingle) index and re-grouped it with a
+    collect_list(shingle) — a full exchange of every posting row — to get
+    the same arrays; the cache now holds one row per doc and the re-group
+    exchange is gone. Docs that lose every shingle keep an empty array
+    (no prefix, no candidates) — exactly as absent docs behaved.
+
+    The hot list is corpus_size/cap rows by construction (that is what
+    makes them hot), so the single collected array stays model-sized at
+    any corpus scale — the same bound the old broadcast anti-join relied
+    on."""
+    arrays = owned_persist(word_shingle_arrays(df, id_col, text_col, n))
+    hot = (
+        arrays.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .agg(F.collect_list("shingle").alias("hot"))
+    )
+    return arrays.crossJoin(F.broadcast(hot)).select(
+        "id", F.sort_array(F.array_except("shingles", "hot")).alias("arr")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -235,10 +267,7 @@ def ngram_jaccard_pairs(
             "id", F.sort_array("shingles").alias("arr")
         )
     else:
-        sh = word_shingles(df, id_col, text_col, n, max_doc_freq, persist=True)
-        docs_base = sh.groupBy("id").agg(
-            F.sort_array(F.collect_list("shingle")).alias("arr")
-        )
+        docs_base = _capped_doc_arrays(df, id_col, text_col, n, max_doc_freq)
     # ceil(t·n) must never round UP past the exact value (that would
     # SHORTEN the prefix and could drop a boundary pair): subtract an
     # epsilon so an FP product like 3.0000000000000004 still ceils to 3;
@@ -460,6 +489,32 @@ def _checkpoint_partitioned(df: DataFrame) -> DataFrame:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+def _label_checksum(labels: DataFrame):
+    """Σ rep as decimal — the CC convergence metric — with the numeric-id
+    contract ENFORCED: an id whose decimal cast yields NULL silently
+    vanishes from the sum (ANSI off), and an all-NULL sum would compare
+    None == None and declare convergence after round 1, returning partial
+    components (ADVICE r12). One aggregate computes the row count, the
+    castable count and the sum; any uncastable id raises instead."""
+    # try_cast, not cast: ANSI mode (Spark 4 default) hard-errors the cast
+    # mid-aggregate with an opaque CAST_INVALID_INPUT; with ANSI off the
+    # plain cast silently NULLs. try_cast yields NULL in BOTH modes, and
+    # the count comparison turns it into this typed, actionable error.
+    row = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.expr("try_cast(rep AS decimal(38,0))")).alias("n_num"),
+        F.sum(F.expr("try_cast(rep AS decimal(38,0))")).alias("s"),
+    ).collect()[0]
+    if row["n"] != row["n_num"]:
+        raise TypeError(
+            "connected_components: node ids must cast cleanly to decimal "
+            f"for the label-sum convergence check ({row['n'] - row['n_num']} "
+            "of them cast to NULL) — use numeric ids, or hash string ids "
+            "to BIGINT (xxhash64) before clustering"
+        )
+    return row["s"]
+
+
 def connected_components(
     pairs: DataFrame, max_iterations: int = 50
 ) -> DataFrame:
@@ -515,7 +570,7 @@ def connected_components(
     # join+filter+count (a full extra shuffle of both label sets per
     # round). Decimal sum: ids are arbitrary 64-bit values, a long sum
     # could overflow under ANSI.
-    prev_sum = labels.agg(F.sum(F.col("rep").cast("decimal(38,0)"))).collect()[0][0]
+    prev_sum = _label_checksum(labels)
     for _ in range(max_iterations):
         # every node pulls its neighbors' current labels, keeps the min of
         # (own label, neighbor labels)
@@ -528,7 +583,7 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("rep").alias("rep"))
         )
-        cur_sum = new_labels.agg(F.sum(F.col("rep").cast("decimal(38,0)"))).collect()[0][0]
+        cur_sum = _label_checksum(new_labels)
         labels = new_labels
         if cur_sum == prev_sum:
             converged = True
@@ -761,10 +816,7 @@ def ngram_containment_pairs(
             "id", F.sort_array("shingles").alias("arr")
         )
     else:
-        sh = word_shingles(df, id_col, text_col, n, max_doc_freq, persist=True)
-        docs_base = sh.groupBy("id").agg(
-            F.sort_array(F.collect_list("shingle")).alias("arr")
-        )
+        docs_base = _capped_doc_arrays(df, id_col, text_col, n, max_doc_freq)
     docs = docs_base.select(
         "id",
         "arr",

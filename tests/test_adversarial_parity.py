@@ -22,11 +22,14 @@ embedding operators whose inputs a web corpus would abuse.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # soak/axis tier: run with `pytest -m slow`
+
+
 import datetime as dt
 
 import pandas as pd
-import pytest
-
 from etl_open_source_spark.registry import get_registry
 from tests.oracle_utils import assert_frames_match, run_oracle
 

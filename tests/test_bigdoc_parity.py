@@ -33,9 +33,12 @@ path is proven alongside, not instead of, the usual edge contracts.
 
 from __future__ import annotations
 
-import pandas as pd
 import pytest
 
+pytestmark = pytest.mark.slow  # soak/axis tier: run with `pytest -m slow`
+
+
+import pandas as pd
 from etl_open_source_spark.registry import get_registry
 from tests.oracle_utils import assert_frames_match, run_oracle
 from tests.test_random_differential import _write_documents

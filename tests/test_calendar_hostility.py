@@ -74,9 +74,12 @@ across leap day, DST instants, year boundaries and negative epochs.
 
 from __future__ import annotations
 
-import shutil
-
 import pytest
+
+pytestmark = pytest.mark.slow  # soak/axis tier: run with `pytest -m slow`
+
+
+import shutil
 
 from etl_open_source_spark.registry import get_registry
 from tests.oracle_utils import TABLES, assert_frames_match, run_oracle

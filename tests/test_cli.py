@@ -81,7 +81,10 @@ def test_next_run_prints_timestamp(capsys):
 
 def test_bench_json_contract():
     """bench.py must print exactly ONE JSON line with the driver-contract
-    keys; run at sf0.001 with 1 rep to keep it fast."""
+    keys; run at sf0.001 with 1 rep, no quiet-box wait (the gate burned
+    its full 300 s budget when the suite itself loaded the box — 337 s of
+    the old 60-min suite), and a 3-query representative subset (plain
+    agg, Python-kernel path, persist+clearCache path)."""
     import json
     import os
     import subprocess
@@ -91,6 +94,8 @@ def test_bench_json_contract():
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_BENCH_REPS="1",
+        SPARK_GRAFT_BENCH_QUIET_WAIT="0",
+        SPARK_GRAFT_BENCH_ONLY="q_agg_groupby,q_sim_topk,q_dedup_near",
         PYTHONPATH=os.path.dirname(os.path.dirname(__file__)),
     )
     proc = subprocess.run(
@@ -106,6 +111,7 @@ def test_bench_json_contract():
     d = json.loads(lines[0])
     assert d["metric"] == "headline_queries_total" and d["unit"] == "sec"
     assert d["value"] > 0 and d["sf"] == 0.001
+    assert set(d["queries"]) == {"q_agg_groupby", "q_sim_topk", "q_dedup_near"}
     assert set(d["queries"]) == set(d["spread"])
     for s in d["spread"].values():
         assert s["min"] <= s["median"] <= s["max"]

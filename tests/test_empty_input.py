@@ -48,9 +48,12 @@ already covers on data that exercises it.
 
 from __future__ import annotations
 
-import pyarrow.parquet as pq
 import pytest
 
+pytestmark = pytest.mark.slow  # soak/axis tier: run with `pytest -m slow`
+
+
+import pyarrow.parquet as pq
 from etl_open_source_spark.registry import get_registry
 from tests.oracle_utils import TABLES, assert_frames_match, run_oracle
 

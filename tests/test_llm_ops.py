@@ -1112,13 +1112,36 @@ def test_operator_cache_ownership_release(spark, sf_dir):
     session no longer accumulates session-lifetime shingle/doc caches."""
     from etl_open_source_spark.operators.caching import release_operator_caches
 
+    def persistent_ids():
+        # includes localCheckpoint RDDs from OTHER tests in the shared
+        # session (not CacheManager entries, so clearCache can't drop
+        # them) — assert on the DELTA, not on emptiness
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+
     spark.catalog.clearCache()
     release_operator_caches()
+    before = persistent_ids()
     d = load_table(spark, sf_dir, "documents")
     D.ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5).count()
     D.ngram_containment_pairs(d, "doc_id", "text", 3, 0.6, max_doc_freq=100).count()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    assert persistent_ids() - before
     assert release_operator_caches() >= 2
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert persistent_ids() <= before
     # idempotent, and safe with actions still unrun
     assert release_operator_caches() == 0
+
+
+def test_connected_components_rejects_noncastable_ids(spark):
+    """ADVICE r12: the decimal label-sum convergence check must REFUSE ids
+    that cast to NULL (the sum would be NULL and None == None would
+    declare convergence after one round, silently returning partial
+    components) rather than proceed."""
+    pairs = spark.createDataFrame(
+        [("docA", "docB"), ("docB", "docC")], "id_a string, id_b string"
+    )
+    with pytest.raises(TypeError, match="cast cleanly"):
+        D.connected_components(pairs)
+    # digit strings cast cleanly and still work
+    ok = spark.createDataFrame([("1", "2"), ("2", "3")], "id_a string, id_b string")
+    got = {r.id: r.rep for r in D.connected_components(ok).collect()}
+    assert got == {"1": "1", "2": "1", "3": "1"}

@@ -69,13 +69,16 @@ before any such sweep).
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # soak/axis tier: run with `pytest -m slow`
+
+
 import shutil
 
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
-import pytest
-
 from etl_open_source_spark.registry import get_registry
 from tests.oracle_utils import TABLES, assert_frames_match, run_oracle
 

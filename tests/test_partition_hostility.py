@@ -33,6 +33,9 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # soak/axis tier: run with `pytest -m slow`
+
+
 from etl_open_source_spark.registry import get_registry
 from tests.oracle_utils import assert_frames_match, canon_frame, run_oracle
 from tests.test_adversarial_parity import (  # noqa: F401  (adv_dir is a fixture)

@@ -8,6 +8,11 @@ the properties themselves are exhaustive over the generated space.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # soak/axis tier: run with `pytest -m slow`
+
+
 from datetime import datetime, timedelta
 
 from hypothesis import HealthCheck, given, settings

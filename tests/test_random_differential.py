@@ -18,6 +18,11 @@ folding the tiny-table class into the fresh-draw soak permanently.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # soak/axis tier: run with `pytest -m slow`
+
+
 import os
 
 import pandas as pd
